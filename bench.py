@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and
+prints {"metric", "value" (total sec), "unit", "queries": {name: sec},
+"sf", plus docs/sec throughput for the extraction pipeline}.
+
+--scaling runs the end-to-end extraction at two parallelism levels
+(local[8] vs local[32]) on the same input and reports throughput at
+both plus efficiency = (thr32/thr8)/4 — the sandbox evidence protocol
+for the north_rule's N→4N criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except Exception:
+        return -1.0
+
+
+def run_queries(sf_dir: str, cpus: int) -> dict:
+    import __spark_entry__ as entry_mod
+    from jochre3_ocr_spark.plans.pipeline import get_spark
+
+    spark = get_spark(
+        "jochre3-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+    headline = [
+        "extract_yiddish_corpus",
+        "extract_processed_text",
+        "extract_span_stats",
+        "q1_pricing_summary",
+        "q5_local_supplier_volume",
+        "q_window_top_lineitems",
+        "dedup_minhash_signature",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "text_quality",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # end-to-end extraction throughput on the synthesized corpus at this sf
+    from jochre3_ocr_spark.plans.pipeline import extract_with_salting
+    from jochre3_ocr_spark.sources.corpus import docs_df, lexicon_words, n_docs_for_sf
+
+    sf = _sf_from_dir(sf_dir)
+    n = n_docs_for_sf(sf if sf > 0 else 0.01)
+    docs = docs_df(spark, n, partitions=cpus * 2)
+    t0 = time.time()
+    out = extract_with_salting(docs, lexicon_words())
+    out.write.format("noop").mode("overwrite").save()
+    elapsed = time.time() - t0
+    timings["extract_corpus_e2e"] = round(elapsed, 3)
+    docs_per_sec = round(n / elapsed, 2)
+    spark.stop()
+    return {"timings": timings, "n_docs": n, "docs_per_sec": docs_per_sec}
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same extraction job at local[8] vs local[32] → scaling efficiency."""
+    from jochre3_ocr_spark.plans.pipeline import extract_with_salting, get_spark
+    from jochre3_ocr_spark.sources.corpus import docs_df, lexicon_words, n_docs_for_sf
+
+    import shutil
+    import tempfile
+
+    sf = _sf_from_dir(sf_dir)
+    # 8× the per-sf corpus so compute dominates the fixed session/worker
+    # startup (~2-5s) — the scaling criterion measures steady-state
+    # throughput of the SAME job on the SAME materialized input, so the
+    # corpus is written once (excluded from timing) and each measured run
+    # warms the Python workers first
+    n = 8 * n_docs_for_sf(sf if sf > 0 else 0.01)
+    tmp = tempfile.mkdtemp(prefix="jochre3_scaling_")
+    inp = f"{tmp}/docs.parquet"
+    spark = get_spark("jochre3-scaling-gen", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs_df(spark, n, partitions=256).write.mode("overwrite").parquet(inp)
+    spark.stop()
+
+    out = {}
+    for cores in (8, 32):
+        spark = get_spark(
+            f"jochre3-scaling-{cores}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = spark.read.parquet(inp)
+        # warmup: spin up executor python workers + JIT the plan shape
+        extract_with_salting(docs.limit(2 * cores), lexicon_words()).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+        t0 = time.time()
+        extract_with_salting(docs, lexicon_words()).write.mode("overwrite").parquet(
+            f"{tmp}/out_{cores}.parquet"
+        )
+        elapsed = time.time() - t0
+        out[f"local[{cores}]"] = {
+            "sec": round(elapsed, 2),
+            "docs_per_sec": round(n / elapsed, 2),
+        }
+        spark.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    thr8 = out["local[8]"]["docs_per_sec"]
+    thr32 = out["local[32]"]["docs_per_sec"]
+    out["scaling_efficiency"] = round((thr32 / thr8) / 4.0, 3)
+    out["n_docs"] = n
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        result = run_scaling(sf_dir)
+        print(json.dumps(result))
+        return
+    r = run_queries(sf_dir, cpus)
+    total = round(sum(r["timings"].values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock (extraction + analytics)",
+                "value": total,
+                "unit": "sec",
+                "queries": r["timings"],
+                "sf": _sf_from_dir(sf_dir),
+                "n_docs": r["n_docs"],
+                "extract_docs_per_sec": r["docs_per_sec"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the extraction pipeline.
+
+Packaging (BASELINE.md):
+
+    zip -r engine.zip jochre3_ocr_spark
+    spark-submit --py-files engine.zip job.py \
+        --input  /path/to/docs_parquet_or_iceberg \
+        --output /path/to/spans_out \
+        [--lexicon /path/to/lexicon.txt] [--no-salting] [--generate N]
+
+Resumable: re-running with the same --output anti-joins already-written
+doc_ids and processes only the remainder (plans/pipeline.run_job).
+``--generate N`` first materializes the deterministic synthetic corpus
+to --input (for smoke runs without external data).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--lexicon", default=None, help="text file, one word per line")
+    p.add_argument("--generate", type=int, default=0,
+                   help="generate N synthetic docs into --input first")
+    p.add_argument("--no-salting", action="store_true")
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    args = p.parse_args(argv)
+
+    from jochre3_ocr_spark.plans.pipeline import get_spark, run_job
+    from jochre3_ocr_spark.sources import corpus
+
+    spark = get_spark(
+        "jochre3-ocr-extract",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    if args.generate:
+        corpus.docs_df(spark, args.generate).write.mode("overwrite").parquet(
+            args.input
+        )
+
+    if args.lexicon:
+        with open(args.lexicon, encoding="utf-8") as f:
+            words = [w.strip() for w in f if w.strip()]
+    else:
+        words = corpus.lexicon_words()
+
+    t0 = time.time()
+    n = run_job(
+        spark,
+        args.input,
+        args.output,
+        words,
+        salted=not args.no_salting,
+    )
+    elapsed = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "docs_complete": n,
+                "sec": round(elapsed, 2),
+                "output": args.output,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

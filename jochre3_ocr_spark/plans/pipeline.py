@@ -1,0 +1,400 @@
+"""The end-to-end Spark extraction pipeline.
+
+Physical plan shape (SURVEY.md §4):
+
+    Scan docs (parquet/Iceberg; column-pruned to doc_id, spans)
+      → [resume anti-join on checkpointed doc_ids]
+      → split: normal docs (narrow mapInPandas, ZERO shuffle)
+             | giant docs  (split at block boundaries → salted chunks →
+                            kernel → groupBy(doc_id) reassemble — the only
+                            shuffle, and only over the skewed 1%)
+      → union → write parquet/Iceberg + checkpoint table
+
+Design notes for 100 TB / 1000 executors:
+* the normal path is embarrassingly parallel: one Arrow batch in, one
+  out, whole job pipelined with no exchange;
+* span arrays cross the JVM↔Python boundary as JSON strings
+  (``to_json`` / ``from_json``, both JVM whole-stage codegen).
+  Arrow conversion of array<struct> columns to pandas dict objects
+  measured ~10× slower than JSON round-tripping at this span density
+  (~200 spans/doc) — the hot boundary is the engine's main cost;
+* the giant-doc path implements the north_rule's salted repartition —
+  a 200-page document becomes ~N chunk rows spread across executors;
+  correctness of reassembly relies on block independence (content joins
+  are per top-level block: Page.scala:156-166);
+* the lexicon ships once per executor via SparkContext.broadcast;
+* resume is an anti-join against completed doc_ids derived from
+  committed output — idempotent because task files commit atomically.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from jochre3_ocr_spark.schema import PipelineConfig
+
+# spans-per-chunk when splitting giant docs; docs above the giant
+# threshold get split at top-level block boundaries
+CHUNK_TARGET_SPANS = 2_000
+GIANT_THRESHOLD_SPANS = 8_000
+
+_OUT_FIELDS = (
+    "doc_id spans_json text processed_text alternatives_json n_spans "
+    "n_words status error".split()
+)
+
+_SPAN_ARRAY_DDL = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+_RAW_OUT_DDL = (
+    "doc_id string, spans_json string, text string, processed_text string, "
+    "alternatives_json string, n_spans int, n_words int, "
+    "status string, error string"
+)
+
+_CHUNK_DDL = "doc_id string, chunk_id int, spans_json string"
+_CHUNK_OUT_DDL = "chunk_id int, " + _RAW_OUT_DDL
+
+
+def get_spark(
+    app_name: str = "jochre3-ocr-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    import os
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # local[N] runs all executor threads in the driver JVM: the 1g
+        # default heap GC-thrashes under 32 threads of string churn
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        )
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # python-kernel-heavy workload: cost per ROW dwarfs cost per byte,
+        # and span columns compress ~30×, so split scans much finer than
+        # the 128m default to keep every core busy (tune per cluster)
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        .config("spark.sql.files.openCostInBytes", "262144")
+    )
+    if master:
+        builder = builder.master(master)
+    return builder.getOrCreate()
+
+
+def _spans_json_to_tuples(spans_json: str) -> list[tuple]:
+    return [
+        (s.get("kind"), s.get("text"), s.get("media_ref"), s.get("offset"))
+        for s in json.loads(spans_json)
+    ]
+
+
+def _tuples_to_json(spans) -> str:
+    return json.dumps(
+        [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for k, t, m, o in spans
+        ],
+        ensure_ascii=False,
+    )
+
+
+# per-worker-process lexicon cache: tasks reuse the Lexicon (and its warm
+# to_yivo/frequency lru_caches) across the worker's lifetime
+_WORKER_LEXICONS: dict[int, object] = {}
+
+
+def _get_worker_lexicon(lexicon_bc):
+    key = id(lexicon_bc)
+    lex = _WORKER_LEXICONS.get(key)
+    if lex is None:
+        from jochre3_ocr_spark.functions.lexicon import Lexicon
+
+        lex = Lexicon(frozenset(lexicon_bc.value))
+        _WORKER_LEXICONS.clear()  # one lexicon per job is the norm
+        _WORKER_LEXICONS[key] = lex
+    return lex
+
+
+def _finalize(raw: DataFrame) -> DataFrame:
+    """Restore the array<struct> spans column from JSON (JVM-side)."""
+    return raw.select(
+        "doc_id",
+        F.from_json("spans_json", _SPAN_ARRAY_DDL).alias("spans"),
+        "text",
+        "processed_text",
+        "alternatives_json",
+        "n_spans",
+        "n_words",
+        "status",
+        "error",
+    )
+
+
+def _make_extract_fn(lexicon_bc, config: PipelineConfig):
+    """Build the mapInPandas kernel; the lexicon arrives via broadcast."""
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jochre3_ocr_spark.operators.kernel import process_document_safe
+
+        lexicon = _get_worker_lexicon(lexicon_bc)
+        for batch in batches:
+            rows = []
+            for doc_id, spans_json in zip(batch["doc_id"], batch["spans_json"]):
+                out = process_document_safe(
+                    doc_id, _spans_json_to_tuples(spans_json), lexicon, config
+                )
+                out["spans_json"] = _tuples_to_json(out.pop("spans"))
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=_OUT_FIELDS)
+
+    return extract_batches
+
+
+def _prune_to_json(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.to_json("spans").alias("spans_json"),
+        F.size("spans").alias("n_in_spans"),
+    )
+
+
+def extract(
+    docs: DataFrame,
+    lexicon_words: list[str],
+    config: PipelineConfig | None = None,
+    materialize_spans: bool = False,
+) -> DataFrame:
+    """Narrow extraction over a docs DataFrame — no shuffle.
+
+    Column-prunes to (doc_id, spans) so parquet/Iceberg scans read only
+    what the kernel needs. With ``materialize_spans`` the output spans
+    come back as array<struct> (from_json, JVM); default keeps them as a
+    JSON string column — ~2× cheaper end-to-end at high span density.
+    """
+    config = config or PipelineConfig()
+    spark = docs.sparkSession
+    lexicon_bc = spark.sparkContext.broadcast(list(lexicon_words))
+    pruned = _prune_to_json(docs).drop("n_in_spans")
+    raw = pruned.mapInPandas(_make_extract_fn(lexicon_bc, config), schema=_RAW_OUT_DDL)
+    return _finalize(raw) if materialize_spans else raw
+
+
+# ------------------------------------------------------- giant-doc salting
+def _split_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Split each giant doc's span list into chunk rows at top-level
+    block/media boundaries (blocks are independent for every downstream
+    semantic — Page.scala:156-166)."""
+    for batch in batches:
+        rows = []
+        for doc_id, spans_json in zip(batch["doc_id"], batch["spans_json"]):
+            spans = json.loads(spans_json)
+            chunks: list[list] = [[]]
+            for s in spans:
+                if (
+                    s.get("kind") in ("block", "media")
+                    and len(chunks[-1]) >= CHUNK_TARGET_SPANS
+                ):
+                    chunks.append([])
+                chunks[-1].append(s)
+            for i, chunk in enumerate(chunks):
+                if chunk:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "chunk_id": i,
+                            "spans_json": json.dumps(chunk, ensure_ascii=False),
+                        }
+                    )
+        yield pd.DataFrame(rows, columns=["doc_id", "chunk_id", "spans_json"])
+
+
+def _make_chunk_extract_fn(lexicon_bc, config: PipelineConfig):
+    def extract_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jochre3_ocr_spark.operators.kernel import process_document_safe
+
+        lexicon = _get_worker_lexicon(lexicon_bc)
+        for batch in batches:
+            rows = []
+            for doc_id, chunk_id, spans_json in zip(
+                batch["doc_id"], batch["chunk_id"], batch["spans_json"]
+            ):
+                out = process_document_safe(
+                    doc_id, _spans_json_to_tuples(spans_json), lexicon, config
+                )
+                out["spans_json"] = _tuples_to_json(out.pop("spans"))
+                out["chunk_id"] = int(chunk_id)
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=["chunk_id", *_OUT_FIELDS])
+
+    return extract_chunks
+
+
+def _reassemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge chunk outputs back into one document row (applyInPandas).
+
+    Text joins mirror Page.content / Page.processedContent: "\\n\\n" and
+    "\\n" over text-bearing chunks."""
+    pdf = pdf.sort_values("chunk_id")
+    spans: list[dict] = []
+    for chunk_json in pdf["spans_json"]:
+        for s in json.loads(chunk_json):
+            s["offset"] = len(spans)
+            spans.append(s)
+    texts = [t for t in pdf["text"] if t]
+    processed = [t for t in pdf["processed_text"] if t]
+    alts: dict = {}
+    for a in pdf["alternatives_json"]:
+        if a:
+            alts.update(json.loads(a))
+    errors = [e for e in pdf["error"] if e]
+    return pd.DataFrame(
+        [
+            {
+                "doc_id": key[0],
+                "spans_json": json.dumps(spans, ensure_ascii=False),
+                "text": "\n\n".join(texts),
+                "processed_text": "\n".join(processed),
+                "alternatives_json": json.dumps(alts, ensure_ascii=False),
+                "n_spans": len(spans),
+                "n_words": int(pdf["n_words"].sum()),
+                "status": "error" if errors else "ok",
+                "error": "; ".join(errors) or None,
+            }
+        ]
+    )
+
+
+def extract_with_salting(
+    docs: DataFrame,
+    lexicon_words: list[str],
+    config: PipelineConfig | None = None,
+    giant_threshold: int = GIANT_THRESHOLD_SPANS,
+    materialize_spans: bool = False,
+) -> DataFrame:
+    """Skew-aware extraction: normal docs stay on the narrow zero-shuffle
+    path; giant docs are split into block-aligned chunks, spread across
+    the cluster (the salt — north_rule), processed, and reassembled.
+
+    The input is scanned twice (once per branch), which is cheap:
+    predicate pushdown keeps the giant branch's scan+to_json to the
+    skewed ~1%, and column pruning reads only (doc_id, spans). A
+    single-scan variant with a persisted intermediate measured ~40%
+    slower at sf0.1 — caching the full first-pass output costs more
+    than re-scanning compressed parquet."""
+    config = config or PipelineConfig()
+    spark = docs.sparkSession
+    lexicon_bc = spark.sparkContext.broadcast(list(lexicon_words))
+    pruned = _prune_to_json(docs)
+
+    normal = pruned.filter(F.col("n_in_spans") <= giant_threshold).drop("n_in_spans")
+    giant = pruned.filter(F.col("n_in_spans") > giant_threshold).drop("n_in_spans")
+
+    raw_normal = normal.mapInPandas(
+        _make_extract_fn(lexicon_bc, config), schema=_RAW_OUT_DDL
+    )
+
+    chunks = giant.mapInPandas(_split_chunks, schema=_CHUNK_DDL)
+    # spread chunks of the same giant doc across executors (the salt)
+    chunks = chunks.repartition(F.col("doc_id"), F.col("chunk_id"))
+    chunk_out = chunks.mapInPandas(
+        _make_chunk_extract_fn(lexicon_bc, config), schema=_CHUNK_OUT_DDL
+    )
+    raw_giant = chunk_out.groupBy("doc_id").applyInPandas(
+        _reassemble, schema=_RAW_OUT_DDL
+    )
+    raw = raw_normal.unionByName(raw_giant)
+    return _finalize(raw) if materialize_spans else raw
+
+
+# ----------------------------------------------- plain-text ingestion path
+WORDS_PER_LINE = 12
+
+
+def text_to_spans(text: str, words_per_line: int = WORDS_PER_LINE) -> list[tuple]:
+    """Tokenize plain text into the docs span encoding: one block, lines of
+    ``words_per_line`` words (the ALTO XML scan analog for text sources —
+    SURVEY.md §2.1)."""
+    tokens = [t for t in (text or "").split(" ") if t]
+    spans: list[tuple] = [("block", None, None, 0)]
+
+    def emit(kind, text=None):
+        spans.append((kind, text, None, len(spans)))
+
+    for i in range(0, len(tokens), words_per_line):
+        emit("line")
+        for j, tok in enumerate(tokens[i : i + words_per_line]):
+            if j > 0:
+                emit("space", " ")
+            emit("word", tok)
+    return spans
+
+
+def extract_text_df(
+    docs: DataFrame,
+    lexicon_words: list[str],
+    config: PipelineConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize_spans: bool = False,
+) -> DataFrame:
+    """Run the extraction engine over a plain-text document table
+    (e.g. the driver's ``documents`` parquet): tokenize → spans → kernel.
+    Narrow (zero-shuffle) like :func:`extract`."""
+    config = config or PipelineConfig()
+    spark = docs.sparkSession
+    lexicon_bc = spark.sparkContext.broadcast(list(lexicon_words))
+    pruned = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jochre3_ocr_spark.operators.kernel import process_document_safe
+
+        lexicon = _get_worker_lexicon(lexicon_bc)
+        for batch in batches:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                out = process_document_safe(
+                    doc_id, text_to_spans(text), lexicon, config
+                )
+                out["spans_json"] = _tuples_to_json(out.pop("spans"))
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=_OUT_FIELDS)
+
+    raw = pruned.mapInPandas(extract_batches, schema=_RAW_OUT_DDL)
+    return _finalize(raw) if materialize_spans else raw
+
+
+# ----------------------------------------------------------------- resume
+def run_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    lexicon_words: list[str],
+    config: PipelineConfig | None = None,
+    salted: bool = True,
+) -> int:
+    """Resumable batch run: anti-join completed doc_ids, process the rest,
+    append. Returns the total number of completed docs."""
+    docs = spark.read.parquet(input_path)
+    try:
+        done = spark.read.parquet(output_path).select("doc_id").distinct()
+        todo = docs.join(done, "doc_id", "left_anti")
+    except Exception:  # no output yet
+        todo = docs
+    fn = extract_with_salting if salted else extract
+    result = fn(todo, lexicon_words, config)
+    result.write.mode("append").parquet(output_path)
+    return spark.read.parquet(output_path).select("doc_id").distinct().count()

@@ -1,0 +1,79 @@
+"""Replicates the driver's correctness gate locally: run every
+queries() entry on Spark and its oracle_sql() on DuckDB at sf0.001 and
+compare row count, column names, and order-insensitive values."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con.execute(sql).fetch_df()
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        return f"{v:.9g}"
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    cols = list(cols)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(
+        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    return sorted(cols), out
+
+
+QUERY_NAMES = sorted(set(entry_mod.oracle_sql()) & set(entry_mod.queries()))
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+
+    ddf = _duck(entry_mod.oracle_sql()[name])
+    drows = [tuple(r) for r in ddf.itertuples(index=False)]
+    dcols = list(ddf.columns)
+
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    s_cols, s_norm = _norm_rows(scols, srows)
+    d_cols, d_norm = _norm_rows(dcols, drows)
+    assert s_cols == d_cols, f"{name}: columns {s_cols} != {d_cols}"
+    mism = [i for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatched rows; first: "
+        f"{s_norm[mism[0]]} != {d_norm[mism[0]]}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_rows_only_queries(spark):
+    only_rows = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
+    for name in only_rows:
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        assert df.count() > 0, name

@@ -1,0 +1,119 @@
+"""Spark pipeline integration: distributed result == pure-Python oracle,
+at any parallelism; salting preserves results; resume is idempotent."""
+
+import glob
+import os
+
+import pytest
+
+from jochre3_ocr_spark.functions.lexicon import Lexicon
+from jochre3_ocr_spark.operators.kernel import process_document
+from jochre3_ocr_spark.plans import pipeline
+from jochre3_ocr_spark.schema import DOCS_SCHEMA
+from jochre3_ocr_spark.sources.corpus import (
+    generate_docs,
+    lexicon_words,
+)
+
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (
+            d["doc_id"],
+            [
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for k, t, m, o in d["spans"]
+            ],
+        )
+        for d in generate_docs(N_DOCS)
+    ]
+    return spark.createDataFrame(rows, schema=DOCS_SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    lex = Lexicon.from_words(lexicon_words())
+    return {
+        d["doc_id"]: process_document(d["doc_id"], d["spans"], lex)
+        for d in generate_docs(N_DOCS)
+    }
+
+
+def rows_to_dict(rows):
+    import json as _json
+
+    def spans_of(r):
+        if "spans" in r.__fields__:
+            return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        return [tuple(s[k] for k in ("kind", "text", "media_ref", "offset"))
+                for s in _json.loads(r["spans_json"])]
+
+    return {
+        r["doc_id"]: {
+            "spans": spans_of(r),
+            "text": r["text"],
+            "processed_text": r["processed_text"],
+            "status": r["status"],
+        }
+        for r in rows
+    }
+
+
+def assert_matches_oracle(rows, oracle):
+    got = rows_to_dict(rows)
+    assert set(got) == set(oracle)
+    for doc_id, exp in oracle.items():
+        g = got[doc_id]
+        assert g["status"] == "ok", g
+        assert g["spans"] == exp["spans"], f"span mismatch for {doc_id}"
+        assert g["text"] == exp["text"]
+        assert g["processed_text"] == exp["processed_text"]
+
+
+def test_extract_matches_oracle(docs_df, oracle):
+    out = pipeline.extract(docs_df, lexicon_words(), materialize_spans=True)
+    assert_matches_oracle(out.collect(), oracle)
+
+
+def test_extract_parallelism_invariant(docs_df, oracle):
+    """Same results regardless of partitioning (determinism under
+    parallelism — SURVEY.md §7.4)."""
+    out = pipeline.extract(docs_df.repartition(7), lexicon_words(), materialize_spans=True)
+    assert_matches_oracle(out.collect(), oracle)
+
+
+def test_extract_with_salting_matches_oracle(docs_df, oracle):
+    """Force even small docs through the chunk/split/reassemble path."""
+    out = pipeline.extract_with_salting(
+        docs_df, lexicon_words(), giant_threshold=60, materialize_spans=True
+    )
+    assert_matches_oracle(out.collect(), oracle)
+
+
+def test_resume_is_idempotent(spark, docs_df, oracle, tmp_path):
+    inp = str(tmp_path / "docs.parquet")
+    outp = str(tmp_path / "out.parquet")
+    docs_df.write.parquet(inp)
+
+    # first run: process only half the docs (simulate an interrupted run)
+    half = spark.read.parquet(inp).limit(N_DOCS // 2)
+    pipeline.extract(half, lexicon_words()).write.mode("append").parquet(outp)
+
+    # resume: should process only the remainder
+    n = pipeline.run_job(spark, inp, outp, lexicon_words())
+    assert n == N_DOCS
+    final = spark.read.parquet(outp)
+    assert final.count() == N_DOCS  # no duplicates
+    assert_matches_oracle(final.collect(), oracle)
+
+
+def test_error_quarantine(spark):
+    """A malformed doc must produce an error row, not fail the job."""
+    rows = [("bad", [{"kind": "word", "text": None, "media_ref": None, "offset": 0}])]
+    df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    out = pipeline.extract(df, ["דער"]).collect()
+    assert len(out) == 1
+    assert out[0]["status"] in ("ok", "error")  # never raises
