@@ -495,6 +495,99 @@ FROM documents
 GROUP BY source
 """
 
+# evaluation metrics (core/evaluation/CharacterErrorRate.scala:5-15,
+# BagOfWords.scala:9-28, TextEvaluationMetric.scala:9-13): pair each doc
+# with its successor as pred/gold and compute CER + bag-of-words cosine
+_Q_EVAL_SPARK = """
+WITH pairs AS (
+  SELECT a.doc_id AS doc_id, a.text AS pred, b.text AS gold
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+toks AS (
+  SELECT doc_id, token, side, count(*) AS c
+  FROM (
+    SELECT doc_id, explode(filter(split(pred, ' '), x -> x <> '')) AS token,
+           'p' AS side FROM pairs
+    UNION ALL
+    SELECT doc_id, explode(filter(split(gold, ' '), x -> x <> '')) AS token,
+           'g' AS side FROM pairs
+  ) t GROUP BY doc_id, token, side
+),
+vec AS (
+  SELECT doc_id,
+         sum(CASE WHEN side = 'p' THEN c ELSE 0 END)
+           * sum(CASE WHEN side = 'g' THEN c ELSE 0 END) AS dot_part,
+         token
+  FROM toks GROUP BY doc_id, token
+),
+cos AS (
+  SELECT v.doc_id,
+         sum(v.dot_part) /
+         (sqrt(sum(CASE WHEN t.side='p' THEN t.c*t.c ELSE 0 END)) *
+          sqrt(sum(CASE WHEN t.side='g' THEN t.c*t.c ELSE 0 END))) AS cosine
+  FROM vec v JOIN toks t ON v.doc_id = t.doc_id AND v.token = t.token
+  GROUP BY v.doc_id
+)
+SELECT p.doc_id,
+       round(levenshtein(p.pred, p.gold) / length(p.gold), 4) AS cer,
+       length(p.gold) AS char_count,
+       round(c.cosine, 4) AS bow_cosine
+FROM pairs p JOIN cos c ON p.doc_id = c.doc_id
+"""
+_Q_EVAL_DUCK = """
+WITH pairs AS (
+  SELECT a.doc_id AS doc_id, a.text AS pred, b.text AS gold
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+toks AS (
+  SELECT doc_id, token, side, count(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(pred, ' '), x -> x <> '')) AS token,
+           'p' AS side FROM pairs
+    UNION ALL
+    SELECT doc_id,
+           unnest(list_filter(string_split(gold, ' '), x -> x <> '')) AS token,
+           'g' AS side FROM pairs
+  ) t GROUP BY doc_id, token, side
+),
+vec AS (
+  SELECT doc_id,
+         sum(CASE WHEN side = 'p' THEN c ELSE 0 END)
+           * sum(CASE WHEN side = 'g' THEN c ELSE 0 END) AS dot_part,
+         token
+  FROM toks GROUP BY doc_id, token
+),
+cos AS (
+  SELECT v.doc_id,
+         sum(v.dot_part) /
+         (sqrt(sum(CASE WHEN t.side='p' THEN t.c*t.c ELSE 0 END)) *
+          sqrt(sum(CASE WHEN t.side='g' THEN t.c*t.c ELSE 0 END))) AS cosine
+  FROM vec v JOIN toks t ON v.doc_id = t.doc_id AND v.token = t.token
+  GROUP BY v.doc_id
+)
+SELECT p.doc_id,
+       round(levenshtein(p.pred, p.gold) / length(p.gold), 4) AS cer,
+       length(p.gold) AS char_count,
+       round(c.cosine, 4) AS bow_cosine
+FROM pairs p JOIN cos c ON p.doc_id = c.doc_id
+"""
+
+
+def _ocr_layout_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-path OCR (layout oracle → segment → classify → guess →
+    transform) — geometry semantics not SQL-expressible (rows-only);
+    pinned by tests/test_ocr.py against ground truth instead."""
+    from jochre3_ocr_spark.plans.pipeline import ocr_corpus
+    from jochre3_ocr_spark.sources.corpus import lexicon_words, n_docs_for_sf
+
+    sf = 0.001 if "0.001" in sf_dir else (0.01 if "0.01" in sf_dir else 0.1)
+    n = max(20, n_docs_for_sf(sf) // 10)
+    out = ocr_corpus(spark, n, lexicon_words())
+    return out.selectExpr(
+        "doc_id", "n_spans", "n_words", "status", "length(text) AS n_chars"
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the extraction engine over sf0.001 documents."""
@@ -521,6 +614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _sql(_Q_QUALITY_SPARK),
         "doc_fingerprint": _sql(_Q_FINGERPRINT_SPARK),
         "token_stats_by_source": _sql(_Q_TOKEN_STATS),
+        "eval_text_metrics": _sql(_Q_EVAL_SPARK),
+        "ocr_layout_end_to_end": _ocr_layout_end_to_end,
     }
 
 
@@ -544,4 +639,6 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _Q_QUALITY_DUCK,
         "doc_fingerprint": _Q_FINGERPRINT_DUCK,
         "token_stats_by_source": _Q_TOKEN_STATS,
+        "eval_text_metrics": _Q_EVAL_DUCK,
+        # ocr_layout_end_to_end: omitted (geometry semantics, rows-only)
     }

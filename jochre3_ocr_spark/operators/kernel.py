@@ -31,20 +31,15 @@ from jochre3_ocr_spark.operators.spantree import (
 from jochre3_ocr_spark.schema import PipelineConfig
 
 
-def process_document(
-    doc_id: str,
-    spans,
+def process_tree(
+    doc,
     lexicon: Lexicon,
     config: PipelineConfig | None = None,
     topk_fn=identity_topk,
 ) -> dict:
-    """Run the full text pipeline on one document's flat span list.
-
-    Returns a dict matching SPANS_OUT_SCHEMA field names.
-    """
+    """Run guess + ALTO transform + output assembly on a parsed Document
+    tree (shared by the spans path and the OCR/vision path)."""
     config = config or PipelineConfig()
-    doc = parse_spans(doc_id, spans)
-
     guess_document(doc, lexicon, config, topk_fn)
 
     alto_rules.simplify_contents(doc)
@@ -64,7 +59,7 @@ def process_document(
         if w.alternatives
     }
     return {
-        "doc_id": doc_id,
+        "doc_id": doc.doc_id,
         "spans": out_spans,
         "text": doc.content,
         "processed_text": doc.processed_content,
@@ -74,6 +69,21 @@ def process_document(
         "status": "ok",
         "error": None,
     }
+
+
+def process_document(
+    doc_id: str,
+    spans,
+    lexicon: Lexicon,
+    config: PipelineConfig | None = None,
+    topk_fn=identity_topk,
+) -> dict:
+    """Run the full text pipeline on one document's flat span list.
+
+    Returns a dict matching SPANS_OUT_SCHEMA field names.
+    """
+    doc = parse_spans(doc_id, spans)
+    return process_tree(doc, lexicon, config, topk_fn)
 
 
 def process_document_safe(doc_id: str, spans, lexicon, config=None, topk_fn=identity_topk) -> dict:

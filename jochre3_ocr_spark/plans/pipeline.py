@@ -377,6 +377,61 @@ def extract_text_df(
     return _finalize(raw) if materialize_spans else raw
 
 
+# ------------------------------------------------------- vision-path OCR
+def ocr_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    lexicon_words: list[str],
+    config: PipelineConfig | None = None,
+    partitions: int | None = None,
+    pages_per_doc: int = 2,
+) -> DataFrame:
+    """Distributed end-to-end OCR over layout-oracle pages: each row is a
+    document; the kernel segments its pages, classifies glyphs, runs the
+    guesser and transformer (operators/ocr.py). Narrow — zero shuffle."""
+    config = config or PipelineConfig()
+    lexicon_bc = spark.sparkContext.broadcast(list(lexicon_words))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jochre3_ocr_spark.operators.ocr import ocr_document
+        from jochre3_ocr_spark.sources.layout_oracle import (
+            build_page,
+            glyph_content_lookup,
+        )
+
+        lexicon = _get_worker_lexicon(lexicon_bc)
+        for batch in batches:
+            rows = []
+            for i in batch["id"]:
+                layouts, lookups = [], []
+                for p in range(pages_per_doc):
+                    layout, gt = build_page(int(i), p)
+                    layouts.append(layout)
+                    lookups.append(glyph_content_lookup(gt))
+                try:
+                    out = ocr_document(
+                        f"doc{int(i):08d}", layouts, lookups, lexicon, config
+                    )
+                    out["spans_json"] = _tuples_to_json(out.pop("spans"))
+                except Exception as exc:  # noqa: BLE001
+                    out = {
+                        "doc_id": f"doc{int(i):08d}",
+                        "spans_json": "[]",
+                        "text": None,
+                        "processed_text": None,
+                        "alternatives_json": None,
+                        "n_spans": 0,
+                        "n_words": 0,
+                        "status": "error",
+                        "error": f"{type(exc).__name__}: {exc}",
+                    }
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=_OUT_FIELDS)
+
+    rng = spark.range(n_docs, numPartitions=partitions)
+    return rng.mapInPandas(run, schema=_RAW_OUT_DDL)
+
+
 # ----------------------------------------------------------------- resume
 def run_job(
     spark: SparkSession,

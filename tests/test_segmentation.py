@@ -1,0 +1,240 @@
+"""Segmentation operator tests: NMS, merge, placement joins, spaces,
+glyph borders, paragraph split, BlockSorter — pinned by the reference's
+documented behaviors (FullYoloSegmenter.scala, BlockSorter.scala)."""
+
+import pytest
+
+from jochre3_ocr_spark.functions import geometry as G
+from jochre3_ocr_spark.functions.geometry import PredictedBox
+from jochre3_ocr_spark.functions.reading_order import sort_blocks
+from jochre3_ocr_spark.operators import segmentation as S
+from jochre3_ocr_spark.sources.layout_oracle import (
+    build_page,
+    glyph_content_lookup,
+)
+
+
+def PB(label, l, t, w, h, c):
+    return PredictedBox(label, (l, t, w, h), c)
+
+
+# --- geometry (Rectangle.scala) ------------------------------------------
+def test_rectangle_algebra():
+    a, b = (0, 0, 100, 100), (50, 50, 100, 100)
+    assert G.area_of_intersection(a, b) == 2500.0
+    assert G.union(a, b) == (0, 0, 150, 150)
+    assert G.iou(a, b) == 2500.0 / 17500.0
+    assert G.percentage_intersection(a, b) == 0.25
+    assert G.contains((0, 0, 200, 200), a)
+    assert not G.contains(a, (0, 0, 200, 200))
+    # zero-area touching boxes do not intersect (strict inequality)
+    assert G.area_of_intersection((0, 0, 10, 10), (10, 0, 10, 10)) == 0.0
+
+
+def test_tile_overlapping():
+    tiles = G.tile((0, 0, 1000, 800), 2, 2, 0.125)
+    assert len(tiles) == 4
+    # tiles overlap: total area exceeds the box area
+    assert sum(G.area(t) for t in tiles) > 1000 * 800
+
+
+# --- ordered NMS (FullYoloSegmenter.scala:993-1028) ------------------------
+def test_remove_overlaps_keeps_best():
+    rects = [
+        PB("w", 0, 0, 100, 30, 0.6),
+        PB("w", 5, 2, 100, 30, 0.9),  # overlaps head — higher confidence wins
+        PB("w", 200, 0, 100, 30, 0.8),
+    ]
+    out = S.remove_overlaps(rects)
+    assert [r.confidence for r in out] == [0.9, 0.8]
+
+
+def test_remove_overlaps_prefix_semantics():
+    # the group is the longest overlapping PREFIX: a non-overlapping box
+    # shields later overlaps (faithful to the reference's span())
+    rects = [
+        PB("w", 0, 0, 100, 30, 0.6),
+        PB("w", 200, 0, 100, 30, 0.8),  # breaks the prefix
+        PB("w", 5, 2, 100, 30, 0.9),  # overlaps rects[0] but not grouped
+    ]
+    out = S.remove_overlaps(rects)
+    assert len(out) == 3
+
+
+# --- unordered merge (:1030-1276) -------------------------------------------
+def test_merge_high_confidence_overlaps():
+    rects = [
+        PB("b", 0, 0, 100, 100, 0.9),
+        PB("b", 0, 75, 100, 100, 0.8),  # 25% overlap, both ≥0.5 → merged
+    ]
+    out = S.remove_overlaps_unordered(rects)
+    assert len(out) == 1
+    assert out[0].box == (0, 0, 100, 175)
+    assert out[0].confidence == pytest.approx((0.9 * 0.8) ** 0.5)
+
+
+def test_dominance_removes_low_confidence():
+    rects = [
+        PB("b", 0, 0, 100, 100, 0.9),
+        PB("b", 10, 10, 100, 100, 0.3),  # overlap, low conf → removed
+        PB("b", 500, 0, 100, 100, 0.7),
+    ]
+    out = S.remove_overlaps_unordered(rects)
+    assert [r.confidence for r in out] == [0.9, 0.7]
+
+
+# --- placement joins ----------------------------------------------------------
+def test_place_in_blocks_max_overlap():
+    blocks = [(0, 0, 100, 200), (120, 0, 100, 200)]
+    rects = [PB("w", 10, 10, 50, 20, 0.9), PB("w", 130, 50, 50, 20, 0.9),
+             PB("w", 300, 0, 50, 20, 0.9)]  # orphan
+    placed = S.place_in_blocks(blocks, rects, 0.5)
+    assert sorted(placed) == [0, 1]
+    assert placed[0][0].box[0] == 10 and placed[1][0].box[0] == 130
+
+
+def test_place_in_blocks_split_horizontally():
+    blocks = [(0, 0, 100, 200), (100, 0, 100, 200)]
+    # a line spanning both blocks is clipped into each
+    placed = S.place_in_blocks(
+        blocks, [PB("l", 10, 10, 180, 20, 0.9)], 0.01, split_horizontally=True
+    )
+    assert set(placed) == {0, 1}
+    assert placed[0][0].box == (10, 10, 90, 20)
+    assert placed[1][0].box == (100, 10, 90, 20)
+
+
+def test_lines_with_rectangles():
+    # TextBlock.scala:22-45: [prev.bottom, baseline + 0.25·gap]
+    block = (0, 0, 100, 300)
+    baselines = [(0, 50, 100, 50), (0, 150, 100, 150)]
+    rects = S.lines_with_rectangles(block, baselines)
+    assert rects[0] == (0, 0, 100, 75)  # 50-0 + 0.25*100 = 75
+    assert rects[1] == (0, 75, 100, 225)  # extends to block bottom
+
+
+def test_place_in_words_rtl_with_memo():
+    # RTL words: word 0 on the right
+    words = [(100, 0, 50, 30), (20, 0, 50, 30)]
+    glyphs = [
+        PB("g", 130, 0, 20, 30, 0.9),
+        PB("g", 105, 0, 20, 30, 0.9),
+        PB("g", 45, 0, 20, 30, 0.9),
+        PB("g", 22, 0, 20, 30, 0.9),
+    ]
+    placed = S.place_in_words(words, glyphs, left_to_right=False)
+    assert len(placed[0]) == 2 and len(placed[1]) == 2
+
+
+# --- glyph borders / spaces ---------------------------------------------------
+def test_average_glyph_borders_rtl():
+    word = (0, 0, 60, 30)
+    glyphs = [(40, 2, 20, 26), (20, 2, 20, 26), (0, 2, 20, 26)]
+    out = S.average_glyph_borders(glyphs, word)
+    # contiguous coverage of the word box, full height
+    assert out[0][1] == 0 and out[0][3] == 30
+    assert G.right(out[0]) == 60
+    assert out[-1][0] == 0
+    for cur, nxt in zip(out, out[1:]):
+        assert cur[0] == G.right(nxt)
+
+
+def test_infer_spaces_rtl():
+    words = [(100, 0, 50, 30), (20, 0, 50, 30)]  # gap 100-70=30
+    items = S.infer_spaces(words, left_to_right=False)
+    kinds = [k for k, _ in items]
+    assert kinds == ["word", "space", "word"]
+    assert items[1][1] == (70, 0, 30, 30)
+
+
+def test_infer_spaces_no_gap():
+    words = [(50, 0, 50, 30), (0, 0, 50, 30)]
+    assert [k for k, _ in S.infer_spaces(words, False)] == ["word", "word"]
+
+
+# --- paragraph splitting --------------------------------------------------------
+def test_split_paragraphs():
+    block = (0, 0, 100, 300)
+    lines = [((0, 0, 100, 50), 40, "l1"), ((0, 50, 100, 50), 90, "l2"),
+             ((0, 100, 100, 50), 140, "l3")]
+    paras = [(0, 0, 100, 100), (0, 100, 100, 200)]
+    children = S.split_paragraphs(lines, block, paras)
+    assert len(children) == 2
+    assert children[0][1] == ["l1", "l2"]
+    assert children[1][1] == ["l3"]
+    assert G.bottom(children[1][0]) == 300  # last child extends to block bottom
+
+
+def test_split_paragraphs_single():
+    block = (0, 0, 100, 300)
+    lines = [((0, 0, 100, 50), 40, "l1")]
+    assert S.split_paragraphs(lines, block, [(0, 0, 100, 300)]) == [
+        (block, ["l1"])
+    ]
+
+
+# --- BlockSorter (BlockSorter.scala doc example, :5-36) -------------------------
+def test_block_sorter_doc_example():
+    """The 9-block figure from the BlockSorter doc comment (RTL)."""
+    b1 = (120, 0, 60, 40)
+    b2 = (60, 0, 60, 40)
+    b3 = (60, 40, 120, 40)   # vertical break over 2/4 region
+    b4 = (120, 80, 60, 80)
+    b5 = (60, 80, 60, 40)
+    b6 = (0, 0, 60, 120)
+    b7 = (0, 120, 120, 40)   # vertical break over 6/8
+    b8 = (60, 160, 60, 40)
+    b9 = (0, 160, 60, 40)
+    blocks = [b4, b7, b1, b9, b3, b6, b8, b2, b5]
+    ordered = sort_blocks(blocks, left_to_right=False)
+    expect = [b1, b2, b3, b4, b5, b6, b7, b8, b9]
+    assert ordered == expect
+
+
+def test_block_sorter_fallback_is_deterministic():
+    blocks = [(0, 0, 10, 10), (5, 5, 10, 10), (2, 2, 10, 10)]
+    a = sort_blocks(blocks, left_to_right=False)
+    b = sort_blocks(list(reversed(blocks)), left_to_right=False)
+    assert a == b
+
+
+# --- end-to-end page segmentation over the layout oracle -----------------------
+@pytest.mark.parametrize("doc_index", [0, 1, 2, 3, 7])
+def test_segment_page_reconstructs_ground_truth(doc_index):
+    layout, gt = build_page(doc_index, 0)
+    seg = S.segment_page(layout, left_to_right=False)
+    text_blocks = [b for b in seg["blocks"] if b["kind"] in ("block", "composed")]
+    illus = [b for b in seg["blocks"] if b["kind"] == "illustration"]
+    assert len(illus) == len(gt["illustrations"])
+    # block count preserved (merges/duplicates resolved back to truth)
+    assert len(text_blocks) == len(gt["blocks"])
+
+    lookup = glyph_content_lookup(gt)
+    # align segmented blocks to ground truth by vertical order of boxes
+    def key(b):
+        return (b["box"][1], b["box"][0])
+
+    gt_sorted = sorted(gt["blocks"], key=lambda b: (b["box"][1], b["box"][0]))
+    seg_sorted = sorted(text_blocks, key=key)
+    for gt_block, seg_block in zip(gt_sorted, seg_sorted):
+        seg_lines = (
+            seg_block["lines"]
+            if seg_block["kind"] == "block"
+            else [l for p in seg_block["paras"] for l in p["lines"]]
+        )
+        assert len(seg_lines) == len(gt_block["lines"])
+        for gt_line, seg_line in zip(gt_block["lines"], seg_lines):
+            seg_words = [it for it in seg_line["items"] if it[0] == "word"]
+            assert len(seg_words) == len(gt_line["words"])
+            # spaces between every pair of words (oracle uses uniform gaps)
+            kinds = [k for k, _ in seg_line["items"]]
+            assert kinds.count("space") == len(seg_words) - 1
+            for gt_word, (_, seg_word) in zip(gt_line["words"], seg_words):
+                assert len(seg_word["glyphs"]) == len(gt_word["glyphs"])
+
+
+def test_segment_page_deterministic():
+    layout, _ = build_page(5, 0)
+    a = S.segment_page(layout, False)
+    b = S.segment_page(layout, False)
+    assert a == b
