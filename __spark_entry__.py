@@ -574,6 +574,70 @@ FROM pairs p JOIN cos c ON p.doc_id = c.doc_id
 """
 
 
+
+
+_Q_LANGID_SPARK = """
+WITH toks AS (
+  SELECT CAST(doc_id AS STRING) AS doc_id, lang,
+         filter(split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, lang,
+         size(filter(t, x -> x IN ('the', 'a', 'of'))) AS c_en,
+         size(filter(t, x -> x IN ('der', 'die', 'und'))) AS c_de,
+         size(filter(t, x -> x IN ('le', 'la', 'et'))) AS c_fr,
+         size(filter(t, x -> x IN ('el', 'los', 'y'))) AS c_es
+  FROM toks
+)
+SELECT doc_id, lang AS true_lang,
+       CASE greatest(c_en, c_de, c_fr, c_es)
+            WHEN c_en THEN 'en' WHEN c_de THEN 'de'
+            WHEN c_fr THEN 'fr' ELSE 'es' END AS predicted_lang,
+       c_en, c_de, c_fr, c_es
+FROM counts
+"""
+_Q_LANGID_DUCK = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of'))) AS INTEGER) AS c_en,
+         CAST(len(list_filter(t, x -> x IN ('der', 'die', 'und'))) AS INTEGER) AS c_de,
+         CAST(len(list_filter(t, x -> x IN ('le', 'la', 'et'))) AS INTEGER) AS c_fr,
+         CAST(len(list_filter(t, x -> x IN ('el', 'los', 'y'))) AS INTEGER) AS c_es
+  FROM toks
+)
+SELECT doc_id, lang AS true_lang,
+       CASE greatest(c_en, c_de, c_fr, c_es)
+            WHEN c_en THEN 'en' WHEN c_de THEN 'de'
+            WHEN c_fr THEN 'fr' ELSE 'es' END AS predicted_lang,
+       c_en, c_de, c_fr, c_es
+FROM counts
+"""
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal path: binary image columns -> decode -> grayscale ->
+    ink stats + skew estimate (operators/multimodal.py). Geometry/vision
+    semantics, rows-only check; pinned by tests/test_transforms.py."""
+    from jochre3_ocr_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_media_df,
+    )
+
+    media = synthesize_media_df(spark, 40)
+    out = extract_image_features(media)
+    return out.selectExpr(
+        "media_ref", "width", "height",
+        "round(ink_ratio, 4) AS ink_ratio",
+        "round(skew_deg, 2) AS skew_deg", "status",
+    )
+
+
 def _ocr_layout_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vision-path OCR (layout oracle → segment → classify → guess →
     transform) — geometry semantics not SQL-expressible (rows-only);
@@ -615,7 +679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _sql(_Q_FINGERPRINT_SPARK),
         "token_stats_by_source": _sql(_Q_TOKEN_STATS),
         "eval_text_metrics": _sql(_Q_EVAL_SPARK),
+        "lang_id_heuristic": _sql(_Q_LANGID_SPARK),
         "ocr_layout_end_to_end": _ocr_layout_end_to_end,
+        "media_image_features": _media_features,
     }
 
 
@@ -640,5 +706,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _Q_FINGERPRINT_DUCK,
         "token_stats_by_source": _Q_TOKEN_STATS,
         "eval_text_metrics": _Q_EVAL_DUCK,
-        # ocr_layout_end_to_end: omitted (geometry semantics, rows-only)
+        "lang_id_heuristic": _Q_LANGID_DUCK,
+        # ocr_layout_end_to_end, media_image_features: omitted
+        # (geometry/vision semantics — rows-only checks)
     }
