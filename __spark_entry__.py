@@ -638,6 +638,208 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# IVF-style ANN: coarse quantize every vector to its nearest of the first
+# 8 embeddings (the "centroids"), probe only the query's cell — the scale
+# path next to brute-force ann_cosine_topk. Portable SQL on both engines.
+_Q_IVF_SPARK = """
+WITH e AS (
+  SELECT vec_id, pos, CAST(val AS DOUBLE) AS v
+  FROM embeddings LATERAL VIEW posexplode(embedding) x AS pos, val
+),
+cent AS (SELECT vec_id AS cid, pos, v FROM e WHERE vec_id < 8),
+dots AS (
+  SELECT e.vec_id, c.cid,
+         sum(e.v * c.v) / (sqrt(sum(e.v * e.v)) * sqrt(sum(c.v * c.v))) AS cos
+  FROM e JOIN cent c ON e.pos = c.pos
+  GROUP BY e.vec_id, c.cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM dots
+  ) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, pos, CAST(val AS DOUBLE) AS v
+      FROM embeddings LATERAL VIEW posexplode(embedding) x AS pos, val
+      WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid2, pos, CAST(val AS DOUBLE) AS v
+      FROM embeddings LATERAL VIEW posexplode(embedding) x AS pos, val),
+pair AS (
+  SELECT q.qid, c.cid2 AS cid,
+         sum(q.v * c.v) / (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v))) AS cos
+  FROM q JOIN c ON q.pos = c.pos
+  JOIN assign aq ON aq.vec_id = q.qid
+  JOIN assign ac ON ac.vec_id = c.cid2 AND ac.cell = aq.cell
+  GROUP BY q.qid, c.cid2
+)
+SELECT qid, cid, rank FROM (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+  FROM pair WHERE qid <> cid
+) t WHERE rank <= 3
+"""
+_Q_IVF_DUCK = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, pos, v FROM e WHERE vec_id < 8),
+dots AS (
+  SELECT e.vec_id, c.cid,
+         sum(e.v * c.v) / (sqrt(sum(e.v * e.v)) * sqrt(sum(c.v * c.v))) AS cos
+  FROM e JOIN cent c ON e.pos = c.pos
+  GROUP BY e.vec_id, c.cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM dots
+  ) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid2, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+pair AS (
+  SELECT q.qid, c.cid2 AS cid,
+         sum(q.v * c.v) / (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v))) AS cos
+  FROM q JOIN c ON q.pos = c.pos
+  JOIN assign aq ON aq.vec_id = q.qid
+  JOIN assign ac ON ac.vec_id = c.cid2 AND ac.cell = aq.cell
+  GROUP BY q.qid, c.cid2
+)
+SELECT qid, cid, rank FROM (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+  FROM pair WHERE qid <> cid
+) t WHERE rank <= 3
+"""
+
+# embedding-cosine near-duplicate pairs over a label-blocked candidate set
+_Q_EMB_NEARDUP_SPARK = """
+WITH e AS (
+  SELECT vec_id, label, pos, CAST(val AS DOUBLE) AS v
+  FROM embeddings LATERAL VIEW posexplode(embedding) x AS pos, val
+),
+pair AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))) AS cos
+  FROM e a JOIN e b
+    ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT v1, v2, round(cos, 4) AS cosine
+FROM pair WHERE cos > 0.5
+"""
+_Q_EMB_NEARDUP_DUCK = """
+WITH e AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+pair AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))) AS cos
+  FROM e a JOIN e b
+    ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT v1, v2, round(cos, 4) AS cosine
+FROM pair WHERE cos > 0.5
+"""
+
+
+def _dehyphenate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone dehyphenation over the synthesized Yiddish corpus text
+    (the /dehyphenate API operator, YiddishDehyphenator.scala:24-137) —
+    rows-only (lexicon-driven semantics)."""
+    import pandas as pd
+
+    from jochre3_ocr_spark.plans.pipeline import (
+        _get_worker_lexicon,
+        extract,
+    )
+    from jochre3_ocr_spark.schema import DOCS_SCHEMA
+    from jochre3_ocr_spark.sources.corpus import generate_docs, lexicon_words
+
+    rows = [
+        (
+            d["doc_id"],
+            [
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for k, t, m, o in d["spans"]
+            ],
+        )
+        for d in generate_docs(80)
+    ]
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    extracted = extract(docs, lexicon_words())
+    bc = spark.sparkContext.broadcast(lexicon_words())
+
+    def run(batches):
+        from jochre3_ocr_spark.functions.dehyphenate import dehyphenate
+
+        lex = _get_worker_lexicon(bc)
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "dehyphenated_len": [
+                        len(dehyphenate(t or "", lex)) for t in b["text"]
+                    ],
+                    "n_breaks_in": [
+                        (t or "").count("\n") for t in b["text"]
+                    ],
+                }
+            )
+
+    return extracted.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id string, dehyphenated_len int, n_breaks_in int"
+    )
+
+
+def _word_frequency_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word-in-lexicon + standardize-words API operators
+    (api/.../AnalysisApp.scala:158-176, Lexicon.getFrequency /
+    standardize) over the corpus vocabulary — rows-only."""
+    import pandas as pd
+
+    from jochre3_ocr_spark.plans.pipeline import _get_worker_lexicon
+    from jochre3_ocr_spark.sources.corpus import (
+        KNOWN_WORDS,
+        NUMBER_WORDS,
+        UNKNOWN_WORDS,
+        VARIANT_SPELLINGS,
+        lexicon_words,
+    )
+
+    words = list(KNOWN_WORDS) + list(UNKNOWN_WORDS) + list(VARIANT_SPELLINGS) + list(NUMBER_WORDS)
+    bc = spark.sparkContext.broadcast(lexicon_words())
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+
+    def run(batches):
+        lex = _get_worker_lexicon(bc)
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "word": b["word"],
+                    "frequency": [lex.get_frequency(w) for w in b["word"]],
+                    "standardized": [lex.to_yivo(w) for w in b["word"]],
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="word string, frequency int, standardized string"
+    )
+
+
 def _ocr_layout_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vision-path OCR (layout oracle → segment → classify → guess →
     transform) — geometry semantics not SQL-expressible (rows-only);
@@ -682,6 +884,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": _sql(_Q_LANGID_SPARK),
         "ocr_layout_end_to_end": _ocr_layout_end_to_end,
         "media_image_features": _media_features,
+        "ann_ivf_topk": _sql(_Q_IVF_SPARK),
+        "dedup_embedding_neardup": _sql(_Q_EMB_NEARDUP_SPARK),
+        "dehyphenate_corpus": _dehyphenate_corpus,
+        "word_frequency_corpus": _word_frequency_corpus,
     }
 
 
@@ -707,6 +913,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_by_source": _Q_TOKEN_STATS,
         "eval_text_metrics": _Q_EVAL_DUCK,
         "lang_id_heuristic": _Q_LANGID_DUCK,
-        # ocr_layout_end_to_end, media_image_features: omitted
-        # (geometry/vision semantics — rows-only checks)
+        "ann_ivf_topk": _Q_IVF_DUCK,
+        "dedup_embedding_neardup": _Q_EMB_NEARDUP_DUCK,
+        # rows-only (non-SQL semantics): ocr_layout_end_to_end,
+        # media_image_features, dehyphenate_corpus, word_frequency_corpus
     }

@@ -220,3 +220,28 @@ def remove_external_punct(word: str) -> str:
     while end > start and jtext.is_punct_char(word[end - 1]):
         end -= 1
     return word[start:end]
+
+
+def load_lexicon(paths, simplify_entries: bool = True) -> "Lexicon":
+    """TextFileLexicon.load / loadFromResource
+    (core/lexicon/TextFileLexicon.scala:62-135): read one word per line
+    from each text file (a directory loads every *.txt inside), simplify
+    entries at load like the reference does."""
+    import os
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p))
+                if f.endswith(".txt")
+            )
+        else:
+            files.append(p)
+    words: set[str] = set()
+    for f in files:
+        with open(f, encoding="utf-8") as fh:
+            words.update(w.strip() for w in fh if w.strip())
+    return Lexicon.from_words(words) if simplify_entries else Lexicon(frozenset(words))

@@ -316,5 +316,77 @@ def guess_document(
             _apply_guess(word2, best.guess2, part2_status, best.hyphenated_word)
             carry = word2
 
-    # language majority votes (:277-360) — no-ops while input carries no
-    # per-word language; retained as a hook for the multi-alphabet path.
+    # language majority votes (:277-360) run as a post-pass
+    apply_language_votes(doc)
+
+
+def guess_with_other_alphabets(
+    doc: Document, dispatch: list[tuple[str, str, object]]
+) -> None:
+    """Multi-alphabet dispatch (FullSegmentationGuesser.scala:588-614 +
+    yiddish reference.conf glyph-guesser-for-other-alphabets): when a
+    word's content matches a language's regex (e.g. ``.*L.*`` → Latin
+    model), re-guess it with that alphabet's classifier, glyphs re-sorted
+    LTR if the direction flips. ``dispatch`` = [(language, regex, topk_fn)].
+    Runs as a post-pass over guessed words (the reference does it inline
+    per word — same result for top-1 classifiers)."""
+    from jochre3_ocr_spark.functions.simplify import is_left_to_right, simplify
+    from jochre3_ocr_spark.operators.spantree import iter_lines
+
+    compiled = [(lang, re.compile(rx), fn) for lang, rx, fn in dispatch]
+    for line in iter_lines(doc):
+        for word in line.words:
+            for lang, rx, topk_fn in compiled:
+                if not rx.fullmatch(word.content):
+                    continue
+                ltr = is_left_to_right(lang)
+                glyphs = word.glyphs
+                if ltr:  # Yiddish words store glyphs RTL; re-sort by left
+                    glyphs = sorted(glyphs, key=lambda g: g.rect.left)
+                outcomes, confs = [], []
+                for g in glyphs:
+                    preds = topk_fn(g.content) or [(g.content, 1.0)]
+                    outcomes.append(preds[0][0])
+                    confs.append(preds[0][1])
+                for g, out, conf in zip(glyphs, outcomes, confs):
+                    g.content = out
+                    g.confidence = conf
+                word.glyphs = glyphs
+                word.content = simplify("".join(outcomes))
+                word.confidence = (
+                    math.exp(sum(math.log(c) for c in confs) / len(confs))
+                    if confs
+                    else word.confidence
+                )
+                word.language = lang
+                break
+
+
+def apply_language_votes(doc: Document) -> None:
+    """changeTextLine/TextBlock/PageLanguageIfRequired
+    (FullSegmentationGuesser.scala:277-360): majority vote over word
+    languages at each level; only applied when the winning language is
+    set (None never wins)."""
+    from jochre3_ocr_spark.operators.spantree import (
+        iter_lines,
+        iter_text_blocks,
+        iter_words,
+    )
+
+    def vote(languages):
+        counts: dict = {}
+        for lang in languages:
+            counts[lang] = counts.get(lang, 0) + 1
+        if not counts:
+            return None
+        ordered = sorted(counts.items(), key=lambda kv: -kv[1])
+        return ordered[0][0]
+
+    for line in iter_lines(doc):
+        top = vote([w.language for w in line.words])
+        if top is not None:
+            line.language = top
+    for block in iter_text_blocks(doc):
+        top = vote([w.language for line in block.lines for w in line.words])
+        if top is not None:
+            block.language = top

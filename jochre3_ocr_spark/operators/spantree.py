@@ -117,6 +117,43 @@ class TextLine:
     def content(self) -> str:
         return "".join(it.content for it in self.items)
 
+    def combined_words(self) -> list["Word"]:
+        """TextLine.combinedWords (core/model/TextLine.scala:38-57): merge
+        adjacent Word/Hyphen items not separated by a Space into single
+        words (Word.combineWith: concat content, union bbox, sqrt-product
+        confidence — core/model/Word.scala:51-63)."""
+        out: list[Word] = []
+        new_word = True
+        for item in self.items:
+            if isinstance(item, Space):
+                new_word = True
+                continue
+            if isinstance(item, Hyphen):
+                word = Word(
+                    content=item.content,
+                    rect=item.rect,
+                    glyphs=[Glyph(item.content, item.rect, 0.5)],
+                    confidence=0.5,
+                )
+            else:
+                word = item
+            if new_word:
+                out.append(word)
+                new_word = False
+            else:
+                prev = out[-1]
+                out[-1] = Word(
+                    content=prev.content + word.content,
+                    rect=prev.rect.union(word.rect),
+                    glyphs=prev.glyphs + word.glyphs,
+                    alternatives=prev.alternatives + word.alternatives,
+                    confidence=(prev.confidence * word.confidence) ** 0.5,
+                    language=prev.language,
+                    subs_type=prev.subs_type,
+                    subs_content=prev.subs_content,
+                )
+        return out
+
 
 @dataclass
 class TextBlock:
