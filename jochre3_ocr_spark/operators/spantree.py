@@ -272,7 +272,10 @@ def synthesize_word_geometry(
     return out
 
 
-def parse_spans(doc_id: str, spans) -> Document:
+ZERO_RECT = Rect(0, 0, 0, 0)
+
+
+def parse_spans(doc_id: str, spans, with_geometry: bool = False) -> Document:
     """Parse the ordered flat span sequence into a Document tree.
 
     Encoding (FIXTURES.md §1): ``block`` opens a block; following
@@ -341,22 +344,20 @@ def parse_spans(doc_id: str, spans) -> Document:
                     cur_block = TextBlock(lines=[])
                     blocks.append(cur_block)
                 cur_block.lines.append(cur_line)
-            cur_word = Word(content=text or "", rect=Rect(0, 0, 0, 0))
+            cur_word = Word(content=text or "", rect=ZERO_RECT)
             pending_glyphs = []
             cur_line.items.append(cur_word)
         elif kind == "glyph":
             if cur_word is not None:
-                cur_word.glyphs.append(
-                    Glyph(text or "", Rect(0, 0, 0, 0), 1.0)
-                )
+                cur_word.glyphs.append(Glyph(text or "", ZERO_RECT, 1.0))
         elif kind == "space":
             close_word()
             if cur_line is not None:
-                cur_line.items.append(Space(Rect(0, 0, 0, 0)))
+                cur_line.items.append(Space(ZERO_RECT))
         elif kind == "hyphen":
             close_word()
             if cur_line is not None:
-                cur_line.items.append(Hyphen(text or "", Rect(0, 0, 0, 0)))
+                cur_line.items.append(Hyphen(text or "", ZERO_RECT))
         elif kind == "media":
             close_word()
             cur_line = None
@@ -365,8 +366,23 @@ def parse_spans(doc_id: str, spans) -> Document:
             blocks.append(Media(media_ref or text or ""))
 
     doc = Document(doc_id=doc_id, blocks=blocks)
-    _assign_geometry(doc)
+    if with_geometry:
+        _assign_geometry(doc)
+    else:
+        _fill_glyphs(doc)
     return doc
+
+
+def _fill_glyphs(doc: Document) -> None:
+    """Populate glyphs from characters (StringUtils.stringToChars) when
+    the input carried no glyph spans; geometry stays at ZERO_RECT."""
+    for line in iter_lines(doc):
+        for item in line.items:
+            if isinstance(item, Word) and not item.glyphs:
+                item.glyphs = [
+                    Glyph(ch, ZERO_RECT, 1.0)
+                    for ch in string_to_chars(item.content)
+                ]
 
 
 def _assign_geometry(doc: Document) -> None:
