@@ -1,0 +1,78 @@
+"""Auxiliary scans and sinks (SURVEY.md §2.1).
+
+* directory scan — the reference lists image files by extension with an
+  optional limit (core/Jochre.scala:109-119); here that is Spark's
+  binaryFile source with a path glob (pushdown-friendly, streams file
+  content lazily);
+* eval TSV sink — per-file metric rows plus a final mean row
+  (core/evaluation/EvaluatorBase.scala:8-35);
+* text sinks — raw / processed text columns to files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+IMAGE_GLOB = "*.{png,jpg,jpeg,tif,pdf}"
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    input_dir: str,
+    glob: str = IMAGE_GLOB,
+    max_files: int | None = None,
+) -> DataFrame:
+    """Directory scan → (path, modificationTime, length, content binary).
+    ``max_files`` mirrors the reference's maxImages limit."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(input_dir)
+    )
+    return df.limit(max_files) if max_files else df
+
+
+def write_eval_tsv(metrics: DataFrame, path: str) -> None:
+    """EvaluatorBase.writeResults: one TSV row per file, then a mean row
+    over every numeric metric column. The metrics table is small (one
+    row per evaluated file), so the mean row is computed with a single
+    agg and unioned before the write."""
+    numeric = [
+        f.name
+        for f in metrics.schema.fields
+        if f.dataType.typeName() in ("double", "float", "integer", "long")
+    ]
+    first = metrics.columns[0]
+    mean_row = metrics.agg(
+        *[F.round(F.avg(c), 4).alias(c) for c in numeric]
+    ).withColumn(first, F.lit("mean"))
+    aligned = mean_row.select(
+        *[
+            F.col(c) if c in numeric or c == first else F.lit(None).alias(c)
+            for c in metrics.columns
+        ]
+    )
+    out = (
+        metrics.select(
+            *[
+                F.col(c).cast("string") if c == first else F.col(c)
+                for c in metrics.columns
+            ]
+        )
+        .withColumn("_ord", F.lit(0))
+        .unionByName(aligned.select(metrics.columns).withColumn("_ord", F.lit(1)))
+        .sort("_ord", first)  # mean row last, like EvaluatorBase
+        .drop("_ord")
+    )
+    out.coalesce(1).write.mode("overwrite").option("sep", "\t").option(
+        "header", "true"
+    ).csv(path)
+
+
+def write_text(df: DataFrame, path: str, column: str = "processed_text") -> None:
+    """Text sink (OutputFormat.Text / ProcessedText): one file tree of
+    doc_id-tagged text."""
+    df.select(
+        F.concat_ws("\t", F.col("doc_id"), F.regexp_replace(column, "\n", "\\\\n"))
+        .alias("value")
+    ).write.mode("overwrite").text(path)
