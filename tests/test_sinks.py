@@ -36,5 +36,7 @@ def test_write_text(spark, tmp_path):
     )
     out = str(tmp_path / "text")
     write_text(df, out)
-    content = open(glob.glob(f"{out}/part-*.txt")[0]).read()
+    content = "".join(
+        open(f).read() for f in sorted(glob.glob(f"{out}/part-*.txt"))
+    )
     assert content.strip() == "d1\thello\\nworld"
