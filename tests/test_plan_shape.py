@@ -1,0 +1,75 @@
+"""Physical-plan assertions: the extraction plan must stay narrow, scans
+must prune and push down, bucketed joins must not shuffle — the
+SURVEY.md §4 guarantees, checked on the actual executed plans."""
+
+import pytest
+
+from jochre3_ocr_spark.plans import bucketing, pipeline
+from jochre3_ocr_spark.schema import DOCS_SCHEMA
+from jochre3_ocr_spark.sources.corpus import generate_docs, lexicon_words
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plan") / "docs.parquet")
+    rows = [
+        (
+            d["doc_id"],
+            [
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for k, t, m, o in d["spans"]
+            ],
+        )
+        for d in generate_docs(30)
+    ]
+    spark.createDataFrame(rows, schema=DOCS_SCHEMA).write.parquet(path)
+    return path
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extract_plan_has_no_exchange(spark, docs_path):
+    """The narrow path must be shuffle-free end to end."""
+    docs = spark.read.parquet(docs_path)
+    out = pipeline.extract(docs, lexicon_words())
+    assert "Exchange" not in _plan(out)
+
+
+def test_extract_scan_prunes_columns(spark, docs_path, tmp_path):
+    """The parquet scan must read only doc_id + spans (ReadSchema) even
+    when the table carries extra columns."""
+    from pyspark.sql import functions as F
+
+    wide = str(tmp_path / "wide.parquet")
+    spark.read.parquet(docs_path).withColumn(
+        "huge_extra", F.lit("x" * 100)
+    ).write.parquet(wide)
+    out = pipeline.extract(spark.read.parquet(wide), lexicon_words())
+    plan = _plan(out)
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "huge_extra" not in scan_line
+    assert "spans" in scan_line
+
+
+def test_filter_pushdown_reaches_scan(spark, docs_path):
+    docs = spark.read.parquet(docs_path).filter("doc_id = 'doc00000003'")
+    plan = _plan(docs)
+    assert "PushedFilters" in plan and "doc00000003" in plan
+
+
+def test_bucketed_join_shuffle_free(spark, docs_path, tmp_path):
+    docs = spark.read.parquet(docs_path)
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bucketing.write_bucketed(
+        docs.select("doc_id", "spans"), "docs_a", buckets=4,
+        path=str(tmp_path / "a"),
+    )
+    bucketing.write_bucketed(
+        docs.select("doc_id").withColumn("flag", docs.doc_id.isNotNull()),
+        "docs_b", buckets=4, path=str(tmp_path / "b"),
+    )
+    assert bucketing.bucketed_join_is_shuffle_free(spark, "docs_a", "docs_b")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
