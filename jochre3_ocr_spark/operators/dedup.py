@@ -1,0 +1,222 @@
+"""Deduplication operators over a text-document DataFrame — first-class
+library API (the SQL twins live in __spark_entry__ for the DuckDB
+correctness gate; tests assert both produce identical results).
+
+All operators are pure DataFrame compositions (JVM/codegen end to end —
+no Python in the hot path):
+
+* exact / prefix-hash dedup — hash-groupBy, min-keeper
+* word-shingle n-gram Jaccard — explode → self-join on shingle →
+  count ratio (candidate generation via equality on shingles keeps the
+  join selective at scale; AQE handles skewed shingles)
+* MinHash signatures — k seeded min-hashes over shingles, banded for
+  LSH candidate pairs
+* SimHash — per-bit majority over token hashes
+
+Determinism: every hash is md5-based (stable across engines/versions);
+no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("t"),
+    )
+
+
+def _shingles(toks: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-grams per doc."""
+    return toks.filter(F.size("t") >= n).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(F.col("t"), (i + k + 1)) for k in range(n)]
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    prefix: int | None = None,
+) -> DataFrame:
+    """Groups of identical texts (or identical ``prefix`` chars): one
+    keeper (min id) per group. Returns (text_hash, n_docs, keeper)."""
+    key = F.col(text_col) if prefix is None else F.substring(text_col, 1, prefix)
+    return (
+        df.select(
+            F.md5(key).alias("text_hash"),
+            F.col(id_col).cast("string").alias("doc_id"),
+        )
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter("n_docs >= 2")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_common: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by word-n-gram Jaccard.
+    Returns (doc1, doc2, common, jaccard)."""
+    sh = _shingles(_tokens(df, id_col, text_col), n)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        pairs.join(ca, F.col("doc1") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc2") == F.col("cb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            "common",
+            F.round(
+                F.col("common") / (F.col("ca.n") + F.col("cb.n") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-doc MinHash signature: for each seed s, the lexicographic min
+    of md5(s:shingle); the signature is md5 of the ordered min-hashes.
+    Returns (doc_id, signature)."""
+    sh = _shingles(_tokens(df, id_col, text_col), n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("s")
+    mh = (
+        sh.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "s",
+            F.md5(F.concat(F.col("s").cast("string"), F.lit(":"), "shingle")).alias(
+                "h"
+            ),
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.min("h").alias("mh"))
+    )
+    return mh.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "mh"))),
+                    lambda x: x["mh"],
+                ),
+                ",",
+            )
+        ).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature become
+    candidate pairs. Returns (doc1, doc2) distinct."""
+    sh = _shingles(_tokens(df, id_col, text_col), n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("s")
+    mh = (
+        sh.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "s",
+            F.md5(F.concat(F.col("s").cast("string"), F.lit(":"), "shingle")).alias("h"),
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.min("h").alias("mh"))
+        .withColumn("band", (F.col("s") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("s", "mh"))),
+                        lambda x: x["mh"],
+                    ),
+                    ",",
+                )
+            ).alias("band_hash")
+        )
+    )
+    a = mh.alias("a")
+    b = mh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash over distinct tokens: bit b set when the majority
+    of token-md5 hex digits at position b have their high bit set.
+    Returns (doc_id, simhash)."""
+    toks = _tokens(df, id_col, text_col).select(
+        "doc_id", F.explode(F.array_distinct("t")).alias("token")
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    high = F.substring(F.md5("token"), F.col("b") + 1, 1).isin(
+        *"89abcdef"
+    )
+    per_bit = (
+        toks.select("doc_id", "token", b)
+        .select(
+            "doc_id",
+            "b",
+            F.when(high, F.lit(1)).otherwise(F.lit(-1)).alias("vote"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            F.when(F.sum("vote") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit")
+        )
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2), F.col("b")).cast("bigint")).alias(
+            "simhash"
+        )
+    )

@@ -1,0 +1,79 @@
+"""Library-API dedup/similarity operators must equal the SQL twins that
+the DuckDB oracle validates (__spark_entry__)."""
+
+import pytest
+
+import __spark_entry__ as E
+from jochre3_ocr_spark.operators import dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_exact_dedup_matches_sql(spark, documents):
+    api = dedup.exact_dedup(documents, prefix=40).select(
+        "text_hash", "n_docs", "keeper"
+    )
+    sql = E.queries()["dedup_exact"](spark, SF_DIR)
+    assert rows(api) == rows(sql)
+
+
+def test_ngram_jaccard_matches_sql(spark, documents):
+    api = dedup.ngram_jaccard_pairs(documents).select(
+        "doc1", "doc2", "common", "jaccard"
+    )
+    sql = E.queries()["dedup_ngram_jaccard"](spark, SF_DIR)
+    assert rows(api) == rows(sql)
+
+
+def test_minhash_matches_sql(spark, documents):
+    api = dedup.minhash_signatures(documents)
+    sql = E.queries()["dedup_minhash_signature"](spark, SF_DIR)
+    assert rows(api) == rows(sql)
+
+
+def test_simhash_matches_sql(spark, documents):
+    api = dedup.simhash(documents)
+    sql = E.queries()["dedup_simhash"](spark, SF_DIR)
+    assert rows(api) == rows(sql)
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark, documents):
+    """LSH banding must recall every identical-signature pair; sanity:
+    candidates are symmetric-free and within the corpus ids."""
+    cand = dedup.minhash_lsh_candidates(documents).collect()
+    ids = {str(r["doc_id"]) for r in documents.select("doc_id").collect()}
+    for r in cand:
+        assert r["doc1"] < r["doc2"]
+        assert r["doc1"] in ids and r["doc2"] in ids
+
+
+def test_cosine_topk_matches_sql(spark, embeddings):
+    api = similarity.cosine_topk(embeddings, "vec_id < 5", k=5)
+    sql = E.queries()["ann_cosine_topk"](spark, SF_DIR)
+    assert rows(api) == rows(sql)
+
+
+def test_ivf_topk_matches_sql(spark, embeddings):
+    api = similarity.ivf_topk(embeddings, "vec_id < 5", k=3, n_cells=8)
+    sql = E.queries()["ann_ivf_topk"](spark, SF_DIR)
+    assert rows(api) == rows(sql)
+
+
+def test_cosine_neardup_matches_sql(spark, embeddings):
+    api = similarity.cosine_neardup_pairs(embeddings)
+    sql = E.queries()["dedup_embedding_neardup"](spark, SF_DIR)
+    assert rows(api) == rows(sql)
