@@ -159,6 +159,7 @@ class TextLine:
 class TextBlock:
     lines: list[TextLine]
     language: str | None = None
+    rect: "Rect | None" = None  # set by geometry-bearing sources (ALTO scan)
 
     @property
     def content(self) -> str:
@@ -204,6 +205,7 @@ class TextBlock:
 @dataclass
 class ComposedBlock:
     blocks: list[TextBlock]
+    rect: "Rect | None" = None
 
     @property
     def content(self) -> str:

@@ -102,6 +102,7 @@ def _parse_text_block(el) -> TextBlock:
     return TextBlock(
         lines=[_parse_line(c) for c in el if _strip_ns(c.tag) == "TextLine"],
         language=el.get("LANG"),
+        rect=_rect(el),
     )
 
 
@@ -127,7 +128,8 @@ def parse_alto(xml_text: str, doc_id: str | None = None) -> Document:
                         _parse_text_block(c)
                         for c in el
                         if _strip_ns(c.tag) == "TextBlock"
-                    ]
+                    ],
+                    rect=_rect(el),
                 )
             )
         elif tag == "Illustration":
