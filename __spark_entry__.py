@@ -736,7 +736,7 @@ pair AS (
   GROUP BY a.vec_id, b.vec_id
 )
 SELECT v1, v2, round(cos, 4) AS cosine
-FROM pair WHERE cos > 0.5
+FROM pair WHERE cos > 0.3
 """
 _Q_EMB_NEARDUP_DUCK = """
 WITH e AS (
@@ -752,7 +752,7 @@ pair AS (
   GROUP BY a.vec_id, b.vec_id
 )
 SELECT v1, v2, round(cos, 4) AS cosine
-FROM pair WHERE cos > 0.5
+FROM pair WHERE cos > 0.3
 """
 
 

@@ -229,6 +229,18 @@ def guess_document(
     uwf = config.unknown_word_factor
     bw = config.beam_width
 
+    if bw <= 1:
+        # guessWithoutBeam (FullSegmentationGuesser.scala:381-385,
+        # :398-433): top-1 per glyph, no hyphenation pairing
+        for block in iter_text_blocks(doc):
+            for line in block.lines:
+                for item in line.items:
+                    if isinstance(item, Word):
+                        top = get_beam(item, topk_fn, 1)[0]
+                        _apply_guess(item, top, "none", None)
+        apply_language_votes(doc)
+        return
+
     for block in iter_text_blocks(doc):
         lines_with_beams = [
             (

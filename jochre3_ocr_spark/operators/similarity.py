@@ -105,7 +105,7 @@ def ivf_topk(
 
 def cosine_neardup_pairs(
     df: DataFrame,
-    threshold: float = 0.5,
+    threshold: float = 0.3,
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",

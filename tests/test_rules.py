@@ -216,3 +216,57 @@ def test_kernel_media_roundtrip():
     assert out["spans"][0][0] == "media"
     assert out["spans"][0][2] == "img://d/0"
     assert out["text"] == nfd("דער")
+
+
+# --- YiddishAltoTransformerTest additional vectors ---------------------------
+def test_keep_spaces_fixed_point():
+    """YiddishAltoTransformerTest."keep spaces" (:84-102): a plain page
+    is a fixed point of the whole transformer pipeline."""
+    from jochre3_ocr_spark.functions.lexicon import Lexicon
+    from jochre3_ocr_spark.operators.kernel import process_document
+
+    spans = make_spans(
+        [[("word", "Jimi"), ("space", " "), ("word", "Hendrix")]]
+    )
+    out = process_document("d", spans, Lexicon(frozenset()))
+    got = [(k, t) for k, t, m, o in out["spans"] if k in ("word", "space")]
+    assert got == [("word", "Jimi"), ("space", " "), ("word", "Hendrix")]
+    assert out["text"] == "Jimi Hendrix"
+
+
+def test_possessive_apostrophe_not_split():
+    """YiddishAltoTransformerTest (:305-322): an apostrophe between word
+    characters is an abbreviation context — never split."""
+    doc = parse_spans("d", make_spans([[("word", "A‛B")]]))
+    alto_rules.punctuation_split_rule(doc)
+    # one word (re-simplified ‛→’ by glyphsToWord, the pipeline default)
+    assert [w.content for w in doc.blocks[0].lines[0].words] == ["A’B"]
+
+
+def test_alternatives_strip_non_abbreviation_apostrophe():
+    """YiddishAltoTransformer.getAlternatives (:38-43): apostrophes before
+    2+ word chars are dropped before the YIVO lookup (:206-303 test)."""
+    from jochre3_ocr_spark.functions.lexicon import Lexicon
+
+    lex = Lexicon.from_words(["פּסחדיגען"])
+    doc = parse_spans("d", make_spans([[("word", "פּסח'דיגען")]]))
+    alto_rules.add_alternatives_rule(doc, lex)
+    alts = dict(doc.blocks[0].lines[0].words[0].alternatives)
+    assert alts.get("YIVO") == nfd("פּסחדיגען")
+
+
+def test_guess_without_beam_path():
+    """beam_width <= 1 → guessWithoutBeam (no hyphenation pairing)."""
+    from jochre3_ocr_spark.functions.lexicon import Lexicon
+    from jochre3_ocr_spark.operators.kernel import process_document
+    from jochre3_ocr_spark.schema import PipelineConfig
+
+    lex = Lexicon.from_words(["געװאָרן"])
+    spans = make_spans([[("word", "גע־")], [("word", "װאָרן")]])
+    out = process_document(
+        "d", spans, lex, PipelineConfig(beam_width=1)
+    )
+    # hyphen still split into HYP by the transformer, but no SUBS_CONTENT
+    kinds = [k for k, *_ in out["spans"]]
+    assert "hyphen" in kinds
+    assert out["processed_text"] == nfd("גע־ װאָרן")
