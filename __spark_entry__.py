@@ -495,6 +495,39 @@ FROM documents
 GROUP BY source
 """
 
+
+_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+_Q_SETOPS = """
+SELECT c_custkey, 'both' AS tag FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+)
+UNION ALL
+SELECT c_custkey, 'building_only' AS tag FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT o_custkey AS c_custkey FROM orders
+)
+"""
+
+_Q_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
 # evaluation metrics (core/evaluation/CharacterErrorRate.scala:5-15,
 # BagOfWords.scala:9-28, TextEvaluationMetric.scala:9-13): pair each doc
 # with its successor as pred/gold and compute CER + bag-of-words cosine
@@ -870,6 +903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": _sql(_Q5),
         "q_window_top_lineitems": _sql(_Q_WINDOW),
         "q_semi_anti_customers": _sql(_Q_SEMI_ANTI),
+        "q6_forecast_revenue": _sql(_Q6),
+        "q_setops_customers": _sql(_Q_SETOPS),
+        "q_rollup_lineitem": _sql(_Q_ROLLUP),
         "q_events_hourly": _sql(_Q_EVENTS_SPARK),
         "dedup_exact": _sql(_Q_DEDUP_EXACT_SPARK),
         "dedup_ngram_jaccard": _sql(_Q_NGRAM_JACCARD_SPARK),
@@ -901,6 +937,9 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier_volume": _Q5,
         "q_window_top_lineitems": _Q_WINDOW,
         "q_semi_anti_customers": _Q_SEMI_ANTI,
+        "q6_forecast_revenue": _Q6,
+        "q_setops_customers": _Q_SETOPS,
+        "q_rollup_lineitem": _Q_ROLLUP,
         "q_events_hourly": _Q_EVENTS_DUCK,
         "dedup_exact": _Q_DEDUP_EXACT_DUCK,
         "dedup_ngram_jaccard": _Q_NGRAM_JACCARD_DUCK,
