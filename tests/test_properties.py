@@ -1,0 +1,99 @@
+"""Property-based robustness (hypothesis): the kernel and its operators
+must be total, deterministic, and order-invariant on arbitrary inputs —
+one malformed doc must never take down a 100 TB job."""
+
+import unicodedata
+
+from hypothesis import given, settings, strategies as st
+
+from jochre3_ocr_spark.functions.lexicon import Lexicon
+from jochre3_ocr_spark.functions.reading_order import sort_blocks
+from jochre3_ocr_spark.functions.simplify import simplify
+from jochre3_ocr_spark.functions.geometry import PredictedBox
+from jochre3_ocr_spark.operators.kernel import process_document_safe
+from jochre3_ocr_spark.operators.segmentation import remove_overlaps
+
+LEX = Lexicon.from_words(["דער", "געװאָרן"])
+
+# Yiddish-ish text: Hebrew letters, nikud, punctuation, digits, latin
+_ALPHABET = (
+    "אבגדהוזחטיכךלמםנןסעפףצץקרשת"
+    "ַָּֿ״׳־"
+    "abzXL" + "09.,\"'„“() -"
+)
+texts = st.text(alphabet=_ALPHABET, min_size=0, max_size=12)
+
+kinds = st.sampled_from(
+    ["block", "para", "line", "word", "space", "hyphen", "glyph", "media", "junk"]
+)
+span = st.tuples(kinds, st.one_of(st.none(), texts), st.none(), st.integers(0, 10))
+span_lists = st.lists(span, max_size=40)
+
+
+@given(span_lists)
+@settings(max_examples=200, deadline=None)
+def test_kernel_total_on_arbitrary_spans(spans):
+    """Any span sequence — malformed kinds, Nones, stray glyphs — yields
+    a structured result, never an exception."""
+    spans = [(k, t, m, i) for i, (k, t, m, _) in enumerate(spans)]
+    out = process_document_safe("d", spans, LEX)
+    assert out["status"] in ("ok", "error")
+    if out["status"] == "ok":
+        # offsets are dense and ordered
+        offs = [o for *_, o in out["spans"]]
+        assert offs == list(range(len(offs)))
+
+
+@given(span_lists)
+@settings(max_examples=100, deadline=None)
+def test_kernel_deterministic(spans):
+    spans = [(k, t, m, i) for i, (k, t, m, _) in enumerate(spans)]
+    a = process_document_safe("d", spans, LEX)
+    b = process_document_safe("d", list(spans), LEX)
+    assert a == b
+
+
+@given(texts)
+@settings(max_examples=300, deadline=None)
+def test_simplify_idempotent(s):
+    once = simplify(s)
+    assert simplify(once) == once
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_simplify_is_nfd(s):
+    assert unicodedata.normalize("NFD", simplify(s)) == simplify(s)
+
+
+boxes = st.tuples(
+    st.integers(0, 500), st.integers(0, 500), st.integers(1, 200), st.integers(1, 200)
+)
+
+
+@given(st.lists(boxes, min_size=0, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_sort_blocks_is_permutation(bs):
+    out = sort_blocks(bs, left_to_right=False)
+    assert sorted(out) == sorted(bs)
+
+
+@given(st.lists(st.tuples(boxes, st.floats(0.01, 1.0)), max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_remove_overlaps_subset_and_deterministic(items):
+    rects = [PredictedBox("x", b, c) for b, c in items]
+    out = remove_overlaps(rects)
+    assert all(r in rects for r in out)
+    assert remove_overlaps(rects) == out
+    assert len(out) <= len(rects)
+
+
+@given(st.lists(boxes, min_size=2, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_dehyphenate_total(bs):
+    # reuse the box generator's ints to build odd multiline text
+    from jochre3_ocr_spark.functions.dehyphenate import dehyphenate
+
+    text = "\n".join("־".join(str(x) for x in b) for b in bs) + "־"
+    out = dehyphenate(text, LEX)
+    assert isinstance(out, str)
