@@ -31,11 +31,17 @@ def main(argv=None) -> int:
     p.add_argument("--generate", type=int, default=0,
                    help="generate N synthetic docs into --input first")
     p.add_argument("--no-salting", action="store_true")
+    # reference CLI knobs (core/JochreCLI.scala / reference.conf)
+    p.add_argument("--beam-width", type=int, default=5)
+    p.add_argument("--unknown-word-factor", type=float, default=0.5)
+    p.add_argument("--remove-glyphs", action="store_true")
+    p.add_argument("--language", default="yi")
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=32)
     args = p.parse_args(argv)
 
     from jochre3_ocr_spark.plans.pipeline import get_spark, run_job
+    from jochre3_ocr_spark.schema import PipelineConfig
     from jochre3_ocr_spark.sources import corpus
 
     spark = get_spark(
@@ -54,12 +60,19 @@ def main(argv=None) -> int:
     else:
         words = corpus.lexicon_words()
 
+    config = PipelineConfig(
+        beam_width=args.beam_width,
+        unknown_word_factor=args.unknown_word_factor,
+        remove_glyphs=args.remove_glyphs,
+        language=args.language,
+    )
     t0 = time.time()
     n = run_job(
         spark,
         args.input,
         args.output,
         words,
+        config=config,
         salted=not args.no_salting,
     )
     elapsed = time.time() - t0
