@@ -60,6 +60,31 @@ def _extract_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.selectExpr("doc_id", "n_spans", "n_words")
 
 
+def _extract_yiddish_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction with the confusion glyph classifier: non-trivial beams,
+    lexicon rescoring deciding the argmax (rows-only; pinned by
+    tests/test_pipeline_spark.py::test_extract_with_beam_confusions...)."""
+    from jochre3_ocr_spark.plans.pipeline import extract
+    from jochre3_ocr_spark.schema import DOCS_SCHEMA, PipelineConfig
+    from jochre3_ocr_spark.sources.corpus import generate_docs, lexicon_words
+
+    rows = [
+        (
+            d["doc_id"],
+            [
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for k, t, m, o in d["spans"]
+            ],
+        )
+        for d in generate_docs(100)
+    ]
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    out = extract(docs, lexicon_words(), config=PipelineConfig(glyph_confusions=True))
+    return out.selectExpr(
+        "doc_id", "n_words", "status", "length(processed_text) AS n_chars"
+    )
+
+
 def _extract_yiddish_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Yiddish pipeline (beam + hyphenation + ALTO rules) over the
     synthesized corpus — semantics not SQL-expressible (rows-only check);
@@ -898,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_processed_text": _extract_processed_text,
         "extract_span_stats": _extract_span_stats,
         "extract_yiddish_corpus": _extract_yiddish_corpus,
+        "extract_yiddish_beam": _extract_yiddish_beam,
         "q1_pricing_summary": _sql(_Q1),
         "q3_shipping_priority": _sql(_Q3_SPARK),
         "q5_local_supplier_volume": _sql(_Q5),

@@ -50,6 +50,22 @@ def identity_topk(glyph_content: str) -> list[tuple[str, float]]:
     return [(glyph_content, 1.0)]
 
 
+# Deterministic look-alike confusion table (the FIXTURES.md glyph_oracle
+# "controlled confusions": beam + lexicon rescoring must resolve these).
+# Keys/values are decomposed (NFD) like all kernel-side text.
+CONFUSION_TABLE: dict[str, list[tuple[str, float]]] = {
+    "ו": [("ו", 0.7), ("י", 0.3)],
+    "ב": [("ב", 0.8), ("כ", 0.2)],
+    "ד": [("ד", 0.75), ("ר", 0.25)],
+    "ח": [("ח", 0.8), ("ת", 0.2)],
+}
+
+
+def confusable_topk(glyph_content: str) -> list[tuple[str, float]]:
+    """Glyph classifier with deterministic top-2 confusions."""
+    return CONFUSION_TABLE.get(glyph_content, [(glyph_content, 1.0)])
+
+
 class Guess:
     """FullSegmentationGuesser Guess (:105-119): a glyph-outcome sequence
     scored by the geometric mean of confidences (computed eagerly — it is

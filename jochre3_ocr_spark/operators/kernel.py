@@ -40,6 +40,10 @@ def process_tree(
     """Run guess + ALTO transform + output assembly on a parsed Document
     tree (shared by the spans path and the OCR/vision path)."""
     config = config or PipelineConfig()
+    if config.glyph_confusions and topk_fn is identity_topk:
+        from jochre3_ocr_spark.operators.guesser import confusable_topk
+
+        topk_fn = confusable_topk
     guess_document(doc, lexicon, config, topk_fn)
 
     alto_rules.simplify_contents(doc)

@@ -106,6 +106,9 @@ class PipelineConfig:
     glyph_min_intersection: float = 0.8
     # language / BiDi (core/model/package.scala:48-75)
     language: str = "yi"
+    # glyph classifier selection: identity oracle or the deterministic
+    # confusion table (exercises beam + rescoring end to end)
+    glyph_confusions: bool = False
     # scale knobs (ours)
     shuffle_partitions: int = 32
     docs_per_arrow_batch: int = 64

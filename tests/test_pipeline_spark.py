@@ -117,3 +117,23 @@ def test_error_quarantine(spark):
     out = pipeline.extract(df, ["דער"]).collect()
     assert len(out) == 1
     assert out[0]["status"] in ("ok", "error")  # never raises
+
+
+def test_extract_with_beam_confusions_matches_oracle(spark, docs_df):
+    """Distributed beam search with the confusion classifier must equal
+    the pure-Python oracle doc for doc (the non-trivial beam path)."""
+    from jochre3_ocr_spark.operators.guesser import confusable_topk
+    from jochre3_ocr_spark.schema import PipelineConfig
+
+    cfg = PipelineConfig(glyph_confusions=True)
+    lex = Lexicon.from_words(lexicon_words())
+    expected = {
+        d["doc_id"]: process_document(
+            d["doc_id"], d["spans"], lex, cfg, confusable_topk
+        )
+        for d in generate_docs(N_DOCS)
+    }
+    out = pipeline.extract(
+        docs_df, lexicon_words(), config=cfg, materialize_spans=True
+    )
+    assert_matches_oracle(out.collect(), expected)
