@@ -553,6 +553,55 @@ FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
+
+# sessionization: 30-minute-gap sessions per user over the events stream
+# (the batch analog of Structured Streaming session windows)
+_Q_SESSIONS_SPARK = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR unix_timestamp(ts) - unix_timestamp(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       CAST(max(unix_timestamp(ts)) - min(unix_timestamp(ts)) AS BIGINT)
+         AS duration_sec
+FROM sess
+GROUP BY user_id, session_id
+"""
+_Q_SESSIONS_DUCK = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS duration_sec
+FROM sess
+GROUP BY user_id, session_id
+"""
+
 # evaluation metrics (core/evaluation/CharacterErrorRate.scala:5-15,
 # BagOfWords.scala:9-28, TextEvaluationMetric.scala:9-13): pair each doc
 # with its successor as pred/gold and compute CER + bag-of-words cosine
@@ -933,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_setops_customers": _sql(_Q_SETOPS),
         "q_rollup_lineitem": _sql(_Q_ROLLUP),
         "q_events_hourly": _sql(_Q_EVENTS_SPARK),
+        "q_events_sessions": _sql(_Q_SESSIONS_SPARK),
         "dedup_exact": _sql(_Q_DEDUP_EXACT_SPARK),
         "dedup_ngram_jaccard": _sql(_Q_NGRAM_JACCARD_SPARK),
         "dedup_minhash_signature": _sql(_Q_MINHASH_SPARK),
@@ -967,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         "q_setops_customers": _Q_SETOPS,
         "q_rollup_lineitem": _Q_ROLLUP,
         "q_events_hourly": _Q_EVENTS_DUCK,
+        "q_events_sessions": _Q_SESSIONS_DUCK,
         "dedup_exact": _Q_DEDUP_EXACT_DUCK,
         "dedup_ngram_jaccard": _Q_NGRAM_JACCARD_DUCK,
         "dedup_minhash_signature": _Q_MINHASH_DUCK,

@@ -28,7 +28,7 @@ SPACE_W = 5
 PAGE_RIGHT = 10_000
 
 
-@dataclass
+@dataclass(slots=True)
 class Rect:
     """core/graphics/Rectangle.scala:8-22 (int box algebra)."""
 
@@ -65,27 +65,27 @@ class Rect:
         return float(w * h) if (w > 0 and h > 0) else 0.0
 
 
-@dataclass
+@dataclass(slots=True)
 class Glyph:
     content: str
     rect: Rect
     confidence: float = 1.0
 
 
-@dataclass
+@dataclass(slots=True)
 class Space:
     rect: Rect
 
     content: str = " "
 
 
-@dataclass
+@dataclass(slots=True)
 class Hyphen:
     content: str
     rect: Rect
 
 
-@dataclass
+@dataclass(slots=True)
 class Word:
     content: str
     rect: Rect
@@ -97,7 +97,7 @@ class Word:
     subs_content: str | None = None
 
 
-@dataclass
+@dataclass(slots=True)
 class TextLine:
     items: list  # Word | Space | Hyphen, in reading order
     language: str | None = None
@@ -155,7 +155,7 @@ class TextLine:
         return out
 
 
-@dataclass
+@dataclass(slots=True)
 class TextBlock:
     lines: list[TextLine]
     language: str | None = None
@@ -202,7 +202,7 @@ class TextBlock:
         return content.strip()
 
 
-@dataclass
+@dataclass(slots=True)
 class ComposedBlock:
     blocks: list[TextBlock]
     rect: "Rect | None" = None
@@ -218,12 +218,12 @@ class ComposedBlock:
         return "\n".join(b.processed_content for b in self.blocks)
 
 
-@dataclass
+@dataclass(slots=True)
 class Media:
     media_ref: str
 
 
-@dataclass
+@dataclass(slots=True)
 class Document:
     doc_id: str
     blocks: list  # TextBlock | ComposedBlock | Media
@@ -293,7 +293,6 @@ def parse_spans(doc_id: str, spans, with_geometry: bool = False) -> Document:
     cur_line: TextLine | None = None
     cur_word: Word | None = None
     pending_glyphs: list[str] = []
-    line_counter = 0
 
     def close_word():
         nonlocal cur_word, pending_glyphs
@@ -334,14 +333,10 @@ def parse_spans(doc_id: str, spans, with_geometry: bool = False) -> Document:
                 cur_block = TextBlock(lines=[])
                 blocks.append(cur_block)
             cur_line = TextLine(items=[])
-            cur_line._line_index = line_counter  # type: ignore[attr-defined]
-            line_counter += 1
             cur_block.lines.append(cur_line)
         elif kind == "word":
             if cur_line is None:
                 cur_line = TextLine(items=[])
-                cur_line._line_index = line_counter  # type: ignore[attr-defined]
-                line_counter += 1
                 if cur_block is None:
                     cur_block = TextBlock(lines=[])
                     blocks.append(cur_block)

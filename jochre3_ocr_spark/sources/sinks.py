@@ -76,3 +76,13 @@ def write_text(df: DataFrame, path: str, column: str = "processed_text") -> None
         F.concat_ws("\t", F.col("doc_id"), F.regexp_replace(column, "\n", "\\\\n"))
         .alias("value")
     ).write.mode("overwrite").text(path)
+
+
+def iter_pdf_pages(content: bytes, dpi: int = 300):
+    """STUB: PDF page rendering (PDFToImageConverter.scala:26-74 — page
+    stream at DPI). Needs pypdfium2/pdf2image, not in this container.
+    Plumbing contract: binary PDF → iterator of (page_number, ndarray);
+    the Spark slot is a mapInPandas over binaryFile rows yielding one
+    output row per page (posexplode analog for page numbering,
+    core/Jochre.scala:144-158)."""
+    raise NotImplementedError("PDF rendering requires pypdfium2/pdf2image")
