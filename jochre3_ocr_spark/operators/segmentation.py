@@ -339,6 +339,39 @@ def split_paragraphs(
     return children
 
 
+
+# ------------------------------------------------------- print-area crop
+def print_area(block_boxes: list[Box], width: int, height: int) -> Box:
+    """Page.printArea (core/model/Page.scala:72-84): bbox of all blocks."""
+    if not block_boxes:
+        return (0, 0, width, height)
+    min_left = min(b[0] for b in block_boxes)
+    min_top = min(b[1] for b in block_boxes)
+    max_right = max(G.right(b) for b in block_boxes)
+    max_bottom = max(G.bottom(b) for b in block_boxes)
+    return (min_left, min_top, max_right - min_left, max_bottom - min_top)
+
+
+def cropped_print_area(
+    block_boxes: list[Box], width: int, height: int, crop_margin: float = 0.01
+) -> Box:
+    """Page.croppedPrintArea (:86-107): print area expanded by a relative
+    margin, clamped to the page — the data-skipping step before the
+    fine-grained predictions (FullYoloSegmenter.scala:110-129)."""
+    pa = print_area(block_boxes, width, height)
+    x_margin = int(width * crop_margin)
+    y_margin = int(height * crop_margin)
+    new_left = max(0, pa[0] - x_margin)
+    new_top = max(0, pa[1] - y_margin)
+    new_width = pa[2] + 2 * x_margin
+    new_height = pa[3] + 2 * y_margin
+    if new_left + new_width > width:
+        new_width = width - new_left
+    if new_top + new_height > height:
+        new_height = height - new_top
+    return (new_left, new_top, new_width, new_height)
+
+
 # --------------------------------------------------------- page assembly
 @dataclass
 class PageLayout:

@@ -238,3 +238,19 @@ def test_segment_page_deterministic():
     a = S.segment_page(layout, False)
     b = S.segment_page(layout, False)
     assert a == b
+
+
+def test_cropped_print_area():
+    """Page.croppedPrintArea (Page.scala:86-107): bbox of blocks + 1%
+    margin, clamped to the page."""
+    blocks = [(100, 200, 300, 400), (500, 100, 200, 300)]
+    pa = S.print_area(blocks, 1000, 2000)
+    assert pa == (100, 100, 600, 500)
+    cropped = S.cropped_print_area(blocks, 1000, 2000, 0.01)
+    assert cropped == (90, 80, 620, 540)
+    # clamps at page edges
+    assert S.cropped_print_area([(0, 0, 1000, 2000)], 1000, 2000, 0.01) == (
+        0, 0, 1000, 2000,
+    )
+    # no blocks → full page
+    assert S.print_area([], 1000, 2000) == (0, 0, 1000, 2000)
