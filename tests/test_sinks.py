@@ -40,3 +40,27 @@ def test_write_text(spark, tmp_path):
         open(f).read() for f in sorted(glob.glob(f"{out}/part-*.txt"))
     )
     assert content.strip() == "d1\thello\\nworld"
+
+
+def test_api_facade():
+    """The REST-endpoint analogs (jochre3_ocr_spark/api.py)."""
+    import unicodedata
+
+    from jochre3_ocr_spark import api
+    from jochre3_ocr_spark.functions.lexicon import Lexicon
+
+    lex = Lexicon.from_words(["דער", "געװאָרן"])
+    spans = [
+        ("block", None, None, 0),
+        ("line", None, None, 1),
+        ("word", "דער", None, 2),
+    ]
+    out = api.analyze_spans("d", spans, lex, formats=("Alto4", "Text", "ProcessedText"))
+    nfd = lambda s: unicodedata.normalize("NFD", s)
+    assert out["Text"] == nfd("דער")
+    assert out["ProcessedText"] == nfd("דער")
+    assert out["Alto4"].startswith("<?xml")
+    assert api.word_in_lexicon("דער", lex) == 1
+    assert api.word_in_lexicon("דץר", lex) == -1
+    assert api.standardize_words(["דער"], lex) == [nfd("דער")]
+    assert api.dehyphenate_text(nfd("גע־\nװאָרן דער"), lex) == nfd("געװאָרן דער\n")
