@@ -1,0 +1,109 @@
+"""Text-analysis operators over a document DataFrame — first-class
+library API (SQL twins in __spark_entry__ carry the DuckDB oracle;
+tests assert row-for-row equality). All pure column expressions.
+
+* quality scoring — token counts, average token length, stopword and
+  distinct-token ratios (the boilerplate/quality features a training
+  pipeline filters on)
+* language-ID heuristic — function-word occurrence argmax
+* document fingerprinting — exact hash + order-insensitive bag hash
+* token statistics per source
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+}
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.withColumn(
+        "_t", F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    ).withColumn("_doc_id", F.col(id_col).cast("string"))
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, lang, n_tokens, avg_token_len, stopword_ratio,
+    distinct_ratio) — the quality-scoring feature row."""
+    toks = _tokens(df, id_col, text_col)
+    stop = F.size(
+        F.filter(F.col("_t"), lambda x: (x == "the") | (x == "a"))
+    )
+    return toks.select(
+        F.col("_doc_id").alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.size("_t").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(text_col, " ", "")) / F.size("_t"), 4
+        ).alias("avg_token_len"),
+        F.round(stop / F.size("_t"), 4).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct("_t")) / F.size("_t"), 4).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Stopword-count argmax per doc (deterministic tie-break by the
+    fixed language order en/de/fr/es)."""
+    toks = _tokens(df, id_col, text_col)
+
+    def _matcher(words):
+        # single-arg lambda (pyspark passes (element, index) to 2-arg ones)
+        return lambda x: (x == words[0]) | (x == words[1]) | (x == words[2])
+
+    counts = {
+        lang: F.size(F.filter(F.col("_t"), _matcher(words))).alias(f"c_{lang}")
+        for lang, words in STOPWORDS.items()
+    }
+    with_counts = toks.select(
+        F.col("_doc_id").alias("doc_id"),
+        F.col(lang_col).alias("true_lang"),
+        *counts.values(),
+    )
+    best = F.greatest(*[F.col(f"c_{lang}") for lang in STOPWORDS])
+    predicted = F.when(F.col("c_en") == best, "en")
+    for lang in ("de", "fr"):
+        predicted = predicted.when(F.col(f"c_{lang}") == best, lang)
+    predicted = predicted.otherwise("es")
+    return with_counts.select(
+        "doc_id", "true_lang", predicted.alias("predicted_lang"),
+        "c_en", "c_de", "c_fr", "c_es",
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, exact_fp, bag_fp): md5 of the raw text and of the sorted
+    distinct token bag (robust to reordering)."""
+    toks = _tokens(df, id_col, text_col)
+    return toks.select(
+        F.col("_doc_id").alias("doc_id"),
+        F.md5(text_col).alias("exact_fp"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct("_t")), " ")
+        ).alias("bag_fp"),
+    )
+
+
+def token_stats(
+    df: DataFrame, group_col: str = "source", chars_col: str = "n_chars"
+) -> DataFrame:
+    return df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(chars_col).alias("total_chars"),
+        F.round(F.avg(chars_col), 3).alias("avg_chars"),
+    )

@@ -77,3 +77,36 @@ def test_cosine_neardup_matches_sql(spark, embeddings):
     api = similarity.cosine_neardup_pairs(embeddings)
     sql = E.queries()["dedup_embedding_neardup"](spark, SF_DIR)
     assert rows(api) == rows(sql)
+
+
+# --- text-metrics API == SQL twins -------------------------------------------
+def test_quality_features_matches_sql(spark, documents):
+    from jochre3_ocr_spark.operators import text_metrics
+
+    api = text_metrics.quality_features(documents)
+    sql = E.queries()["text_quality"](spark, SF_DIR)
+    assert rows(api) == rows(sql)
+
+
+def test_language_id_matches_sql(spark, documents):
+    from jochre3_ocr_spark.operators import text_metrics
+
+    api = text_metrics.language_id(documents)
+    sql = E.queries()["lang_id_heuristic"](spark, SF_DIR)
+    assert rows(api) == rows(sql)
+
+
+def test_fingerprints_matches_sql(spark, documents):
+    from jochre3_ocr_spark.operators import text_metrics
+
+    api = text_metrics.fingerprints(documents)
+    sql = E.queries()["doc_fingerprint"](spark, SF_DIR)
+    assert rows(api) == rows(sql)
+
+
+def test_token_stats_matches_sql(spark, documents):
+    from jochre3_ocr_spark.operators import text_metrics
+
+    api = text_metrics.token_stats(documents)
+    sql = E.queries()["token_stats_by_source"](spark, SF_DIR)
+    assert rows(api) == rows(sql)
