@@ -30,6 +30,7 @@ Design notes for 100 TB / 1000 executors:
 from __future__ import annotations
 
 import json
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -87,6 +88,13 @@ def get_spark(
         # the 128m default to keep every core busy (tune per cluster)
         .config("spark.sql.files.maxPartitionBytes", "1m")
         .config("spark.sql.files.openCostInBytes", "262144")
+        # task-granular atomic commits (v2): a killed job leaves only
+        # fully-committed task files, which the resume anti-join then
+        # skips — v1's job-level commit can resurrect a dead attempt's
+        # staging files as duplicates (found by the kill-resume test)
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
     )
     if master:
         builder = builder.master(master)
@@ -443,6 +451,15 @@ def run_job(
 ) -> int:
     """Resumable batch run: anti-join completed doc_ids, process the rest,
     append. Returns the total number of completed docs."""
+    # clear stale staging from a killed attempt: with a fresh job about to
+    # write, any leftover _temporary content belongs to a dead run and
+    # would otherwise be swept into this job's commit (duplicate rows)
+    import shutil
+
+    stale = os.path.join(output_path, "_temporary") if output_path.startswith("/") else None
+    if stale and os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)
+
     docs = spark.read.parquet(input_path)
     try:
         done = spark.read.parquet(output_path).select("doc_id").distinct()

@@ -137,3 +137,25 @@ def test_extract_with_beam_confusions_matches_oracle(spark, docs_df):
         docs_df, lexicon_words(), config=cfg, materialize_spans=True
     )
     assert_matches_oracle(out.collect(), expected)
+
+
+def test_run_job_clears_stale_staging(spark, docs_df, tmp_path):
+    """A killed attempt leaves `_temporary` staging under the output dir;
+    v1 job commits would resurrect those files as duplicate rows (found
+    by the kill-resume drive). run_job must clear stale staging and the
+    v2 committer keeps task commits atomic."""
+    import os
+
+    inp = str(tmp_path / "docs.parquet")
+    outp = str(tmp_path / "out.parquet")
+    docs_df.write.parquet(inp)
+    # simulate a dead attempt's staging with a bogus task file
+    stale = os.path.join(outp, "_temporary", "0", "task_000", "part-zombie.parquet")
+    os.makedirs(os.path.dirname(stale))
+    with open(stale, "wb") as f:
+        f.write(b"zombie")
+    n = pipeline.run_job(spark, inp, outp, lexicon_words())
+    assert n == N_DOCS
+    final = spark.read.parquet(outp)
+    assert final.count() == N_DOCS  # the zombie never surfaced
+    assert not os.path.exists(os.path.join(outp, "_temporary", "0", "task_000"))
