@@ -64,6 +64,19 @@ class Rect:
         h = min(self.bottom, other.bottom) - max(self.top, other.top)
         return float(w * h) if (w > 0 and h > 0) else 0.0
 
+    def translate(self, dx: int, dy: int) -> "Rect":
+        """Rectangle.translate (core/graphics/Rectangle.scala:169-170)."""
+        return Rect(self.left + dx, self.top + dy, self.width, self.height)
+
+    def rescale(self, scale: float) -> "Rect":
+        """Rectangle.rescale (:161-167) — truncation like the reference."""
+        return Rect(
+            int(self.left * scale),
+            int(self.top * scale),
+            int(self.width * scale),
+            int(self.height * scale),
+        )
+
 
 @dataclass(slots=True)
 class Glyph:
@@ -485,3 +498,32 @@ def iter_text_blocks(doc: Document):
 def iter_words(doc: Document):
     for line in iter_lines(doc):
         yield from line.words
+
+
+def map_rects(doc: Document, fn) -> None:
+    """Apply a Rect→Rect map recursively down the tree (the analog of the
+    reference's translate/rescale cascades, Page.scala:121-141 — used to
+    undo the print-area crop and the resize scale, Jochre.scala:388)."""
+    for block in doc.blocks:
+        if isinstance(block, Media):
+            continue
+        children = block.blocks if isinstance(block, ComposedBlock) else [block]
+        if getattr(block, "rect", None) is not None:
+            block.rect = fn(block.rect)
+        for tb in children:
+            if tb.rect is not None:
+                tb.rect = fn(tb.rect)
+            for line in tb.lines:
+                for item in line.items:
+                    item.rect = fn(item.rect)
+                    if isinstance(item, Word):
+                        for g in item.glyphs:
+                            g.rect = fn(g.rect)
+
+
+def translate_doc(doc: Document, dx: int, dy: int) -> None:
+    map_rects(doc, lambda r: r.translate(dx, dy))
+
+
+def rescale_doc(doc: Document, scale: float) -> None:
+    map_rects(doc, lambda r: r.rescale(scale))

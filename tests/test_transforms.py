@@ -95,3 +95,29 @@ def test_alto_roundtrip_with_glyphs_and_alternatives():
     w2 = doc2.blocks[0].lines[0].words[1]
     assert w2.alternatives == [("YIVO", "מער")]
     assert [g.content for g in w2.glyphs] == [g.content for g in doc.blocks[0].lines[0].words[1].glyphs]
+
+
+def test_coordinate_maps_cascade():
+    """translate/rescale cascade down the tree (Page.scala:121-141;
+    Rectangle.scala:161-179) — the un-crop / un-scale step."""
+    from jochre3_ocr_spark.operators.spantree import (
+        Rect,
+        parse_spans,
+        rescale_doc,
+        translate_doc,
+    )
+
+    spans = [
+        ("block", None, None, 0),
+        ("line", None, None, 1),
+        ("word", "ab", None, 2),
+    ]
+    doc = parse_spans("d", spans, with_geometry=True)
+    w = doc.blocks[0].lines[0].words[0]
+    before = (w.rect.left, w.rect.top)
+    translate_doc(doc, 100, 50)
+    assert (w.rect.left, w.rect.top) == (before[0] + 100, before[1] + 50)
+    assert w.glyphs[0].rect.top == 50
+    rescale_doc(doc, 0.5)
+    assert w.rect.left == (before[0] + 100) // 2
+    assert Rect(3, 3, 3, 3).rescale(0.5) == Rect(1, 1, 1, 1)  # truncation
