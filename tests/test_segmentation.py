@@ -254,3 +254,51 @@ def test_cropped_print_area():
     )
     # no blocks → full page
     assert S.print_area([], 1000, 2000) == (0, 0, 1000, 2000)
+
+
+def test_segment_page_paragraph_split_to_composed():
+    """A block whose paragraph predictions split it → ComposedBlock with
+    one child per paragraph (FullYoloSegmenter.scala:458-551 e2e)."""
+    from jochre3_ocr_spark.operators.segmentation import PageLayout, segment_page
+
+    block = PB("text", 100, 100, 800, 400, 0.95)
+    # two stacked paragraph boxes inside the block
+    paras = [PB("para", 100, 100, 800, 200, 0.9), PB("para", 100, 300, 800, 200, 0.9)]
+    lines, words, glyphs = [], [], []
+    for i, baseline_y in enumerate((160, 240, 360, 440)):
+        lines.append(PB("line", 110, baseline_y - 15, 780, 30, 0.9))
+        wb = (700, baseline_y - 26, 60, 30)
+        words.append(PredictedBox("word", wb, 0.9))
+        for k in range(3):
+            glyphs.append(PredictedBox("g", (700 + k * 20, wb[1], 20, 30), 0.9))
+    layout = PageLayout(
+        width=1000, height=600, blocks=[block], paragraphs=paras,
+        lines=lines, words=words, glyphs=glyphs,
+    )
+    seg = segment_page(layout, left_to_right=False)
+    composed = [b for b in seg["blocks"] if b["kind"] == "composed"]
+    assert len(composed) == 1
+    assert len(composed[0]["paras"]) == 2
+    assert [len(p["lines"]) for p in composed[0]["paras"]] == [2, 2]
+
+
+def test_para_spans_round_trip():
+    """Input docs containing para spans (composed blocks) parse and
+    flatten losslessly."""
+    from jochre3_ocr_spark.operators.spantree import flatten, parse_spans
+
+    spans = [
+        ("block", None, None, 0),
+        ("para", None, None, 1),
+        ("line", None, None, 2),
+        ("word", "אַ", None, 3),
+        ("para", None, None, 4),
+        ("line", None, None, 5),
+        ("word", "בױם", None, 6),
+    ]
+    doc = parse_spans("d", spans)
+    out = flatten(doc, remove_glyphs=True)
+    assert [k for k, *_ in out] == [
+        "block", "para", "line", "word", "para", "line", "word",
+    ]
+    assert doc.content.count("\n\n") == 1  # composed children joined \n\n
