@@ -947,6 +947,44 @@ def _word_frequency_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _skew_eval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deskew evaluation (Deskewer.scala:250-282 + MathUtils.scala:36-45):
+    mean and stddev of estimated-vs-true skew over synthetic pages —
+    vision semantics, rows-only; tolerance pinned in test_transforms."""
+    import pandas as pd
+
+    def run(batches):
+        import random
+
+        from jochre3_ocr_spark.operators import transforms as T
+        from jochre3_ocr_spark.operators.multimodal import make_text_image
+
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                rng = random.Random(1000 + int(i))
+                true = rng.uniform(-3, 3)
+                img = make_text_image(5, true, seed=int(i), width=600, height=400)
+                est = T.estimate_skew(img)
+                rows.append(
+                    {"page_id": int(i), "true_skew": true,
+                     "est_skew": est, "abs_err": abs(est - true) if est is not None else None}
+                )
+            yield pd.DataFrame(rows)
+
+    per_page = spark.range(40).mapInPandas(
+        run, schema="page_id long, true_skew double, est_skew double, abs_err double"
+    )
+    return per_page.selectExpr(
+        "count(*) AS n_pages",
+        "round(avg(abs_err), 4) AS mean_abs_err",
+        "round(stddev(abs_err), 4) AS stddev_abs_err",
+        "round(max(abs_err), 4) AS max_abs_err",
+    )
+
+
 def _ocr_layout_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vision-path OCR (layout oracle → segment → classify → guess →
     transform) — geometry semantics not SQL-expressible (rows-only);
@@ -996,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": _sql(_Q_LANGID_SPARK),
         "ocr_layout_end_to_end": _ocr_layout_end_to_end,
         "media_image_features": _media_features,
+        "skew_eval_stats": _skew_eval_stats,
         "ann_ivf_topk": _sql(_Q_IVF_SPARK),
         "dedup_embedding_neardup": _sql(_Q_EMB_NEARDUP_SPARK),
         "dehyphenate_corpus": _dehyphenate_corpus,

@@ -169,3 +169,21 @@ def deskew(img: np.ndarray, angle: float | None = None) -> tuple[np.ndarray, flo
     if angle is None:
         angle = estimate_skew(img) or 0.0
     return rotate_image(img, -angle), angle
+
+
+def draw_boxes(
+    img: np.ndarray, boxes, value: int = 0, thickness: int = 2
+) -> np.ndarray:
+    """Debug-image sink (Page.draw / TextBlock.draw analog,
+    core/model/Page.scala:152-154, TextBlock.scala:76-90): draw box
+    outlines into a grayscale image copy."""
+    out = img.copy()
+    h, w = out.shape[:2]
+    for left, top, bw, bh in boxes:
+        r, b = min(left + bw, w - 1), min(top + bh, h - 1)
+        left, top = max(left, 0), max(top, 0)
+        out[top : top + thickness, left:r] = value
+        out[max(b - thickness, 0) : b, left:r] = value
+        out[top:b, left : left + thickness] = value
+        out[top:b, max(r - thickness, 0) : r] = value
+    return out

@@ -121,3 +121,11 @@ def test_coordinate_maps_cascade():
     rescale_doc(doc, 0.5)
     assert w.rect.left == (before[0] + 100) // 2
     assert Rect(3, 3, 3, 3).rescale(0.5) == Rect(1, 1, 1, 1)  # truncation
+
+
+def test_draw_boxes():
+    img = np.full((50, 50), 255, dtype=np.uint8)
+    out = T.draw_boxes(img, [(10, 10, 20, 20)])
+    assert out[10, 15] == 0 and out[15, 10] == 0  # edges drawn
+    assert out[20, 20] == 255  # interior untouched
+    assert img[10, 15] == 255  # original untouched
