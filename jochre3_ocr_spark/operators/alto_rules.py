@@ -237,10 +237,10 @@ def glyph_remover(doc: Document) -> None:
 
 
 # ------------------------------------------------------------ alternatives
-# shtumer alef: word-initial alef not followed by yud/vov/tsvey-yudn/pasekh/
-# komets, or medial alef not followed by pasekh/komets
-# (YiddishAltoTransformer.scala:24)
-_SHTUMER_ALEF = re.compile("^א(?![יוײַָ])|(?<!^)א(?![ַָ])")
+# shtumer alef: word-initial alef not followed by yud/vov/tsvey-yudn/SPACE/
+# pasekh/komets, or medial alef not followed by pasekh/komets
+# (YiddishAltoTransformer.scala:24 — the char class includes a literal space)
+_SHTUMER_ALEF = re.compile("^א(?![יוײ ַָ])|(?<!^)א(?![ַָ])")
 _NON_ABBREV_APOSTROPHE = re.compile("['‛’](\\w\\w+)", re.UNICODE)
 
 PURPOSE_YIVO = "YIVO"

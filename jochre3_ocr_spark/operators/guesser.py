@@ -418,3 +418,8 @@ def apply_language_votes(doc: Document) -> None:
         top = vote([w.language for line in block.lines for w in line.words])
         if top is not None:
             block.language = top
+    # changePageLanguageIfRequired (FullSegmentationGuesser.scala:336-360):
+    # page-level vote over the (post-vote) TEXT-BLOCK languages
+    top = vote([b.language for b in iter_text_blocks(doc)])
+    if top is not None:
+        doc.language = top

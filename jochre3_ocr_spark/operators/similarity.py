@@ -80,17 +80,38 @@ def ivf_topk(
         .select("vid", "cell")
     )
 
-    q = _exploded(df.filter(query_filter), id_col, vec_col, "qid").alias("q")
-    c = _exploded(df, id_col, vec_col, "cid").alias("c")
-    cos = _cosines(q, c, "qid", "cid")
+    # Prune BEFORE scoring: attach the cell to each exploded side and make
+    # the cosine join key (pos, cell), so only same-cell pairs are ever
+    # aggregated — the probe cost is |cell| not |corpus| per query.
     aq = assign.alias("aq")
     ac = assign.alias("ac")
+    q = (
+        _exploded(df.filter(query_filter), id_col, vec_col, "qid")
+        .join(aq, F.col("qid") == F.col("aq.vid"))
+        .select("qid", "pos", "v", F.col("aq.cell").alias("cell"))
+        .alias("q")
+    )
+    c = (
+        _exploded(df, id_col, vec_col, "cid")
+        .join(ac, F.col("cid") == F.col("ac.vid"))
+        .select("cid", "pos", F.col("v").alias("cv"), F.col("ac.cell").alias("ccell"))
+        .alias("c")
+    )
     same_cell = (
-        cos.join(aq, F.col("qid") == F.col("aq.vid"))
-        .join(
-            ac,
-            (F.col("cid") == F.col("ac.vid"))
-            & (F.col("ac.cell") == F.col("aq.cell")),
+        q.join(
+            c,
+            (F.col("q.pos") == F.col("c.pos"))
+            & (F.col("q.cell") == F.col("c.ccell")),
+        )
+        .groupBy("qid", "cid")
+        .agg(
+            (
+                F.sum(F.col("q.v") * F.col("c.cv"))
+                / (
+                    F.sqrt(F.sum(F.col("q.v") * F.col("q.v")))
+                    * F.sqrt(F.sum(F.col("c.cv") * F.col("c.cv")))
+                )
+            ).alias("cos")
         )
         .filter("qid <> cid")
         .select("qid", "cid", "cos")

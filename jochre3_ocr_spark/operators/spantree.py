@@ -240,6 +240,7 @@ class Media:
 class Document:
     doc_id: str
     blocks: list  # TextBlock | ComposedBlock | Media
+    language: str | None = None  # page-level vote (Page.withLanguage)
 
     @property
     def content(self) -> str:

@@ -29,6 +29,7 @@ Design notes for 100 TB / 1000 executors:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from typing import Iterator
@@ -123,8 +124,25 @@ def _tuples_to_json(spans) -> str:
 _WORKER_LEXICONS: dict[int, object] = {}
 
 
+def _lexicon_cache_key(lexicon_bc):
+    # The Broadcast wrapper is re-deserialized per task, so id() is unstable
+    # across tasks AND can be reused by a different broadcast (CPython address
+    # reuse) — use Spark's stable broadcast id when available, else a content
+    # fingerprint of the entry set.
+    bid = getattr(lexicon_bc, "_bid", None)
+    if bid is not None:
+        return ("bid", bid)
+    entries = lexicon_bc.value
+    h = hashlib.md5()
+    h.update(str(len(entries)).encode())
+    for w in sorted(entries)[:1000]:
+        h.update(w.encode("utf-8", "surrogatepass"))
+        h.update(b"\x00")
+    return ("fp", h.hexdigest())
+
+
 def _get_worker_lexicon(lexicon_bc):
-    key = id(lexicon_bc)
+    key = _lexicon_cache_key(lexicon_bc)
     lex = _WORKER_LEXICONS.get(key)
     if lex is None:
         from jochre3_ocr_spark.functions.lexicon import Lexicon

@@ -92,7 +92,11 @@ class PipelineConfig:
     # text guesser (core/text/FullSegmentationGuesser.scala; reference.conf:75-77)
     beam_width: int = 5
     unknown_word_factor: float = 0.5
-    hyphen_regex: str = r"(?s).*[-־]$"
+    # reference default (yiddish reference.conf:77: hyphen-regex = "־"),
+    # full-matched against the LAST GLYPH outcome
+    # (FullSegmentationGuesser.scala:475). Callers may opt into a broader
+    # pattern (e.g. r"(?s).*[-־]$") explicitly.
+    hyphen_regex: str = "־"
     # alto transformer (yiddish reference.conf: add-hyphen-element)
     add_hyphen_element: bool = True
     remove_glyphs: bool = False

@@ -140,3 +140,53 @@ def test_tile_predict_dedup_pattern():
             )
     assert len(predictions) >= 2  # duplicated across tiles
     assert len(remove_overlaps(predictions)) == 1
+
+
+def test_default_hyphen_regex_is_exact_maqaf(lex):
+    """Reference default hyphen-regex = "־" (yiddish reference.conf:77),
+    FULL-matched against the last glyph outcome
+    (FullSegmentationGuesser.scala:475). An ASCII '-' line-end glyph must
+    NOT trigger cross-line pairing under defaults."""
+    spans = [
+        ("block", None, None, 0),
+        ("line", None, None, 1),
+        ("word", "גע-", None, 2),
+        ("line", None, None, 3),
+        ("word", "װאָרן", None, 4),
+    ]
+    doc = parse_spans("d", spans)
+    guess_document(doc, lex, PipelineConfig())
+    w1 = doc.blocks[0].lines[0].words[0]
+    w2 = doc.blocks[0].lines[1].words[0]
+    assert w1.subs_content is None and w1.subs_type is None
+    assert w2.subs_type is None
+    # and a broader pattern opts back in
+    doc2 = parse_spans("d", spans)
+    guess_document(doc2, lex, PipelineConfig(hyphen_regex=r"(?s).*[-־]"))
+    assert doc2.blocks[0].lines[0].words[0].subs_type is not None
+
+
+def test_page_language_vote(lex):
+    """changePageLanguageIfRequired (FullSegmentationGuesser.scala:336-360):
+    page language = majority vote over post-vote text-block languages."""
+    from jochre3_ocr_spark.operators.guesser import apply_language_votes
+    from jochre3_ocr_spark.operators.spantree import parse_spans
+
+    spans = [
+        ("block", None, None, 0),
+        ("line", None, None, 1),
+        ("word", "אבג", None, 2),
+        ("block", None, None, 3),
+        ("line", None, None, 4),
+        ("word", "דהו", None, 5),
+        ("block", None, None, 6),
+        ("line", None, None, 7),
+        ("word", "זחט", None, 8),
+    ]
+    doc = parse_spans("d", spans)
+    blocks = [b for b in doc.blocks]
+    blocks[0].lines[0].words[0].language = "he"
+    blocks[1].lines[0].words[0].language = "he"
+    blocks[2].lines[0].words[0].language = "yi"
+    apply_language_votes(doc)
+    assert doc.language == "he"

@@ -270,3 +270,30 @@ def test_guess_without_beam_path():
     kinds = [k for k, *_ in out["spans"]]
     assert "hyphen" in kinds
     assert out["processed_text"] == nfd("גע־ װאָרן")
+
+
+def test_shtumer_alef_space_in_lookahead():
+    """The reference char class is ^א(?![יוײ ַָ]) — a literal SPACE is in
+    the negative lookahead (YiddishAltoTransformer.scala:24): word-initial
+    alef followed by a space is NOT a shtumer alef."""
+    assert alto_rules._SHTUMER_ALEF.search("א ב") is None
+    assert alto_rules._SHTUMER_ALEF.search("אב") is not None
+
+
+def test_worker_lexicon_cache_key_is_stable():
+    """Cache key must be content-stable, not id()-based (ADVICE r1): two
+    wrapper objects for the same broadcast share one entry; different
+    entry sets never collide."""
+    from jochre3_ocr_spark.plans.pipeline import _lexicon_cache_key
+
+    class FakeBc:
+        def __init__(self, words, bid=None):
+            self.value = words
+            if bid is not None:
+                self._bid = bid
+
+    a1, a2 = FakeBc(["x"], bid=7), FakeBc(["x"], bid=7)
+    assert _lexicon_cache_key(a1) == _lexicon_cache_key(a2)
+    b1, b2 = FakeBc(["x", "y"]), FakeBc(["x", "z"])
+    assert _lexicon_cache_key(b1) != _lexicon_cache_key(b2)
+    assert _lexicon_cache_key(FakeBc(["x", "y"])) == _lexicon_cache_key(b1)
