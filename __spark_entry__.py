@@ -514,7 +514,7 @@ FROM documents
 _Q_TOKEN_STATS = """
 SELECT source,
        count(*)            AS n_docs,
-       sum(n_chars)        AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(avg(n_chars), 3) AS avg_chars
 FROM documents
 GROUP BY source
@@ -590,8 +590,9 @@ WITH gaps AS (
 ),
 sess AS (
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM gaps
 )
 SELECT user_id, session_id,
@@ -958,6 +959,7 @@ def _skew_eval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(batches):
         import random
 
+        from jochre3_ocr_spark.operators import contour_deskew as CD
         from jochre3_ocr_spark.operators import transforms as T
         from jochre3_ocr_spark.operators.multimodal import make_text_image
 
@@ -968,20 +970,26 @@ def _skew_eval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 true = rng.uniform(-3, 3)
                 img = make_text_image(5, true, seed=int(i), width=600, height=400)
                 est = T.estimate_skew(img)
+                cont = CD.get_skew_angle(img)
                 rows.append(
                     {"page_id": int(i), "true_skew": true,
-                     "est_skew": est, "abs_err": abs(est - true) if est is not None else None}
+                     "est_skew": est, "abs_err": abs(est - true) if est is not None else None,
+                     "contour_abs_err": abs(cont - true) if cont is not None else None}
                 )
             yield pd.DataFrame(rows)
 
     per_page = spark.range(40).mapInPandas(
-        run, schema="page_id long, true_skew double, est_skew double, abs_err double"
+        run,
+        schema="page_id long, true_skew double, est_skew double, "
+        "abs_err double, contour_abs_err double",
     )
     return per_page.selectExpr(
         "count(*) AS n_pages",
         "round(avg(abs_err), 4) AS mean_abs_err",
         "round(stddev(abs_err), 4) AS stddev_abs_err",
         "round(max(abs_err), 4) AS max_abs_err",
+        "round(avg(contour_abs_err), 4) AS contour_mean_abs_err",
+        "round(max(contour_abs_err), 4) AS contour_max_abs_err",
     )
 
 

@@ -101,7 +101,8 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                 batch["height"],
             ):
                 try:
-                    if mtype != "image/npy":
+                    if mtype not in ("image/npy", "image/png"):
+                        # audio/video decode genuinely needs external libs
                         raise NotImplementedError(
                             f"decode for {mtype} not available in this container"
                         )

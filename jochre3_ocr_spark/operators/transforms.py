@@ -37,14 +37,22 @@ def encode_image(img: np.ndarray) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
+    """Dispatch on magic bytes: real PNG via the pure-stdlib codec
+    (sources/png_codec.py), else the .npy codec."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from jochre3_ocr_spark.sources.png_codec import decode_png as _png
+
+        return _png(bytes(data))
     return np.load(io.BytesIO(data), allow_pickle=False)
 
 
-def decode_png(data: bytes) -> np.ndarray:  # pragma: no cover - stub
-    """STUB: real PNG decode needs cv2/PIL (not in this container).
-    The Spark-side plumbing (binary column → pandas UDF → ndarray) is
-    identical; swap this for cv2.imdecode in production."""
-    raise NotImplementedError("PNG decode requires cv2/PIL; use .npy codec")
+def decode_png(data: bytes) -> np.ndarray:
+    """Real PNG decode (ImageUtils.loadImage analog, ImageUtils.scala:22)
+    — pure zlib+numpy, no imaging library (sources/png_codec.py).
+    8-bit grey/RGB/palette/alpha, non-interlaced."""
+    from jochre3_ocr_spark.sources.png_codec import decode_png as _png
+
+    return _png(bytes(data))
 
 
 # ----------------------------------------------------------- transforms
@@ -108,10 +116,13 @@ def pad_to_square(img: np.ndarray, dim: int, fill: int = 255) -> np.ndarray:
 
 def rotate_image(img: np.ndarray, angle_deg: float, fill: int = 255) -> np.ndarray:
     """ImageUtils rotation (:28-46): rotate about the center,
-    nearest-neighbor (numpy warpAffine equivalent)."""
+    nearest-neighbor (numpy warpAffine equivalent). Sign follows
+    OpenCV getRotationMatrix2D: positive = counter-clockwise on screen
+    (y-down image coords) — so unrotate(a) = rotate(−a) straightens a
+    page whose Deskewer angle is a, matching the golden's −1.09°."""
     h, w = img.shape[:2]
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    theta = math.radians(angle_deg)
+    theta = math.radians(-angle_deg)
     cos_t, sin_t = math.cos(theta), math.sin(theta)
     ys, xs = np.mgrid[0:h, 0:w]
     # inverse mapping: source coords for each destination pixel
@@ -153,7 +164,10 @@ def estimate_skew(img: np.ndarray, ink_threshold: int = 128) -> float | None:
                 mu20 = float((x * x).sum())
                 mu02 = float((yv * yv).sum())
                 angle = 0.5 * math.atan2(2 * mu11, mu20 - mu02)
-                angles.append(math.degrees(angle))
+                # negate: image y is down, and the Deskewer convention
+                # (golden −1.09°) reports the angle whose unrotate()
+                # straightens the page
+                angles.append(-math.degrees(angle))
             start = None
     if not angles:
         return None

@@ -57,6 +57,22 @@ def test_query_matches_oracle(spark, name):
     dcols = list(ddf.columns)
 
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+
+    # dtype-kind parity: a DuckDB HUGEINT (sum of INTEGER) surfaces as
+    # float64 in pandas and hash-mismatches the driver even when values
+    # are equal (round-1 artifact on token_stats/sessions) — cast to
+    # BIGINT in the oracle SQL when this fires.
+    spark_types = dict(sdf.dtypes)
+    for c in dcols:
+        dk = ddf[c].dtype.kind
+        sk = spark_types.get(c, "?")
+        s_int = sk in ("bigint", "int", "smallint", "tinyint")
+        s_float = sk in ("double", "float")
+        assert not (dk == "f" and s_int) and not (dk == "i" and s_float), (
+            f"{name}.{c}: spark dtype {sk} vs duckdb pandas kind {dk} — "
+            f"add an explicit CAST in the oracle SQL"
+        )
+
     s_cols, s_norm = _norm_rows(scols, srows)
     d_cols, d_norm = _norm_rows(dcols, drows)
     assert s_cols == d_cols, f"{name}: columns {s_cols} != {d_cols}"

@@ -49,9 +49,15 @@ def test_media_codec_roundtrip():
     assert np.array_equal(T.decode_image(T.encode_image(img)), img)
 
 
-def test_decode_png_is_stub():
-    with pytest.raises(NotImplementedError):
-        T.decode_png(b"\x89PNG")
+def test_decode_image_dispatches_png():
+    """decode_image recognizes real PNG bytes (pure-stdlib codec) and
+    falls back to the .npy codec otherwise."""
+    from jochre3_ocr_spark.sources.png_codec import encode_png
+
+    img = (np.arange(20 * 30).reshape(20, 30) % 256).astype(np.uint8)
+    assert np.array_equal(T.decode_image(encode_png(img)), img)
+    assert np.array_equal(T.decode_image(T.encode_image(img)), img)
+    assert np.array_equal(T.decode_png(encode_png(img)), img)
 
 
 @pytest.mark.parametrize("true_skew", [-2.0, -1.09, 0.0, 1.5, 3.0])
