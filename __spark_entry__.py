@@ -348,6 +348,74 @@ FROM mh
 GROUP BY doc_id
 """
 
+# MinHash LSH banding (operators/dedup.minhash_lsh_candidates): 8 min-hashes
+# in 4 bands of 2; docs sharing any band hash become candidate pairs —
+# the bucketed (non-all-pairs) 100 TB dedup shape.
+_Q_LSH_SPARK = """
+WITH toks AS (
+  SELECT CAST(doc_id AS STRING) AS doc_id,
+         filter(split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, shingle
+  FROM toks
+  LATERAL VIEW explode(
+    array_distinct(
+      transform(sequence(0, size(t) - 3),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+    )
+  ) x AS shingle
+  WHERE size(t) >= 3
+),
+seeds AS (SELECT explode(sequence(0, 7)) AS s),
+mh AS (
+  SELECT doc_id, s, min(md5(concat(CAST(s AS STRING), ':', shingle))) AS mh
+  FROM sh CROSS JOIN seeds
+  GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, CAST(s / 2 AS INT) AS band,
+         md5(array_join(transform(sort_array(collect_list(struct(s, mh))),
+                                  x -> x.mh), ',')) AS band_hash
+  FROM mh
+  GROUP BY doc_id, CAST(s / 2 AS INT)
+)
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+_Q_LSH_DUCK = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         )) AS shingle
+  FROM toks
+  WHERE len(t) >= 3
+),
+mh AS (
+  SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN range(0, 8) r(s)
+  GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, CAST(s // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY s)) AS band_hash
+  FROM mh
+  GROUP BY doc_id, CAST(s // 2 AS INT)
+)
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
 _Q_SIMHASH_SPARK = """
 WITH toks AS (
   SELECT CAST(doc_id AS STRING) AS doc_id, token
@@ -1008,6 +1076,51 @@ def _ocr_layout_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pdf_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF ingestion (PDFToImageConverter.scala:18-75): synthesize PDFs
+    deterministically, fan out one row per rendered page via mapInPandas,
+    report per-page geometry + ink — rows-only (vision semantics)."""
+    from jochre3_ocr_spark.sources import pdf as P
+
+    rows = [
+        (f"pdf_{i:03d}", bytearray(P.make_test_pdf(1 + i % 5)))
+        for i in range(20)
+    ]
+    pdfs = spark.createDataFrame(rows, "doc_id string, content binary")
+    pages = P.pdf_pages(pdfs, renderer=P.fake_renderer, dpi=72)
+
+    import pandas as pd
+
+    def ink(batches):
+        from jochre3_ocr_spark.sources.png_codec import decode_png
+
+        for b in batches:
+            out = []
+            for doc_id, page_no, n_pages, img, w, h, status in zip(
+                b["doc_id"], b["page_number"], b["n_pages"], b["image"],
+                b["width"], b["height"], b["status"],
+            ):
+                arr = decode_png(bytes(img)) if img is not None else None
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "page_number": page_no,
+                        "n_pages": n_pages,
+                        "width": w,
+                        "height": h,
+                        "ink_ratio": float((arr < 128).mean()) if arr is not None else None,
+                        "status": status,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(
+        ink,
+        schema="doc_id string, page_number int, n_pages int, width int, "
+        "height int, ink_ratio double, status string",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the extraction engine over sf0.001 documents."""
     return _extract_processed_text(spark, "/root/testdata/sf0.001")
@@ -1047,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup": _sql(_Q_EMB_NEARDUP_SPARK),
         "dehyphenate_corpus": _dehyphenate_corpus,
         "word_frequency_corpus": _word_frequency_corpus,
+        "dedup_minhash_lsh": _sql(_Q_LSH_SPARK),
+        "pdf_page_scan": _pdf_page_scan,
     }
 
 
@@ -1078,6 +1193,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_heuristic": _Q_LANGID_DUCK,
         "ann_ivf_topk": _Q_IVF_DUCK,
         "dedup_embedding_neardup": _Q_EMB_NEARDUP_DUCK,
+        "dedup_minhash_lsh": _Q_LSH_DUCK,
         # rows-only (non-SQL semantics): ocr_layout_end_to_end,
-        # media_image_features, dehyphenate_corpus, word_frequency_corpus
+        # media_image_features, dehyphenate_corpus, word_frequency_corpus,
+        # pdf_page_scan
     }

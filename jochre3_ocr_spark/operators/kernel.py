@@ -62,6 +62,11 @@ def process_tree(
         for w in words
         if w.alternatives
     }
+    # per-page mean word confidence (Jochre.scala:365-386: allWords'
+    # confidences averaged, 0.0 when empty — the Page PC attribute)
+    confs = [w.confidence for w in words]
+    mean_conf = sum(confs) / len(confs) if confs else 0.0
+    doc.confidence = mean_conf
     return {
         "doc_id": doc.doc_id,
         "spans": out_spans,
@@ -70,6 +75,8 @@ def process_tree(
         "alternatives_json": json.dumps(alternatives, ensure_ascii=False),
         "n_spans": len(out_spans),
         "n_words": len(words),
+        "mean_confidence": float(mean_conf),
+        "language": doc.language,
         "status": "ok",
         "error": None,
     }
@@ -104,6 +111,8 @@ def process_document_safe(doc_id: str, spans, lexicon, config=None, topk_fn=iden
             "alternatives_json": None,
             "n_spans": 0,
             "n_words": 0,
+            "mean_confidence": 0.0,
+            "language": None,
             "status": "error",
             "error": f"{type(exc).__name__}: {exc}",
         }

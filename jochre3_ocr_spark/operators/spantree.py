@@ -241,6 +241,7 @@ class Document:
     doc_id: str
     blocks: list  # TextBlock | ComposedBlock | Media
     language: str | None = None  # page-level vote (Page.withLanguage)
+    confidence: float = 0.0  # mean word confidence (Jochre.scala:365-386)
 
     @property
     def content(self) -> str:

@@ -46,7 +46,7 @@ GIANT_THRESHOLD_SPANS = 8_000
 
 _OUT_FIELDS = (
     "doc_id spans_json text processed_text alternatives_json n_spans "
-    "n_words status error".split()
+    "n_words mean_confidence language status error".split()
 )
 
 _SPAN_ARRAY_DDL = (
@@ -56,6 +56,7 @@ _SPAN_ARRAY_DDL = (
 _RAW_OUT_DDL = (
     "doc_id string, spans_json string, text string, processed_text string, "
     "alternatives_json string, n_spans int, n_words int, "
+    "mean_confidence double, language string, "
     "status string, error string"
 )
 
@@ -163,6 +164,8 @@ def _finalize(raw: DataFrame) -> DataFrame:
         "alternatives_json",
         "n_spans",
         "n_words",
+        "mean_confidence",
+        "language",
         "status",
         "error",
     )
@@ -267,6 +270,16 @@ def _make_chunk_extract_fn(lexicon_bc, config: PipelineConfig):
     return extract_chunks
 
 
+def _majority_language(pdf: pd.DataFrame):
+    counts: dict = {}
+    for lang, n in zip(pdf["language"], pdf["n_words"]):
+        if lang is not None and not (isinstance(lang, float) and pd.isna(lang)):
+            counts[lang] = counts.get(lang, 0) + int(n)
+    if not counts:
+        return None
+    return sorted(counts.items(), key=lambda kv: -kv[1])[0][0]
+
+
 def _reassemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
     """Merge chunk outputs back into one document row (applyInPandas).
 
@@ -295,6 +308,20 @@ def _reassemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 "alternatives_json": json.dumps(alts, ensure_ascii=False),
                 "n_spans": len(spans),
                 "n_words": int(pdf["n_words"].sum()),
+                # exact word-count-weighted mean over chunks (the page
+                # mean is over ALL words, Jochre.scala:365-380)
+                "mean_confidence": (
+                    float(
+                        (pdf["mean_confidence"] * pdf["n_words"]).sum()
+                        / pdf["n_words"].sum()
+                    )
+                    if pdf["n_words"].sum() > 0
+                    else 0.0
+                ),
+                # giant-doc path votes by word count (chunk outputs don't
+                # carry per-block language counts; documented deviation
+                # from the block-count page vote on the salted path only)
+                "language": _majority_language(pdf),
                 "status": "error" if errors else "ok",
                 "error": "; ".join(errors) or None,
             }
@@ -448,6 +475,8 @@ def ocr_corpus(
                         "alternatives_json": None,
                         "n_spans": 0,
                         "n_words": 0,
+                        "mean_confidence": 0.0,
+                        "language": None,
                         "status": "error",
                         "error": f"{type(exc).__name__}: {exc}",
                     }

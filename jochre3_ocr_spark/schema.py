@@ -52,6 +52,10 @@ SPANS_OUT_SCHEMA = T.StructType(
         T.StructField("alternatives_json", T.StringType(), True),
         T.StructField("n_spans", T.IntegerType(), True),
         T.StructField("n_words", T.IntegerType(), True),
+        # per-page mean word confidence (Jochre.scala:365-386 → Page PC)
+        T.StructField("mean_confidence", T.DoubleType(), True),
+        # page-level language after votes (FullSegmentationGuesser:336-360)
+        T.StructField("language", T.StringType(), True),
         T.StructField("status", T.StringType(), True),
         T.StructField("error", T.StringType(), True),
     ]

@@ -36,6 +36,68 @@ from jochre3_ocr_spark.operators.spantree import (
 ALTO_NS = "http://www.loc.gov/standards/alto/ns-v4#"
 
 
+# --------------------------------------------------------- header metadata
+from dataclasses import dataclass, field  # noqa: E402
+
+
+@dataclass
+class ProcessingStep:
+    """Description/Processing (core/model/ProcessingStep.scala:7-43)."""
+
+    id: str = "JOCHRE1"
+    processing_time: str | None = None  # ISO offset datetime, None = omit
+    processing_agency: str | None = None
+    step_descriptions: tuple = ()
+    step_settings: str | None = None
+    software_creator: str | None = None
+    software_name: str | None = None
+    software_version: str | None = None
+    application_description: str | None = None
+
+
+def jochre_processing_step(processing_time: str | None = None) -> ProcessingStep:
+    """ProcessingStep.jochre (ProcessingStep.scala:50-59) analog; the
+    timestamp is injected for determinism."""
+    return ProcessingStep(
+        id="JOCHRE1",
+        processing_time=processing_time,
+        step_descriptions=("contentGeneration",),
+        software_creator="Joliciel Informatique",
+        software_name="Jochre",
+        software_version="spark",
+        application_description="PySpark-native Jochre3 OCR analytics engine",
+    )
+
+
+@dataclass
+class TextStyle:
+    """Styles/TextStyle (core/model/TextStyle.scala:5-17)."""
+
+    id: str
+    font_family: str | None = None
+    font_type: str | None = None
+    font_width: str | None = None
+    font_size: float | None = None
+
+
+@dataclass
+class AltoTag:
+    """Tags/LayoutTag | StructureTag (LayoutTag.scala, StructureTag.scala)."""
+
+    kind: str  # "LayoutTag" | "StructureTag"
+    id: str
+    label: str
+
+
+@dataclass
+class AltoMeta:
+    """Alto header sections beyond the Layout (Alto.scala:5-29)."""
+
+    processing_steps: list = field(default_factory=list)
+    text_styles: list = field(default_factory=list)
+    tags: list = field(default_factory=list)
+
+
 def _strip_ns(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
@@ -116,9 +178,17 @@ def parse_alto(xml_text: str, doc_id: str | None = None) -> Document:
             fn = root.find(".//fileName")
         doc_id = (fn.text or "") if fn is not None else ""
     blocks: list = []
+    page_meta = {"language": None, "confidence": 0.0}
 
     def walk(el):
         tag = _strip_ns(el.tag)
+        if tag == "Page":
+            # Page.fromXML reads LANG and PC (Page.scala:265-267)
+            page_meta["language"] = el.get("LANG") or page_meta["language"]
+            page_meta["confidence"] = float(el.get("PC") or 0.0)
+            for c in el:
+                walk(c)
+            return
         if tag == "TextBlock":
             blocks.append(_parse_text_block(el))
         elif tag == "ComposedBlock":
@@ -139,7 +209,12 @@ def parse_alto(xml_text: str, doc_id: str | None = None) -> Document:
                 walk(c)
 
     walk(root)
-    return Document(doc_id=doc_id, blocks=blocks)
+    return Document(
+        doc_id=doc_id,
+        blocks=blocks,
+        language=page_meta["language"],
+        confidence=page_meta["confidence"],
+    )
 
 
 # --------------------------------------------------------------- emission
@@ -193,8 +268,38 @@ def _emit_line(line: TextLine, parent) -> None:
             )
 
 
-def emit_alto(doc: Document, width: int = 0, height: int = 0) -> str:
-    """Document → ALTO-4 XML string (single Page/PrintSpace)."""
+def _emit_processing_step(desc, step: ProcessingStep) -> None:
+    """ProcessingStep.toXml (ProcessingStep.scala:20-43)."""
+    p = ET.SubElement(desc, "Processing", {"ID": step.id})
+    if step.processing_time:
+        ET.SubElement(p, "processingDateTime").text = step.processing_time
+    if step.processing_agency:
+        ET.SubElement(p, "processingAgency").text = step.processing_agency
+    for d in step.step_descriptions:
+        ET.SubElement(p, "processingStepDescription").text = d
+    if step.step_settings:
+        ET.SubElement(p, "processingStepSettings").text = step.step_settings
+    sw = ET.SubElement(p, "processingSoftware")
+    if step.software_creator:
+        ET.SubElement(sw, "softwareCreator").text = step.software_creator
+    if step.software_name:
+        ET.SubElement(sw, "softwareName").text = step.software_name
+    if step.software_version:
+        ET.SubElement(sw, "softwareVersion").text = step.software_version
+    if step.application_description:
+        ET.SubElement(sw, "applicationDescription").text = (
+            step.application_description
+        )
+
+
+def emit_alto(
+    doc: Document,
+    width: int = 0,
+    height: int = 0,
+    meta: AltoMeta | None = None,
+) -> str:
+    """Document → ALTO-4 XML string (single Page/PrintSpace); header
+    sections (Processing / Styles / Tags) per Alto.scala:15-29."""
     root = ET.Element(
         "alto",
         {
@@ -206,17 +311,21 @@ def emit_alto(doc: Document, width: int = 0, height: int = 0) -> str:
     ET.SubElement(desc, "MeasurementUnit").text = "pixel"
     sii = ET.SubElement(desc, "sourceImageInformation")
     ET.SubElement(sii, "fileName").text = doc.doc_id
+    if meta:
+        for step in meta.processing_steps:
+            _emit_processing_step(desc, step)
     layout = ET.SubElement(root, "Layout")
-    page = ET.SubElement(
-        layout,
-        "Page",
-        {
-            "ID": doc.doc_id,
-            "HEIGHT": str(height),
-            "WIDTH": str(width),
-            "PHYSICAL_IMG_NR": "1",
-        },
-    )
+    page_attrs = {
+        "ID": doc.doc_id,
+        "HEIGHT": str(height),
+        "WIDTH": str(width),
+        "PHYSICAL_IMG_NR": "1",
+        # Page.scala:147: LANG={language} PC={confidence.roundTo(2)}
+        "PC": f"{round(doc.confidence, 2):g}",
+    }
+    if doc.language:
+        page_attrs["LANG"] = doc.language
+    page = ET.SubElement(layout, "Page", page_attrs)
     ps = ET.SubElement(
         page,
         "PrintSpace",
@@ -239,6 +348,81 @@ def emit_alto(doc: Document, width: int = 0, height: int = 0) -> str:
             tb = ET.SubElement(ps, "TextBlock", {"ID": f"TB_{tb_counter:05d}"})
             for line in block.lines:
                 _emit_line(line, tb)
+    if meta and meta.text_styles:
+        styles = ET.SubElement(root, "Styles")
+        for st in meta.text_styles:
+            attrs = {"ID": st.id}
+            if st.font_family:
+                attrs["FONTFAMILY"] = st.font_family
+            if st.font_type:
+                attrs["FONTTYPE"] = st.font_type
+            if st.font_width:
+                attrs["FONTWIDTH"] = st.font_width
+            if st.font_size is not None:
+                attrs["FONTSIZE"] = f"{st.font_size:.1f}"
+            ET.SubElement(styles, "TextStyle", attrs)
+    if meta and meta.tags:
+        tags_el = ET.SubElement(root, "Tags")
+        for tag in meta.tags:
+            ET.SubElement(tags_el, tag.kind, {"ID": tag.id, "LABEL": tag.label})
     buf = StringIO()
     ET.ElementTree(root).write(buf, encoding="unicode", xml_declaration=True)
     return buf.getvalue()
+
+
+def parse_alto_meta(xml_text: str) -> AltoMeta:
+    """Header sections: Processing, TextStyle, Layout/Structure tags —
+    the union merge mirrors Alto.fromXML (Alto.scala:42-72)."""
+    root = ET.fromstring(xml_text)
+    meta = AltoMeta()
+    for el in root.iter():
+        tag = _strip_ns(el.tag)
+        if tag == "Processing":
+            step = ProcessingStep(id=el.get("ID", ""))
+            for c in el.iter():
+                ct = _strip_ns(c.tag)
+                text = (c.text or "").strip()
+                if ct == "processingDateTime":
+                    step.processing_time = text or None
+                elif ct == "processingAgency":
+                    step.processing_agency = text or None
+                elif ct == "processingStepDescription":
+                    step.step_descriptions = (*step.step_descriptions, text)
+                elif ct == "processingStepSettings":
+                    step.step_settings = text or None
+                elif ct == "softwareCreator":
+                    step.software_creator = text or None
+                elif ct == "softwareName":
+                    step.software_name = text or None
+                elif ct == "softwareVersion":
+                    step.software_version = text or None
+                elif ct == "applicationDescription":
+                    step.application_description = text or None
+            meta.processing_steps.append(step)
+        elif tag == "TextStyle":
+            fs = el.get("FONTSIZE")
+            meta.text_styles.append(
+                TextStyle(
+                    id=el.get("ID", ""),
+                    font_family=el.get("FONTFAMILY"),
+                    font_type=el.get("FONTTYPE"),
+                    font_width=el.get("FONTWIDTH"),
+                    # lenient default 12.0 like TextStyle.fromXML
+                    font_size=(
+                        float(fs) if fs and _is_float(fs) else (12.0 if fs else None)
+                    ),
+                )
+            )
+        elif tag in ("LayoutTag", "StructureTag"):
+            meta.tags.append(
+                AltoTag(kind=tag, id=el.get("ID", ""), label=el.get("LABEL", ""))
+            )
+    return meta
+
+
+def _is_float(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False

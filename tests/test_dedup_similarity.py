@@ -110,3 +110,11 @@ def test_token_stats_matches_sql(spark, documents):
     api = text_metrics.token_stats(documents)
     sql = E.queries()["token_stats_by_source"](spark, SF_DIR)
     assert rows(api) == rows(sql)
+
+
+def test_lsh_candidates_match_sql_twin(spark, documents):
+    """minhash_lsh_candidates == the dedup_minhash_lsh driver query (the
+    bucketed, non-all-pairs 100 TB dedup shape, now oracle-checked)."""
+    api = dedup.minhash_lsh_candidates(documents)
+    sql = E.queries()["dedup_minhash_lsh"](spark, SF_DIR)
+    assert rows(api) == rows(sql)

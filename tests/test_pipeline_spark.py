@@ -159,3 +159,14 @@ def test_run_job_clears_stale_staging(spark, docs_df, tmp_path):
     final = spark.read.parquet(outp)
     assert final.count() == N_DOCS  # the zombie never surfaced
     assert not os.path.exists(os.path.join(outp, "_temporary", "0", "task_000"))
+
+
+def test_output_has_page_confidence_and_language(spark, docs_df):
+    """Per-page mean word confidence (Jochre.scala:365-386) and the
+    voted page language ride the output schema."""
+    out = pipeline.extract(docs_df.limit(8), lexicon_words(), materialize_spans=True)
+    rows = out.collect()
+    assert all(0.0 <= r.mean_confidence <= 1.0 for r in rows)
+    ok = [r for r in rows if r.status == "ok" and r.n_words > 0]
+    assert ok and all(r.mean_confidence > 0.0 for r in ok)
+    assert "language" in out.columns

@@ -64,3 +64,57 @@ def test_api_facade():
     assert api.word_in_lexicon("דץר", lex) == -1
     assert api.standardize_words(["דער"], lex) == [nfd("דער")]
     assert api.dehyphenate_text(nfd("גע־\nװאָרן דער"), lex) == nfd("געװאָרן דער\n")
+
+
+def test_alto_header_meta_roundtrip():
+    """Processing / Styles / Tags header sections (Alto.scala:15-29,
+    ProcessingStep.scala:20-43, TextStyle.scala:5-17) round-trip."""
+    from jochre3_ocr_spark.operators.spantree import parse_spans
+    from jochre3_ocr_spark.sources.alto_xml import (
+        AltoMeta,
+        AltoTag,
+        TextStyle,
+        emit_alto,
+        jochre_processing_step,
+        parse_alto_meta,
+    )
+
+    doc = parse_spans(
+        "d", [("block", None, None, 0), ("line", None, None, 1), ("word", "אבג", None, 2)]
+    )
+    meta = AltoMeta(
+        processing_steps=[jochre_processing_step("2024-01-01T00:00:00Z")],
+        text_styles=[TextStyle(id="TS1", font_family="Serif", font_size=12.0)],
+        tags=[
+            AltoTag("LayoutTag", "LT1", "column"),
+            AltoTag("StructureTag", "ST1", "chapter"),
+        ],
+    )
+    xml = emit_alto(doc, 100, 100, meta=meta)
+    got = parse_alto_meta(xml)
+    assert len(got.processing_steps) == 1
+    step = got.processing_steps[0]
+    assert step.id == "JOCHRE1"
+    assert step.software_name == "Jochre"
+    assert step.step_descriptions == ("contentGeneration",)
+    assert step.processing_time == "2024-01-01T00:00:00Z"
+    assert got.text_styles == meta.text_styles
+    assert got.tags == meta.tags
+
+
+def test_alto_page_pc_lang_roundtrip():
+    """Page PC (mean word confidence, Jochre.scala:365-386) and LANG
+    round-trip through emit/parse (Page.scala:147,265-267)."""
+    from jochre3_ocr_spark.operators.spantree import parse_spans
+    from jochre3_ocr_spark.sources.alto_xml import emit_alto, parse_alto
+
+    doc = parse_spans(
+        "d", [("block", None, None, 0), ("line", None, None, 1), ("word", "אבג", None, 2)]
+    )
+    doc.language = "yi"
+    doc.confidence = 0.876
+    xml = emit_alto(doc, 10, 10)
+    assert 'PC="0.88"' in xml and 'LANG="yi"' in xml
+    back = parse_alto(xml)
+    assert back.language == "yi"
+    assert back.confidence == 0.88
