@@ -105,13 +105,51 @@ def ocr_document(
     glyph_lookups: list[dict] | dict,
     lexicon: Lexicon,
     config: PipelineConfig | None = None,
+    alto_converter=None,
 ) -> dict:
     """Full per-document OCR: segment each page, classify (per page —
-    glyph crops are page-local coordinates), guess, transform."""
+    glyph crops are page-local coordinates), guess, transform.
+
+    ``config.segmenter_type`` selects the segmentation strategy
+    ("full" | "block-only" | "non" — operators/strategies.py);
+    "block-only"/"non" pages skip glyph classification (no word-level
+    segments exist) and, when ``alto_converter`` is given, run the
+    BlockTextGuesser / UnsegmentedPageTextGuesser instead of the beam."""
     config = config or PipelineConfig()
     if isinstance(glyph_lookups, dict):
         glyph_lookups = [glyph_lookups] * len(page_layouts)
-    blocks: list = []
+
+    if config.segmenter_type != "full":
+        from jochre3_ocr_spark.operators import strategies as S
+
+        blocks = []
+        for layout in page_layouts:
+            if config.segmenter_type == "block-only":
+                page_doc = S.block_only_segment(
+                    doc_id, layout.width, layout.height, layout.blocks,
+                    left_to_right=config.left_to_right,
+                )
+            elif config.segmenter_type == "non":
+                page_doc = S.non_segment(doc_id, layout.width, layout.height)
+            else:
+                raise ValueError(f"unknown segmenter {config.segmenter_type!r}")
+            if alto_converter is not None:
+                import numpy as np
+
+                img = np.full((layout.height, layout.width), 255, np.uint8)
+                if config.guesser_type == "block":
+                    page_doc = S.block_text_guess(
+                        page_doc, img, alto_converter, config.left_to_right
+                    )
+                elif config.guesser_type == "unsegmented-page":
+                    page_doc = S.unsegmented_page_text_guess(
+                        page_doc, img, alto_converter
+                    )
+            blocks.extend(page_doc.blocks)
+        doc = Document(doc_id=doc_id, blocks=blocks)
+        return process_tree(doc, lexicon, config)
+
+    blocks = []
     for layout, lookup in zip(page_layouts, glyph_lookups):
         page = segment_page(layout, left_to_right=config.left_to_right)
         page_doc = segmented_to_document(

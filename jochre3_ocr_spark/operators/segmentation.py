@@ -388,7 +388,8 @@ class PageLayout:
 
 
 def segment_page(layout: PageLayout, left_to_right: bool = False,
-                 always_retain_threshold: float = 0.5) -> dict:
+                 always_retain_threshold: float = 0.5,
+                 test_rectangle: "Box | None" = None) -> dict:
     """The full FullYoloSegmenter.segment flow (:61-579) on oracle boxes.
 
     Returns {"blocks": [...]} where each block is either
@@ -403,6 +404,14 @@ def segment_page(layout: PageLayout, left_to_right: bool = False,
 
     sorted_blocks = sort_blocks(text_preds, left_to_right, box_of=lambda p: p.box)
     without_overlaps = remove_overlaps_unordered(sorted_blocks)
+    if test_rectangle is not None:
+        # debug test-rectangle filter (FullYoloSegmenter.scala:193-201):
+        # keep only text blocks with ANY intersection with the rectangle
+        without_overlaps = [
+            p
+            for p in without_overlaps
+            if G.area_of_intersection(p.box, test_rectangle) > 0
+        ]
     block_boxes = [p.box for p in without_overlaps]
 
     # paragraphs: sort, de-overlap, place into blocks; orphans over the

@@ -234,6 +234,7 @@ class ComposedBlock:
 @dataclass(slots=True)
 class Media:
     media_ref: str
+    rect: "Rect | None" = None  # Illustration geometry when known
 
 
 @dataclass(slots=True)

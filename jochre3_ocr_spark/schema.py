@@ -117,6 +117,12 @@ class PipelineConfig:
     # glyph classifier selection: identity oracle or the deterministic
     # confusion table (exercises beam + rescoring end to end)
     glyph_confusions: bool = False
+    # strategy selection (reference.conf picks SegmenterService /
+    # TextGuesserService ZLayers; operators/strategies.py):
+    # "full" | "block-only" | "non"
+    segmenter_type: str = "full"
+    # "full-segmentation" | "block" | "unsegmented-page"
+    guesser_type: str = "full-segmentation"
     # scale knobs (ours)
     shuffle_partitions: int = 32
     docs_per_arrow_batch: int = 64

@@ -302,3 +302,39 @@ def test_para_spans_round_trip():
         "block", "para", "line", "word", "para", "line", "word",
     ]
     assert doc.content.count("\n\n") == 1  # composed children joined \n\n
+
+
+def test_segment_page_test_rectangle_filter():
+    """Debug test-rectangle filter (FullYoloSegmenter.scala:193-201):
+    only text blocks intersecting the rectangle survive."""
+    from jochre3_ocr_spark.operators.segmentation import (
+        PageLayout,
+        PredictedBox,
+        segment_page,
+    )
+
+    layout = PageLayout(
+        width=400,
+        height=400,
+        blocks=[
+            PredictedBox("text", (0, 0, 100, 100), 0.9),
+            PredictedBox("text", (0, 200, 100, 100), 0.9),
+        ],
+        lines=[
+            PredictedBox("line", (0, 60, 100, 20), 0.9),
+            PredictedBox("line", (0, 260, 100, 20), 0.9),
+        ],
+        words=[
+            PredictedBox("word", (10, 40, 40, 20), 0.9),
+            PredictedBox("word", (10, 240, 40, 20), 0.9),
+        ],
+        glyphs=[
+            PredictedBox("g", (12, 42, 10, 16), 0.9),
+            PredictedBox("g", (12, 242, 10, 16), 0.9),
+        ],
+    )
+    full = segment_page(layout)
+    assert len(full["blocks"]) == 2
+    filtered = segment_page(layout, test_rectangle=(0, 0, 50, 50))
+    assert len(filtered["blocks"]) == 1
+    assert filtered["blocks"][0]["box"][1] == 0  # the intersecting block
