@@ -253,9 +253,13 @@ sh AS (
   WHERE size(t) >= 3
 ),
 counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+-- doc-frequency cap: stop-phrase shingles are quadratic hot keys at scale
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
 pairs AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a
+  JOIN rare r ON a.shingle = r.shingle
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT p.doc1, p.doc2, p.common,
@@ -281,9 +285,13 @@ sh AS (
   WHERE len(t) >= 3
 ),
 counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+-- doc-frequency cap: stop-phrase shingles are quadratic hot keys at scale
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
 pairs AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a
+  JOIN rare r ON a.shingle = r.shingle
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT p.doc1, p.doc2, p.common,

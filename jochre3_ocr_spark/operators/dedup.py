@@ -70,11 +70,27 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     min_common: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs by word-n-gram Jaccard.
-    Returns (doc1, doc2, common, jaccard)."""
+    Returns (doc1, doc2, common, jaccard).
+
+    ``max_df``: drop shingles appearing in more than this many documents
+    BEFORE the self-join — at 100 TB a stop-phrase shingle is a quadratic
+    hot key (df² join rows); capping bounds any key's join fan-out at
+    max_df² while denominators |A|,|B| stay exact (standard candidate-
+    generation cap; the jaccard of pairs sharing ONLY stop-phrases is
+    underestimated, which is the point)."""
     sh = _shingles(_tokens(df, id_col, text_col), n)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (

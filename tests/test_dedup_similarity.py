@@ -32,11 +32,23 @@ def test_exact_dedup_matches_sql(spark, documents):
 
 
 def test_ngram_jaccard_matches_sql(spark, documents):
-    api = dedup.ngram_jaccard_pairs(documents).select(
+    api = dedup.ngram_jaccard_pairs(documents, max_df=50).select(
         "doc1", "doc2", "common", "jaccard"
     )
     sql = E.queries()["dedup_ngram_jaccard"](spark, SF_DIR)
     assert rows(api) == rows(sql)
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
+    """The doc-frequency cap removes stop-phrase shingles from candidate
+    generation (the quadratic-hot-key guard at 100 TB): docs sharing ONLY
+    a ubiquitous shingle pair without the cap but not with it."""
+    rows_in = [(str(i), "the common phrase x%d y%d z%d" % (i, i, i)) for i in range(10)]
+    df = spark.createDataFrame(rows_in, "doc_id string, text string")
+    uncapped = dedup.ngram_jaccard_pairs(df, min_common=1).count()
+    capped = dedup.ngram_jaccard_pairs(df, min_common=1, max_df=5).count()
+    assert uncapped == 45  # all pairs share "the common phrase"
+    assert capped == 0
 
 
 def test_minhash_matches_sql(spark, documents):
