@@ -128,8 +128,13 @@ _WORKER_LEXICONS: dict[int, object] = {}
 def _lexicon_cache_key(lexicon_bc):
     # The Broadcast wrapper is re-deserialized per task, so id() is unstable
     # across tasks AND can be reused by a different broadcast (CPython address
-    # reuse) — use Spark's stable broadcast id when available, else a content
-    # fingerprint of the entry set.
+    # reuse). The broadcast FILE PATH is stable per broadcast on both driver
+    # and workers and unique across broadcasts — key on it (then _bid for
+    # JVM-side wrappers). The content-fingerprint fallback never touches
+    # .value on a cache hit only when path/bid exist, so keep it last.
+    path = getattr(lexicon_bc, "_path", None)
+    if path is not None:
+        return ("path", path)
     bid = getattr(lexicon_bc, "_bid", None)
     if bid is not None:
         return ("bid", bid)
