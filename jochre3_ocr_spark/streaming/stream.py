@@ -59,3 +59,59 @@ def stream_extract(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def stream_events_hourly(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    await_termination: bool = True,
+):
+    """Watermarked tumbling-window aggregation over an events stream:
+    late rows beyond the watermark are dropped, and a window emits
+    exactly once when the watermark passes its end (append mode) — the
+    streaming twin of the batch q_events_hourly query.
+
+    At scale this is the canonical infinite-ingest shape: state is
+    bounded by (watermark horizon × active windows), not history.
+    """
+    from pyspark.sql import functions as F
+
+    events = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -55,9 +55,21 @@ def test_kernel_deterministic(spans):
 
 @given(texts)
 @settings(max_examples=300, deadline=None)
-def test_simplify_idempotent(s):
+def test_simplify_stabilizes(s):
+    """simplify is NOT strictly idempotent (reference-faithful: the
+    non-YIVO-pasekh deletion runs AFTER the tsvey-yudn ligature rule,
+    YiddishTextSimpifier.scala:44-58, so e.g. יַ+י → יי on pass 1 → ײ on
+    pass 2). It must stabilize by the second application."""
+    twice = simplify(simplify(s))
+    assert simplify(twice) == twice
+
+
+def test_simplify_nonidempotent_reference_quirk():
+    """Pin the faithful quirk hypothesis found: yud+pasekh+yud."""
+    s = "יַי"
     once = simplify(s)
-    assert simplify(once) == once
+    assert once == "יי"  # pasekh dropped after the ligature pass
+    assert simplify(once) == "ײ"  # second pass ligates
 
 
 @given(texts)

@@ -40,3 +40,57 @@ def test_stream_extract_incremental(spark, tmp_path):
     assert final.count() == 20
     assert final.select("doc_id").distinct().count() == 20
     assert final.filter("status = 'ok'").count() == 20
+
+
+def test_stream_events_hourly_watermark(spark, tmp_path):
+    """Watermarked tumbling windows in append mode: closed windows match
+    the batch aggregation exactly; a re-trigger with no new files emits
+    nothing (exactly-once); the final (unclosed) windows are withheld
+    until more data arrives — bounded state at infinite scale."""
+    import shutil
+
+    from jochre3_ocr_spark.streaming.stream import stream_events_hourly
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src))
+    outp = str(tmp_path / "events_out")
+    ckpt = str(tmp_path / "events_ckpt")
+
+    stream_events_hourly(spark, str(src), outp, ckpt, watermark="2 hours")
+    got = spark.read.parquet(outp)
+    n_first = got.count()
+    assert n_first > 0
+
+    # batch twin over the same input, restricted to CLOSED windows
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(str(src))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .filter(
+            F.col("window_start")
+            < F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
+        )
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    # every closed batch window appears in the stream output with equal values
+    for r in batch.collect():
+        assert tuple(r) in got_rows
+
+    # re-trigger with no new data → no new rows
+    stream_events_hourly(spark, str(src), outp, ckpt, watermark="2 hours")
+    assert spark.read.parquet(outp).count() == n_first
