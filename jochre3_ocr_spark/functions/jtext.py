@@ -52,13 +52,33 @@ def is_all_digits(s: str) -> bool:
     return bool(s) and all(unicodedata.category(c) == "Nd" for c in s)
 
 
+# mutable memo sets: set-membership is ~4× cheaper than an lru_cache call
+# in this hot path (has_punct_and_not runs once per word per document)
+_PUNCT_CHARS: set = set()
+_NONPUNCT_CHARS: set = set()
+
+
 def has_punct_and_not(s: str) -> bool:
     """Java regex ``\\p{Punct}[^\\p{Punct}]|[^\\p{Punct}]\\p{Punct}``
-    find-first: any adjacent (punct, non-punct) pair in either order.
+    find-first: any adjacent (punct, non-punct) pair in either order —
+    equivalent to "contains both a punct and a non-punct char" (any
+    mixed string has an adjacent differing pair).
     Reference: YiddishAltoTransformer.scala:118-119."""
-    return any(
-        is_punct_char(a) != is_punct_char(b) for a, b in zip(s, s[1:])
-    )
+    seen_p = seen_np = False
+    for c in s:
+        if c in _NONPUNCT_CHARS:
+            seen_np = True
+        elif c in _PUNCT_CHARS:
+            seen_p = True
+        elif unicodedata.category(c).startswith("P"):
+            _PUNCT_CHARS.add(c)
+            seen_p = True
+        else:
+            _NONPUNCT_CHARS.add(c)
+            seen_np = True
+        if seen_p and seen_np:
+            return True
+    return False
 
 
 def is_quote(s: str) -> bool:

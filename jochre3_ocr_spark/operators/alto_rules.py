@@ -86,17 +86,17 @@ def punctuation_split_rule(doc: Document) -> None:
                 new_items.append(item)
                 continue
             # group glyphs into alternating punct / non-punct runs, testing
-            # the accumulated run content like the reference fold (:137-151)
+            # the accumulated run content like the reference fold (:137-151).
+            # Groups are punct-homogeneous by construction, so the
+            # accumulated content's is_all_punct equals the group's flag —
+            # track the bool instead of re-joining the run per glyph.
             groups: list[list[Glyph]] = []
+            last_flag: bool | None = None
             for glyph in item.glyphs:
-                if not groups:
+                flag = jtext.is_all_punct(glyph.content)
+                if not groups or flag != last_flag:
                     groups.append([glyph])
-                    continue
-                last_content = "".join(g.content for g in groups[-1])
-                if jtext.is_all_punct(glyph.content) != jtext.is_all_punct(
-                    last_content
-                ):
-                    groups.append([glyph])
+                    last_flag = flag
                 else:
                     groups[-1].append(glyph)
             contents = ["".join(g.content for g in grp) for grp in groups]

@@ -113,8 +113,14 @@ def get_beam(
     word: Word, topk_fn, beam_width: int
 ) -> list[GuessWithScore]:
     """FullSegmentationGuesser.getBeam (:562-586)."""
+    # ultra-fast path for the identity oracle: the beam IS the glyph
+    # sequence at confidence 1.0 — skip the per-glyph topk plumbing
+    if topk_fn is identity_topk:
+        n = len(word.glyphs)
+        g = Guess(tuple(gl.content for gl in word.glyphs), (1.0,) * n)
+        return [GuessWithScore(g, g.score)]
     # fast path: every glyph has a single prediction → the beam is the one
-    # deterministic sequence (common case with the identity oracle)
+    # deterministic sequence (common case with a confident oracle)
     preds = [topk_fn(g.content) or [(g.content, 1.0)] for g in word.glyphs]
     if all(len(p) == 1 for p in preds):
         g = Guess(
