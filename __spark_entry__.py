@@ -1084,6 +1084,29 @@ def _ocr_layout_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish pretokenizer token counts per doc — the
+    token-budget estimator (operators/text_metrics.bpe_token_counts);
+    pure JVM regexp, no UDF."""
+    from jochre3_ocr_spark.operators.text_metrics import bpe_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_token_counts(docs)
+
+
+# the pattern's leading ' is doubled for the SQL literal
+_Q_BPE_DUCK = (
+    "SELECT CAST(doc_id AS VARCHAR) AS doc_id,\n"
+    "       CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))\n"
+    "            AS INTEGER) AS n_ws_tokens,\n"
+    "       CAST(len(regexp_extract_all(text,\n"
+    "            '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+|"
+    " ?[^\\s\\p{L}\\p{N}]+|\\s+'))\n"
+    "            AS INTEGER) AS n_bpe_tokens\n"
+    "FROM documents\n"
+)
+
+
 def _pdf_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF ingestion (PDFToImageConverter.scala:18-75): synthesize PDFs
     deterministically, fan out one row per rendered page via mapInPandas,
@@ -1170,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_frequency_corpus": _word_frequency_corpus,
         "dedup_minhash_lsh": _sql(_Q_LSH_SPARK),
         "pdf_page_scan": _pdf_page_scan,
+        "token_counts_bpe": _token_counts_bpe,
     }
 
 
@@ -1202,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _Q_IVF_DUCK,
         "dedup_embedding_neardup": _Q_EMB_NEARDUP_DUCK,
         "dedup_minhash_lsh": _Q_LSH_DUCK,
+        "token_counts_bpe": _Q_BPE_DUCK,
         # rows-only (non-SQL semantics): ocr_layout_end_to_end,
         # media_image_features, dehyphenate_corpus, word_frequency_corpus,
         # pdf_page_scan

@@ -107,3 +107,28 @@ def token_stats(
         F.sum(chars_col).alias("total_chars"),
         F.round(F.avg(chars_col), 3).alias("avg_chars"),
     )
+
+
+# GPT-2-style pretokenizer, lookahead-free so Java (Spark) and RE2
+# (DuckDB) agree: contractions | space?+letters | space?+digits |
+# space?+other | whitespace runs
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens): whitespace tokens vs BPE-ish
+    pretokens — the cheap token-budget estimate for training-data
+    curation, all JVM-side (regexp_extract_all, no UDF)."""
+    return df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.size(
+            F.filter(F.split(text_col, " "), lambda x: x != F.lit(""))
+        ).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(text_col, F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("n_bpe_tokens"),
+    )

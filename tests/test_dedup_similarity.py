@@ -130,3 +130,11 @@ def test_lsh_candidates_match_sql_twin(spark, documents):
     api = dedup.minhash_lsh_candidates(documents)
     sql = E.queries()["dedup_minhash_lsh"](spark, SF_DIR)
     assert rows(api) == rows(sql)
+
+
+def test_bpe_token_counts_matches_sql(spark, documents):
+    from jochre3_ocr_spark.operators.text_metrics import bpe_token_counts
+
+    api = bpe_token_counts(documents)
+    sql = E.queries()["token_counts_bpe"](spark, SF_DIR)
+    assert rows(api) == rows(sql)
