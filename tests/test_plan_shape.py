@@ -73,3 +73,34 @@ def test_bucketed_join_shuffle_free(spark, docs_path, tmp_path):
     )
     assert bucketing.bucketed_join_is_shuffle_free(spark, "docs_a", "docs_b")
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_ivf_topk_plan_prunes_before_scoring(spark):
+    """The IVF cosine aggregation must join on (pos, cell) — only
+    same-cell pairs are scored (ADVICE r1: the pre-fix plan aggregated
+    all Q×N pairs and filtered afterwards)."""
+    from jochre3_ocr_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = ivf_topk(emb, "vec_id < 5", k=3, n_cells=4)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the SCORING join must carry the cell equi-key alongside pos
+    # (assignment-pass joins are legitimately pos-only: every vector is
+    # scored against the 4 centroids once)
+    scoring = [
+        l
+        for l in plan.splitlines()
+        if "Join" in l and "pos" in l and "ccell" in l
+    ]
+    assert scoring, f"no (pos, cell)-keyed scoring join in plan:\n{plan}"
+
+
+def test_bpe_token_counts_stays_jvm_side(spark):
+    """No Python UDF in the token-count plan — regexp_extract_all is
+    whole-stage-codegen-able."""
+    from jochre3_ocr_spark.operators.text_metrics import bpe_token_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(bpe_token_counts(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(" in plan  # whole-stage-codegen span over the scan
