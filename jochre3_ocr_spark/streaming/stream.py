@@ -115,3 +115,114 @@ def stream_events_hourly(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def stream_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_sec: int = 1800,
+    await_termination: bool = True,
+):
+    """Custom stateful streaming operator: per-user sessionization with
+    ``applyInPandasWithState`` — sessions close when the EVENT-TIME gap
+    to the next event exceeds ``gap_sec`` (the streaming twin of the
+    batch q_events_sessions query).
+
+    State per user: (session_start, last_ts, n_events, total_value).
+    A micro-batch folds its events in ts order; crossing a gap emits the
+    closed session and restarts state. Event-time timeout closes the
+    final dangling session when the watermark passes last_ts + gap.
+    State is bounded by active users, not history — the 100 TB shape.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint, total_value double"
+    )
+    state_schema = (
+        "session_start long, last_ts long, n_events long, total_value double"
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            ss, lt, n, tv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start": pd.Timestamp(ss, unit="us"),
+                        "session_end": pd.Timestamp(lt, unit="us"),
+                        "n_events": n,
+                        "total_value": round(tv, 2),
+                    }
+                ]
+            )
+            return
+
+        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        closed = []
+        if state.exists:
+            ss, lt, n, tv = state.get
+        else:
+            ss = lt = None
+            n, tv = 0, 0.0
+        gap_us = gap_sec * 1_000_000
+        for ts, value in zip(rows["ts"], rows["value"]):
+            t_us = int(ts.value // 1000)  # ns → µs
+            if lt is not None and t_us - lt > gap_us:
+                closed.append((ss, lt, n, tv))
+                ss, n, tv = t_us, 0, 0.0
+            if ss is None:
+                ss = t_us
+            lt = t_us
+            n += 1
+            tv += float(value)
+        state.update((ss, lt, n, tv))
+        # close the dangling session once the watermark passes last+gap
+        state.setTimeoutTimestamp(lt // 1000 + gap_sec * 1000)
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start": pd.Timestamp(s, unit="us"),
+                        "session_end": pd.Timestamp(e, unit="us"),
+                        "n_events": cn,
+                        "total_value": round(cv, 2),
+                    }
+                    for s, e, cn, cv in closed
+                ]
+            )
+
+    events = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+        .withWatermark("ts", f"{gap_sec} seconds")
+        .select("user_id", "ts", "value")
+    )
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    query = (
+        sessions.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

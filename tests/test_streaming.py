@@ -94,3 +94,54 @@ def test_stream_events_hourly_watermark(spark, tmp_path):
     # re-trigger with no new data → no new rows
     stream_events_hourly(spark, str(src), outp, ckpt, watermark="2 hours")
     assert spark.read.parquet(outp).count() == n_first
+
+
+def test_stream_sessions_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): streaming
+    sessionization equals the batch window-gap computation on closed
+    sessions; only the session containing the global max ts is withheld
+    (event-time timeout can't pass it). State bounded by active users."""
+    from pyspark.sql import functions as F
+
+    from jochre3_ocr_spark.streaming.stream import stream_sessions
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        "user_id < 20"
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src))
+    outp = str(tmp_path / "sess_out")
+    stream_sessions(
+        spark, str(src), outp, str(tmp_path / "sess_ckpt"), gap_sec=1800
+    )
+    got = spark.read.parquet(outp)
+
+    ev.createOrReplaceTempView("ev_sess_test")
+    batch = spark.sql(
+        """
+        WITH gaps AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR unix_timestamp(ts) - unix_timestamp(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM ev_sess_test
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, ts, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM gaps
+        )
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM sess GROUP BY user_id, session_id
+        """
+    )
+    batch_rows = {tuple(r) for r in batch.collect()}
+    got_rows = [tuple(r) for r in got.collect()]
+    assert got_rows and all(r in batch_rows for r in got_rows)
+    # every closed session emitted: only sessions still inside the final
+    # watermark horizon may be withheld
+    assert len(got_rows) >= batch.count() - 20
