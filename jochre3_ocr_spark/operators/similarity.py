@@ -161,3 +161,213 @@ def cosine_neardup_pairs(
     return pair.filter(F.col("cos") > threshold).select(
         "v1", "v2", F.round("cos", 4).alias("cosine")
     )
+
+
+def _unit_vec(vec_col: str):
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.transform(v, lambda x: x / norm)
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic Lloyd's k-means for IVF coarse quantization.
+
+    Init: the k lowest-id vectors (deterministic — no RNG, resumable).
+    Each iteration is one distributed pass: assign every vector to its
+    nearest centroid with a JVM expression over a BROADCAST literal of
+    k·d floats (no join, no shuffle on the big side), then one groupBy
+    to re-average. Driver holds only k·d floats. Returns the centroids
+    as a list of lists (floats).
+
+    Iterative algorithms loop on the driver by design; the per-iteration
+    plan is scan → project(argmin) → partial+final aggregate.
+    """
+    # spherical k-means: unit-normalize so L2 argmin ≡ cosine argmax —
+    # the same metric the IVF probe scores with
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        _unit_vec(vec_col).alias("v"),
+    )
+
+    # deterministic farthest-first init (k-means++ without RNG): seed at
+    # the lowest id, then repeatedly take the point farthest from its
+    # nearest chosen centroid (ties broken by lowest id). First-k init
+    # fails when the first k points share a cluster — all centroids land
+    # in it and Lloyd's cannot escape.
+    first = base.orderBy("vid").limit(1).collect()[0]
+    centroids = [list(first["v"])]
+    while len(centroids) < k:
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        far = (
+            base.withColumn("_cents", cent_lit)
+            .select(
+                "vid",
+                "v",
+                F.expr(
+                    "array_min(transform(_cents, c -> aggregate(zip_with(v, c,"
+                    " (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)))"
+                ).alias("d"),
+            )
+            .orderBy(F.desc("d"), F.asc("vid"))
+            .limit(1)
+            .collect()[0]
+        )
+        centroids.append(list(far["v"]))
+    for _ in range(iters):
+        cent_lit = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c])
+                for c in centroids
+            ]
+        )
+        # squared L2 distance to each centroid, argmin via aggregate
+        assigned = base.withColumn("_cents", cent_lit).select(
+            "vid",
+            "v",
+            F.expr(
+                "CAST(array_position("
+                "  transform(_cents, c -> aggregate(zip_with(v, c,"
+                "    (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)),"
+                "  array_min(transform(_cents, c -> aggregate(zip_with(v, c,"
+                "    (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)))"
+                ") AS INT) - 1"
+            ).alias("cell"),
+        )
+        dim = len(centroids[0])
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.col("v")[i]).alias(f"m{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for r in means:
+            new_centroids[int(r["cell"])] = [float(r[f"m{i}"]) for i in range(dim)]
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+    return centroids
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """(vid, cell): nearest-centroid assignment against a broadcast
+    literal — one narrow JVM pass, no shuffle. ``n_probe > 1`` emits one
+    row per (vid, cell) for the n_probe nearest cells (multi-probe:
+    queries search several cells; candidates are indexed under one)."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    dists = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            _unit_vec(vec_col).alias("v"),
+        )
+        .withColumn("_cents", cent_lit)
+        .select(
+            "vid",
+            F.posexplode(
+                F.expr(
+                    "transform(_cents, c -> aggregate(zip_with(v, c,"
+                    " (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x))"
+                )
+            ).alias("cell", "d"),
+        )
+    )
+    if n_probe <= 1:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("vid").orderBy(F.asc("d"), F.asc("cell"))
+        return (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("vid", "cell")
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vid").orderBy(F.asc("d"), F.asc("cell"))
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("vid", "cell")
+    )
+
+
+def ivf_kmeans_topk(
+    df: DataFrame,
+    query_filter: str,
+    k: int = 3,
+    n_cells: int = 8,
+    kmeans_iters: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over k-means cells (the production coarse quantizer;
+    ivf_topk's first-K-vectors centroids are the degenerate fallback).
+    Same pruned plan: the scoring join carries (pos, cell). Queries
+    multi-probe their ``n_probe`` nearest cells (recall knob: probe cost
+    scales linearly, still |n_probe·cell| ≪ |corpus|)."""
+    from pyspark.sql.window import Window
+
+    centroids = kmeans_centroids(df, n_cells, kmeans_iters, id_col, vec_col)
+    assign = assign_cells(df, centroids, id_col, vec_col)
+    q_assign = assign_cells(df, centroids, id_col, vec_col, n_probe=n_probe)
+
+    aq = q_assign.alias("aq")
+    ac = assign.alias("ac")
+    q = (
+        _exploded(df.filter(query_filter), id_col, vec_col, "qid")
+        .join(aq, F.col("qid") == F.col("aq.vid"))
+        .select("qid", "pos", "v", F.col("aq.cell").alias("cell"))
+        .alias("q")
+    )
+    c = (
+        _exploded(df, id_col, vec_col, "cid")
+        .join(ac, F.col("cid") == F.col("ac.vid"))
+        .select("cid", "pos", F.col("v").alias("cv"), F.col("ac.cell").alias("ccell"))
+        .alias("c")
+    )
+    same_cell = (
+        q.join(
+            c,
+            (F.col("q.pos") == F.col("c.pos"))
+            & (F.col("q.cell") == F.col("c.ccell")),
+        )
+        .groupBy("qid", "cid")
+        .agg(
+            (
+                F.sum(F.col("q.v") * F.col("c.cv"))
+                / (
+                    F.sqrt(F.sum(F.col("q.v") * F.col("q.v")))
+                    * F.sqrt(F.sum(F.col("c.cv") * F.col("c.cv")))
+                )
+            ).alias("cos")
+        )
+        .filter("qid <> cid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        same_cell.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "rank")
+    )

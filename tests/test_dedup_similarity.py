@@ -138,3 +138,67 @@ def test_bpe_token_counts_matches_sql(spark, documents):
     api = bpe_token_counts(documents)
     sql = E.queries()["token_counts_bpe"](spark, SF_DIR)
     assert rows(api) == rows(sql)
+
+
+def test_kmeans_ivf_on_separated_clusters(spark):
+    """Deterministic spherical k-means: on well-separated clusters the
+    cells ARE the clusters, and IVF top-k equals exact top-k (all true
+    neighbors share the query's cell)."""
+    import math
+
+    from jochre3_ocr_spark.operators.similarity import (
+        assign_cells,
+        cosine_topk,
+        ivf_kmeans_topk,
+        kmeans_centroids,
+    )
+
+    # 4 orthogonal cluster directions in 8-d, 12 points each, tiny jitter
+    rows = []
+    for c in range(4):
+        for j in range(12):
+            v = [0.0] * 8
+            v[c * 2] = 1.0
+            v[c * 2 + 1] = 0.05 * ((j % 5) - 2)  # deterministic jitter
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((c * 12 + j, [x / n for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    cents = kmeans_centroids(df, k=4, iters=4)
+    assign = assign_cells(df, cents)
+    # each cell holds exactly one cluster
+    got = assign.groupBy("cell").count().collect()
+    assert sorted(r["count"] for r in got) == [12, 12, 12, 12]
+    cluster_of = {r.vid: r.cell for r in assign.collect()}
+    for c in range(4):
+        cells = {cluster_of[c * 12 + j] for j in range(12)}
+        assert len(cells) == 1
+
+    exact = {(r.qid, r.cid) for r in cosine_topk(df, "vec_id < 4", k=3).collect()}
+    approx = {
+        (r.qid, r.cid)
+        for r in ivf_kmeans_topk(df, "vec_id < 4", k=3, n_cells=4, kmeans_iters=4).collect()
+    }
+    assert approx == exact  # 100% recall on separated clusters
+
+
+def test_ivf_multiprobe_recall_monotone(spark, embeddings):
+    """Multi-probe is the IVF recall knob: recall vs exact top-k is
+    non-decreasing in n_probe, and probing all cells = exact."""
+    from jochre3_ocr_spark.operators.similarity import (
+        cosine_topk,
+        ivf_kmeans_topk,
+    )
+
+    exact = {(r.qid, r.cid) for r in cosine_topk(embeddings, "vec_id < 5", k=3).collect()}
+    recalls = []
+    for p in (1, 8):
+        a = {
+            (r.qid, r.cid)
+            for r in ivf_kmeans_topk(
+                embeddings, "vec_id < 5", k=3, n_cells=8, kmeans_iters=3, n_probe=p
+            ).collect()
+        }
+        recalls.append(len(exact & a) / len(exact))
+    assert recalls[0] <= recalls[1]
+    assert recalls[1] == 1.0  # probing every cell is exhaustive
