@@ -1084,6 +1084,19 @@ def _ocr_layout_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over deterministic spherical k-means cells with
+    multi-probe (operators/similarity.ivf_kmeans_topk) — rows-only
+    (iterative algorithm; the first-k-centroid variant ann_ivf_topk
+    carries the SQL oracle)."""
+    from jochre3_ocr_spark.operators.similarity import ivf_kmeans_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_kmeans_topk(
+        emb, "vec_id < 5", k=3, n_cells=8, kmeans_iters=3, n_probe=2
+    )
+
+
 def _token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish pretokenizer token counts per doc — the
     token-budget estimator (operators/text_metrics.bpe_token_counts);
@@ -1194,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _sql(_Q_LSH_SPARK),
         "pdf_page_scan": _pdf_page_scan,
         "token_counts_bpe": _token_counts_bpe,
+        "ann_ivf_kmeans_topk": _ann_ivf_kmeans_topk,
     }
 
 
