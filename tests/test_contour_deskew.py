@@ -178,3 +178,72 @@ def test_synthetic_rotated_page_recovers_angle():
     est = cd.get_skew_angle(img)
     assert est is not None
     assert est == pytest.approx(1.5, abs=0.5)
+
+
+def test_png_palette_and_alpha_decode():
+    """Palette (color type 3) and grey+alpha / RGBA (4, 6) decode."""
+    import struct as st
+
+    def chunk(ctype, body):
+        return (
+            st.pack(">I", len(body))
+            + ctype
+            + body
+            + st.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # palette: 2×2, indices [[0,1],[1,0]], palette red/green
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0])
+    raw = bytes([0, 0, 1, 0, 1, 0])
+    data = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out.shape == (2, 2, 3)
+    assert list(out[0, 0]) == [255, 0, 0] and list(out[0, 1]) == [0, 255, 0]
+
+    # RGBA 1×2
+    ihdr6 = st.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0)
+    raw6 = bytes([0, 10, 20, 30, 255, 40, 50, 60, 128])
+    data6 = (
+        sig + chunk(b"IHDR", ihdr6) + chunk(b"IDAT", zlib.compress(raw6)) + chunk(b"IEND", b"")
+    )
+    out6 = decode_png(data6)
+    assert out6.shape == (1, 2, 4)
+    assert list(out6[0, 0]) == [10, 20, 30, 255]
+    assert list(out6[0, 1]) == [40, 50, 60, 128]
+
+    # grey+alpha 1×2
+    ihdr4 = st.pack(">IIBBBBB", 2, 1, 8, 4, 0, 0, 0)
+    raw4 = bytes([0, 77, 255, 99, 0])
+    data4 = (
+        sig + chunk(b"IHDR", ihdr4) + chunk(b"IDAT", zlib.compress(raw4)) + chunk(b"IEND", b"")
+    )
+    out4 = decode_png(data4)
+    assert out4.shape == (1, 2, 2)
+    assert list(out4[0, 0]) == [77, 255]
+
+
+def test_png_16bit_and_interlace_rejected():
+    import struct as st
+
+    def chunk(ctype, body):
+        return (
+            st.pack(">I", len(body))
+            + ctype
+            + body
+            + st.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    for bd, il in ((16, 0), (8, 1)):
+        ihdr = st.pack(">IIBBBBB", 1, 1, bd, 0, 0, 0, il)
+        data = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError):
+            decode_png(data)
