@@ -90,3 +90,42 @@ def iter_pdf_pages(content: bytes, dpi: int = 300, renderer=None):
     n = _pdf.count_pdf_pages(content)
     for page_no in range(1, n + 1):
         yield page_no, render(content, page_no - 1, dpi)
+
+
+def fetch_images(urls_df: DataFrame, fetcher=None) -> DataFrame:
+    """URL image fetch (ImageUtils.getImageFromUrl, core/utils/
+    ImageUtils.scala:150-159): rows (doc_id, url) → (doc_id, url,
+    content binary, status). Failures quarantine per row like the
+    reference's Try. ``fetcher(url) -> bytes`` is injectable (tests use
+    a fake; default is stdlib urllib). At scale this is the classic
+    IO-bound mapInPandas stage: parallelism = partitions, no shuffle."""
+    import pandas as pd
+
+    def default_fetcher(url: str) -> bytes:
+        from urllib.request import urlopen
+
+        with urlopen(url, timeout=30) as r:  # noqa: S310
+            return r.read()
+
+    fetch = fetcher or default_fetcher
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for doc_id, url in zip(b["doc_id"], b["url"]):
+                try:
+                    content = fetch(url)
+                    rows.append(
+                        {"doc_id": doc_id, "url": url,
+                         "content": content, "status": "ok"}
+                    )
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    rows.append(
+                        {"doc_id": doc_id, "url": url, "content": None,
+                         "status": f"error: {type(exc).__name__}: {exc}"}
+                    )
+            yield pd.DataFrame(rows)
+
+    return urls_df.mapInPandas(
+        run, schema="doc_id string, url string, content binary, status string"
+    )

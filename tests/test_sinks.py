@@ -118,3 +118,29 @@ def test_alto_page_pc_lang_roundtrip():
     back = parse_alto(xml)
     assert back.language == "yi"
     assert back.confidence == 0.88
+
+
+def test_fetch_images_with_injected_fetcher(spark):
+    """URL fetch slot (ImageUtils.scala:150-159): per-row quarantine,
+    binary content lands decodable."""
+    import numpy as np
+
+    from jochre3_ocr_spark.sources.png_codec import decode_png, encode_png
+    from jochre3_ocr_spark.sources.sinks import fetch_images
+
+    img = (np.arange(12 * 10).reshape(12, 10) % 256).astype(np.uint8)
+    payload = encode_png(img)
+
+    def fake(url):
+        if url.endswith("good.png"):
+            return payload
+        raise OSError("connection refused")
+
+    urls = spark.createDataFrame(
+        [("a", "http://x/good.png"), ("b", "http://x/bad.png")],
+        "doc_id string, url string",
+    )
+    out = {r.doc_id: r for r in fetch_images(urls, fetcher=fake).collect()}
+    assert out["a"].status == "ok"
+    assert np.array_equal(decode_png(bytes(out["a"].content)), img)
+    assert out["b"].content is None and out["b"].status.startswith("error:")
