@@ -621,6 +621,30 @@ SELECT c_custkey, 'building_only' AS tag FROM (
 )
 """
 
+_Q_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+_Q_PERCENTILES_SPARK = """
+SELECT l_returnflag,
+       round(percentile(l_quantity, 0.5), 2) AS p50,
+       round(percentile(l_quantity, 0.9), 2) AS p90,
+       round(percentile(l_extendedprice, 0.99), 2) AS price_p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+_Q_PERCENTILES_DUCK = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+       round(quantile_cont(l_quantity, 0.9), 2) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 2) AS price_p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
 _Q_ROLLUP = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n,
@@ -1184,6 +1208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": _sql(_Q6),
         "q_setops_customers": _sql(_Q_SETOPS),
         "q_rollup_lineitem": _sql(_Q_ROLLUP),
+        "q_grouping_sets": _sql(_Q_GROUPING_SETS),
+        "q_percentiles": _sql(_Q_PERCENTILES_SPARK),
         "q_events_hourly": _sql(_Q_EVENTS_SPARK),
         "q_events_sessions": _sql(_Q_SESSIONS_SPARK),
         "dedup_exact": _sql(_Q_DEDUP_EXACT_SPARK),
@@ -1224,6 +1250,8 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": _Q6,
         "q_setops_customers": _Q_SETOPS,
         "q_rollup_lineitem": _Q_ROLLUP,
+        "q_grouping_sets": _Q_GROUPING_SETS,
+        "q_percentiles": _Q_PERCENTILES_DUCK,
         "q_events_hourly": _Q_EVENTS_DUCK,
         "q_events_sessions": _Q_SESSIONS_DUCK,
         "dedup_exact": _Q_DEDUP_EXACT_DUCK,
