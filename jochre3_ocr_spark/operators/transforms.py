@@ -37,12 +37,17 @@ def encode_image(img: np.ndarray) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: real PNG via the pure-stdlib codec
-    (sources/png_codec.py), else the .npy codec."""
+    """Dispatch on magic bytes: real PNG / baseline JPEG via the
+    pure-stdlib codecs (sources/png_codec.py, sources/jpeg_codec.py),
+    else the .npy codec."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         from jochre3_ocr_spark.sources.png_codec import decode_png as _png
 
         return _png(bytes(data))
+    if data[:2] == b"\xff\xd8":
+        from jochre3_ocr_spark.sources.jpeg_codec import decode_jpeg as _jpg
+
+        return _jpg(bytes(data))
     return np.load(io.BytesIO(data), allow_pickle=False)
 
 
