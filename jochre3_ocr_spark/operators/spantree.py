@@ -114,6 +114,7 @@ class Word:
 class TextLine:
     items: list  # Word | Space | Hyphen, in reading order
     language: str | None = None
+    rect: "Rect | None" = None  # set by geometry-bearing sources
 
     @property
     def words(self) -> list[Word]:

@@ -157,7 +157,7 @@ def _parse_line(el) -> TextLine:
             items.append(Space(_rect(child)))
         elif tag == "HYP":
             items.append(Hyphen(child.get("CONTENT", ""), _rect(child)))
-    return TextLine(items=items)
+    return TextLine(items=items, rect=_rect(el))
 
 
 def _parse_text_block(el) -> TextBlock:

@@ -63,3 +63,111 @@ def test_fixture_roundtrips_through_alto_sink(page_doc):
     doc2 = parse_alto(xml)
     assert doc2.content == page_doc.content
     assert doc2.processed_content == page_doc.processed_content
+
+
+def test_full_reconstruction_of_golden_page_from_gold_layout():
+    """End-to-end on the REAL golden page (nybc201086_0022): feed the
+    gold ALTO's boxes as the DLA oracle (the reference's own
+    corpus-annotation flow, corpus/YoloAnnotator.scala), classify glyphs
+    by max-overlap ground truth, run the full segment → place → order →
+    space-infer → guess → transform pipeline, and compare the document
+    text against the gold ALTO's content: CER < 2%.
+
+    The residual is space-inference at maqaf-joined word boundaries
+    (glyph-union boxes shift by a pixel vs the stored word boxes);
+    block/paragraph/line/word order and content match.
+    """
+    from jochre3_ocr_spark.functions.lexicon import Lexicon
+    from jochre3_ocr_spark.functions.simplify import simplify
+    from jochre3_ocr_spark.operators.kernel import process_tree
+    from jochre3_ocr_spark.operators.ocr import (
+        make_overlap_classifier,
+        segmented_to_document,
+    )
+    from jochre3_ocr_spark.operators.segmentation import (
+        PageLayout,
+        PredictedBox,
+        segment_page,
+    )
+    from jochre3_ocr_spark.operators.spantree import (
+        ComposedBlock,
+        Media,
+        iter_text_blocks,
+    )
+    from jochre3_ocr_spark.sources.alto_xml import parse_alto
+
+    gold = parse_alto(open(FIXTURE).read())
+
+    blocks, paras, lines, words, glyphs = [], [], [], [], []
+    lookup = {}
+
+    def add_leaf(tb):
+        if tb.rect:
+            paras.append(
+                PredictedBox("paragraph", (tb.rect.left, tb.rect.top,
+                                           tb.rect.width, tb.rect.height), 0.9)
+            )
+        for line in tb.lines:
+            r = line.rect
+            if r:
+                # DLA line boxes are baseline-centered; segment_page
+                # bumps them up by h//2 (FullYoloSegmenter.scala:252-272)
+                lines.append(
+                    PredictedBox("line", (r.left, r.top + r.height // 2,
+                                          r.width, r.height), 0.9)
+                )
+            for w in line.words:
+                if w.rect:
+                    words.append(
+                        PredictedBox("word", (w.rect.left, w.rect.top,
+                                              w.rect.width, w.rect.height), 0.9)
+                    )
+                for g in w.glyphs:
+                    if g.rect:
+                        box = (g.rect.left, g.rect.top, g.rect.width, g.rect.height)
+                        glyphs.append(PredictedBox("glyph", box, 0.9))
+                        lookup[box] = g.content
+
+    for top in gold.blocks:
+        if isinstance(top, Media):
+            continue
+        if top.rect:
+            blocks.append(
+                PredictedBox("text", (top.rect.left, top.rect.top,
+                                      top.rect.width, top.rect.height), 0.9)
+            )
+        if isinstance(top, ComposedBlock):
+            for tb in top.blocks:
+                add_leaf(tb)
+        else:
+            add_leaf(top)
+
+    layout = PageLayout(width=2474, height=3224, blocks=blocks,
+                        paragraphs=paras, lines=lines, words=words,
+                        glyphs=glyphs)
+    page = segment_page(layout, left_to_right=False)
+    doc = segmented_to_document("golden", [page], make_overlap_classifier(lookup))
+    vocab = [
+        w.content
+        for tb in iter_text_blocks(gold)
+        for line in tb.lines
+        for w in line.words
+    ]
+    out = process_tree(doc, Lexicon.from_words(vocab))
+    ours = out["text"]
+    theirs = simplify(gold.content)
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    cer = lev(ours, theirs) / len(theirs)
+    assert cer < 0.02, f"CER {cer:.4f}"
+    # the first line reproduces exactly; line COUNT and block structure match
+    assert ours.split("\n")[0] == theirs.split("\n")[0]
+    assert len(ours.split("\n")) == len(theirs.split("\n"))
