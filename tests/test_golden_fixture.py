@@ -73,9 +73,14 @@ def test_full_reconstruction_of_golden_page_from_gold_layout():
     space-infer → guess → transform pipeline, and compare the document
     text against the gold ALTO's content: CER < 2%.
 
-    The residual is space-inference at maqaf-joined word boundaries
-    (glyph-union boxes shift by a pixel vs the stored word boxes);
-    block/paragraph/line/word order and content match.
+    The residual is space inference at 1-px word gaps: the gold ALTO's
+    SAVED boxes (rescaled + rounded from the analysis scale) show
+    gap = 1 px where the reference decided no-space at analysis scale
+    before rounding — e.g. String "יה“ל" left=1777 vs next String ","
+    right=1776. The reference's own gap>0 rule applied to the saved
+    boxes (FullYoloSegmenter.scala:405-447) inserts the same spaces we
+    do; the original decision is irrecoverable from the artifact.
+    Block/paragraph/line/word order and all content match.
     """
     from jochre3_ocr_spark.functions.lexicon import Lexicon
     from jochre3_ocr_spark.functions.simplify import simplify
