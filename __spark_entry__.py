@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -1121,6 +1121,74 @@ def _ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio + video multimodal paths (operators/multimodal.py): WAV
+    waveform features and video-frame fan-out counts over a synthesized
+    media table — rows-only (binary semantics)."""
+    import io as _io
+    import math
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from jochre3_ocr_spark.operators import multimodal as M
+
+    def wav_bytes(i: int) -> bytes:
+        sr = 8000
+        t = np.arange(sr // 2) / sr
+        sig = np.sin(2 * math.pi * (220 + 20 * i) * t)
+        buf = _io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes((sig * 32767).astype("<i2").tobytes())
+        return buf.getvalue()
+
+    def video_bytes(i: int) -> bytes:
+        frames = np.stack(
+            [
+                np.full((16, 16), (7 * i + 3 * f) % 256, dtype=np.uint8)
+                for f in range(10 + i % 5)
+            ]
+        )
+        buf = _io.BytesIO()
+        np.save(buf, frames, allow_pickle=False)
+        return buf.getvalue()
+
+    rows = []
+    for i in range(10):
+        rows.append((f"aud_{i}", "audio/wav", bytearray(wav_bytes(i))))
+        rows.append((f"vid_{i}", "video/npy", bytearray(video_bytes(i))))
+    media = spark.createDataFrame(
+        rows, "media_ref string, media_type string, content binary"
+    )
+    audio = M.audio_features(media.filter("media_type = 'audio/wav'")).select(
+        "media_ref",
+        F.lit("audio").alias("kind"),
+        F.col("n_samples").alias("n_units"),
+        F.col("rms").alias("metric"),
+        "status",
+    )
+    frames = (
+        M.sample_frames_df(media.filter("media_type = 'video/npy'"), every_n=5)
+        .groupBy("media_ref")
+        .agg(
+            F.count("*").alias("n_units"),
+            F.round(F.avg("width"), 2).alias("metric"),
+        )
+        .select(
+            "media_ref",
+            F.lit("video").alias("kind"),
+            "n_units",
+            "metric",
+            F.lit("ok").alias("status"),
+        )
+    )
+    return audio.unionByName(frames)
+
+
 def _token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish pretokenizer token counts per doc — the
     token-budget estimator (operators/text_metrics.bpe_token_counts);
@@ -1234,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_page_scan": _pdf_page_scan,
         "token_counts_bpe": _token_counts_bpe,
         "ann_ivf_kmeans_topk": _ann_ivf_kmeans_topk,
+        "media_av_features": _media_av_features,
     }
 
 

@@ -2,11 +2,14 @@
 
 Images / audio / video travel as ``binary`` columns next to typed
 metadata; decode / feature-extract / resize / frame-sample run as
-Arrow-batched pandas UDFs over mapInPandas. The image path is real
-(the .npy codec + numpy transforms, operators/transforms.py); audio and
-video decode are STUBS behind NotImplementedError because the decoding
-libraries are not in this container — the Spark-side plumbing (schema,
-batching, UDF signature) is real and tested.
+Arrow-batched pandas UDFs over mapInPandas.
+
+Real decoders (no external libs): PNG + baseline/progressive JPEG +
+.npy for images; PCM WAV (stdlib ``wave``) + .npy waveforms for audio;
+.npy (n_frames, h, w) containers for video. Compressed audio/video
+codecs (mp3/ogg/mp4/webm) raise NotImplementedError per row — the
+Spark-side plumbing (schema, fan-out, batch shape, quarantine) is the
+same either way and is fully tested.
 """
 
 from __future__ import annotations
@@ -147,11 +150,153 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
 
 def sample_frames(content: bytes, media_type: str, every_n: int = 10):
-    """STUB: video frame sampling needs a decoder (ffmpeg/av) — not in
-    this container. Plumbing contract: binary → list of frame ndarrays."""
-    raise NotImplementedError("video decode requires av/ffmpeg")
+    """Video frame sampling: real for the deterministic container format
+    ("video/npy": a (n_frames, h, w) uint8 array), STUB for compressed
+    codecs (mp4/webm need av/ffmpeg, not in this container). Returns a
+    list of (frame_idx, ndarray)."""
+    if media_type == "video/npy":
+        import io as _io
+
+        arr = np.load(_io.BytesIO(content), allow_pickle=False)
+        if arr.ndim != 3:
+            raise ValueError("video/npy must be (n_frames, h, w)")
+        return [(i, arr[i]) for i in range(0, arr.shape[0], every_n)]
+    raise NotImplementedError(f"video decode for {media_type} requires av/ffmpeg")
+
+
+def sample_frames_df(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame fan-out: one output row per sampled frame, PNG-encoded —
+    the video analog of the PDF page scan (row → many rows inside the
+    Arrow batch, no shuffle; rebalance afterwards if a downstream stage
+    is per-frame heavy)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jochre3_ocr_spark.sources.png_codec import encode_png
+
+        for batch in batches:
+            rows = []
+            for ref, mtype, content in zip(
+                batch["media_ref"], batch["media_type"], batch["content"]
+            ):
+                try:
+                    for idx, frame in sample_frames(
+                        bytes(content), mtype, every_n
+                    ):
+                        rows.append(
+                            {
+                                "media_ref": ref,
+                                "frame_idx": idx,
+                                "image": encode_png(frame),
+                                "width": frame.shape[1],
+                                "height": frame.shape[0],
+                                "status": "ok",
+                            }
+                        )
+                except (NotImplementedError, ValueError) as exc:
+                    rows.append(
+                        {
+                            "media_ref": ref,
+                            "frame_idx": None,
+                            "image": None,
+                            "width": None,
+                            "height": None,
+                            "status": f"stub: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns="media_ref frame_idx image width height status".split(),
+            )
+
+    return media.mapInPandas(
+        run,
+        schema="media_ref string, frame_idx int, image binary, "
+        "width int, height int, status string",
+    )
 
 
 def decode_audio(content: bytes, media_type: str):
-    """STUB: audio decode (soundfile/librosa) not in this container."""
-    raise NotImplementedError("audio decode requires soundfile/librosa")
+    """Audio decode: REAL for PCM WAV (stdlib ``wave``; 8/16-bit mono or
+    multichannel → float64 in [-1, 1]) and "audio/npy" (raw waveform
+    array); compressed codecs (mp3/ogg) raise — they need external libs.
+    Returns (samples ndarray, sample_rate)."""
+    import io as _io
+
+    if media_type == "audio/npy":
+        arr = np.load(_io.BytesIO(content), allow_pickle=False)
+        return arr.astype(np.float64), 16000
+    if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
+        import wave
+
+        with wave.open(_io.BytesIO(content), "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            width = w.getsampwidth()
+            nch = w.getnchannels()
+            raw = w.readframes(n)
+        if width == 2:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 1:
+            samples = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        else:
+            raise NotImplementedError(f"{8 * width}-bit WAV not supported")
+        if nch > 1:
+            samples = samples.reshape(-1, nch).mean(axis=1)
+        return samples, sr
+    raise NotImplementedError(
+        f"audio decode for {media_type} requires soundfile/librosa"
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip waveform features (duration, RMS, zero-crossing rate) —
+    the audio analog of extract_image_features; decode failures
+    quarantine per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for ref, mtype, content in zip(
+                batch["media_ref"], batch["media_type"], batch["content"]
+            ):
+                try:
+                    samples, sr = decode_audio(bytes(content), mtype)
+                    zc = float(np.mean(np.abs(np.diff(np.signbit(samples)))))
+                    rows.append(
+                        {
+                            "media_ref": ref,
+                            "sample_rate": sr,
+                            "n_samples": len(samples),
+                            "duration_sec": round(len(samples) / sr, 4),
+                            "rms": round(float(np.sqrt(np.mean(samples**2))), 6),
+                            "zero_cross_rate": round(zc, 6),
+                            "status": "ok",
+                        }
+                    )
+                except NotImplementedError as exc:
+                    rows.append(
+                        {
+                            "media_ref": ref,
+                            "sample_rate": None,
+                            "n_samples": None,
+                            "duration_sec": None,
+                            "rms": None,
+                            "zero_cross_rate": None,
+                            "status": f"stub: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=(
+                    "media_ref sample_rate n_samples duration_sec rms "
+                    "zero_cross_rate status".split()
+                ),
+            )
+
+    return media.mapInPandas(
+        run,
+        schema="media_ref string, sample_rate int, n_samples int, "
+        "duration_sec double, rms double, zero_cross_rate double, status string",
+    )
