@@ -300,3 +300,59 @@ def audio_features(media: DataFrame) -> DataFrame:
         schema="media_ref string, sample_rate int, n_samples int, "
         "duration_sec double, rms double, zero_cross_rate double, status string",
     )
+
+
+def resize_images(media: DataFrame, max_side: int = 1000) -> DataFrame:
+    """Image resize as a first-class DataFrame op: decode (PNG/JPEG/npy)
+    → INTER_AREA keep-aspect resize → PNG re-encode, with the scale
+    factor as a column (the coordinate-rescale contract,
+    ResizeImageAndKeepAspectRatio.scala:10-47 + Scale aux output)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jochre3_ocr_spark.operators.contour_deskew import (
+            resize_area_keep_aspect,
+        )
+        from jochre3_ocr_spark.sources.png_codec import encode_png
+
+        for batch in batches:
+            rows = []
+            for ref, mtype, content in zip(
+                batch["media_ref"], batch["media_type"], batch["content"]
+            ):
+                try:
+                    img = T.decode_image(bytes(content))
+                    gray = T.grayscale(img)
+                    h, w = gray.shape[:2]
+                    out = resize_area_keep_aspect(gray, max_side, max_side)
+                    scale = out.shape[0] / h
+                    rows.append(
+                        {
+                            "media_ref": ref,
+                            "image": encode_png(out),
+                            "width": out.shape[1],
+                            "height": out.shape[0],
+                            "scale": round(float(scale), 6),
+                            "status": "ok",
+                        }
+                    )
+                except (NotImplementedError, ValueError) as exc:
+                    rows.append(
+                        {
+                            "media_ref": ref,
+                            "image": None,
+                            "width": None,
+                            "height": None,
+                            "scale": None,
+                            "status": f"error: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns="media_ref image width height scale status".split(),
+            )
+
+    return media.mapInPandas(
+        run,
+        schema="media_ref string, image binary, width int, height int, "
+        "scale double, status string",
+    )

@@ -244,6 +244,7 @@ class Document:
     blocks: list  # TextBlock | ComposedBlock | Media
     language: str | None = None  # page-level vote (Page.withLanguage)
     confidence: float = 0.0  # mean word confidence (Jochre.scala:365-386)
+    rotation: float = 0.0  # deskew angle (Page.rotation, Jochre.scala:381)
 
     @property
     def content(self) -> str:

@@ -178,14 +178,15 @@ def parse_alto(xml_text: str, doc_id: str | None = None) -> Document:
             fn = root.find(".//fileName")
         doc_id = (fn.text or "") if fn is not None else ""
     blocks: list = []
-    page_meta = {"language": None, "confidence": 0.0}
+    page_meta = {"language": None, "confidence": 0.0, "rotation": 0.0}
 
     def walk(el):
         tag = _strip_ns(el.tag)
         if tag == "Page":
-            # Page.fromXML reads LANG and PC (Page.scala:265-267)
+            # Page.fromXML reads LANG, PC and ROTATION (Page.scala:260-267)
             page_meta["language"] = el.get("LANG") or page_meta["language"]
             page_meta["confidence"] = float(el.get("PC") or 0.0)
+            page_meta["rotation"] = float(el.get("ROTATION") or 0.0)
             for c in el:
                 walk(c)
             return
@@ -214,6 +215,7 @@ def parse_alto(xml_text: str, doc_id: str | None = None) -> Document:
         blocks=blocks,
         language=page_meta["language"],
         confidence=page_meta["confidence"],
+        rotation=page_meta["rotation"],
     )
 
 
@@ -325,6 +327,8 @@ def emit_alto(
     }
     if doc.language:
         page_attrs["LANG"] = doc.language
+    if doc.rotation:
+        page_attrs["ROTATION"] = f"{round(doc.rotation, 2):g}"
     page = ET.SubElement(layout, "Page", page_attrs)
     ps = ET.SubElement(
         page,

@@ -102,3 +102,26 @@ def test_sample_frames_df_fan_out(spark):
     assert img.shape == (24, 32) and int(img[0, 0]) == 100
     v2 = [r for r in out if r.media_ref == "v2"]
     assert len(v2) == 1 and v2[0].status.startswith("stub:")
+
+
+def test_resize_images_df(spark):
+    from jochre3_ocr_spark.operators import transforms as T
+    from jochre3_ocr_spark.sources.png_codec import decode_png, encode_png
+
+    big = np.full((400, 200), 180, dtype=np.uint8)
+    small = np.full((50, 40), 90, dtype=np.uint8)
+    rows = [
+        ("big", "image/png", bytearray(encode_png(big))),
+        ("small", "image/npy", bytearray(T.encode_image(small))),
+        ("bad", "image/png", bytearray(b"nope")),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_ref string, media_type string, content binary"
+    )
+    out = {r.media_ref: r for r in M.resize_images(df, max_side=100).collect()}
+    b = out["big"]
+    assert (b.height, b.width) == (100, 50) and b.scale == 0.25
+    assert decode_png(bytes(b.image)).shape == (100, 50)
+    s = out["small"]  # under max side: unchanged, scale 1
+    assert (s.height, s.width) == (50, 40) and s.scale == 1.0
+    assert out["bad"].status.startswith("error:")
