@@ -109,3 +109,27 @@ def test_dehyphenate_total(bs):
     text = "\n".join("־".join(str(x) for x in b) for b in bs) + "־"
     out = dehyphenate(text, LEX)
     assert isinstance(out, str)
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_png_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from jochre3_ocr_spark.sources.png_codec import decode_png, encode_png
+
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@given(st.integers(min_value=1, max_value=50))
+@settings(max_examples=30, deadline=None)
+def test_pdf_page_count_property(n):
+    from jochre3_ocr_spark.sources.pdf import count_pdf_pages, make_test_pdf
+
+    assert count_pdf_pages(make_test_pdf(n)) == n
