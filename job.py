@@ -38,6 +38,13 @@ def main(argv=None) -> int:
     p.add_argument("--language", default="yi")
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=32)
+    p.add_argument(
+        "--formats",
+        default="spans",
+        help="comma list of output formats: spans,text,processed,alto4 "
+        "(OutputFormat.scala parity; extra formats write to "
+        "<output>_<format>)",
+    )
     args = p.parse_args(argv)
 
     from jochre3_ocr_spark.plans.pipeline import get_spark, run_job
@@ -75,6 +82,20 @@ def main(argv=None) -> int:
         config=config,
         salted=not args.no_salting,
     )
+    formats = [f.strip() for f in args.formats.split(",") if f.strip()]
+    extra = [f for f in formats if f != "spans"]
+    if extra:
+        from jochre3_ocr_spark.plans.pipeline import _finalize
+        from jochre3_ocr_spark.sources.sinks import write_alto, write_text
+
+        out = spark.read.parquet(args.output)
+        fin = _finalize(out) if "spans_json" in out.columns else out
+        if "text" in extra:
+            write_text(fin, args.output + "_text", column="text")
+        if "processed" in extra:
+            write_text(fin, args.output + "_processed", column="processed_text")
+        if "alto4" in extra:
+            write_alto(fin, args.output + "_alto4")
     elapsed = time.time() - t0
     print(
         json.dumps(

@@ -242,6 +242,30 @@ def load_lexicon(paths, simplify_entries: bool = True) -> "Lexicon":
             files.append(p)
     words: set[str] = set()
     for f in files:
+        if f.endswith(".zip"):
+            # TextFileLexicon.deserialize analog (TextFileLexicon.scala:
+            # 62-77): the reference zips a Java-serialized Set; the
+            # portable form here is a zip of *.txt word files
+            import io as _io
+            import zipfile
+
+            with zipfile.ZipFile(f) as zf:
+                for name in sorted(zf.namelist()):
+                    if name.endswith(".txt"):
+                        with zf.open(name) as fh:
+                            for line in _io.TextIOWrapper(fh, "utf-8"):
+                                if line.strip():
+                                    words.add(line.strip())
+            continue
         with open(f, encoding="utf-8") as fh:
             words.update(w.strip() for w in fh if w.strip())
     return Lexicon.from_words(words) if simplify_entries else Lexicon(frozenset(words))
+
+
+def serialize_lexicon(words, path: str) -> None:
+    """Zip-serialized lexicon (the portable analog of
+    TextFileLexicon.serialize): entries.txt inside a zip."""
+    import zipfile
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("entries.txt", "\n".join(sorted(words)) + "\n")

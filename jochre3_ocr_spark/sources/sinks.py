@@ -129,3 +129,34 @@ def fetch_images(urls_df: DataFrame, fetcher=None) -> DataFrame:
     return urls_df.mapInPandas(
         run, schema="doc_id string, url string, content binary, status string"
     )
+
+
+def write_alto(out_df: DataFrame, path: str) -> None:
+    """ALTO-4 sink over the pipeline's finalized output (doc_id, spans,
+    mean_confidence, language): rebuild the span tree per doc and emit
+    ALTO XML (OutputFormat.Alto4); one parquet row per document
+    (doc_id, alto_xml) — XML embeds newlines, so parquet not text."""
+    import pandas as pd
+
+    def run(batches):
+        from jochre3_ocr_spark.operators.spantree import parse_spans
+        from jochre3_ocr_spark.sources.alto_xml import emit_alto
+
+        for b in batches:
+            rows = []
+            for doc_id, spans, conf, lang in zip(
+                b["doc_id"], b["spans"], b["mean_confidence"], b["language"]
+            ):
+                tuples = [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in spans
+                ]
+                doc = parse_spans(doc_id, tuples)
+                doc.confidence = float(conf) if conf is not None else 0.0
+                doc.language = lang
+                rows.append({"doc_id": doc_id, "alto_xml": emit_alto(doc)})
+            yield pd.DataFrame(rows, columns=["doc_id", "alto_xml"])
+
+    out_df.select("doc_id", "spans", "mean_confidence", "language").mapInPandas(
+        run, schema="doc_id string, alto_xml string"
+    ).write.mode("overwrite").parquet(path)

@@ -144,3 +144,47 @@ def test_fetch_images_with_injected_fetcher(spark):
     assert out["a"].status == "ok"
     assert np.array_equal(decode_png(bytes(out["a"].content)), img)
     assert out["b"].content is None and out["b"].status.startswith("error:")
+
+
+def test_zip_lexicon_roundtrip(tmp_path):
+    from jochre3_ocr_spark.functions.lexicon import (
+        load_lexicon,
+        serialize_lexicon,
+    )
+
+    z = str(tmp_path / "lex.zip")
+    serialize_lexicon(["אבג", "דהו"], z)
+    lex = load_lexicon(z)
+    assert lex.get_frequency("אבג") == 1
+    assert lex.get_frequency("זזז") <= 0
+
+
+def test_write_alto_sink(spark, tmp_path):
+    from jochre3_ocr_spark.plans.pipeline import extract
+    from jochre3_ocr_spark.schema import DOCS_SCHEMA
+    from jochre3_ocr_spark.sources.corpus import generate_docs, lexicon_words
+    from jochre3_ocr_spark.sources.sinks import write_alto
+
+    rows = [
+        (
+            d["doc_id"],
+            [
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for k, t, m, o in d["spans"]
+            ],
+        )
+        for d in generate_docs(5)
+    ]
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    fin = extract(docs, lexicon_words(), materialize_spans=True)
+    outp = str(tmp_path / "alto_out")
+    write_alto(fin, outp)
+    back = spark.read.parquet(outp)
+    assert back.count() == 5
+    xml = back.orderBy("doc_id").first().alto_xml
+    assert xml.startswith("<?xml") and "PC=" in xml and "TextBlock" in xml
+    # and the XML parses back into the same doc_id
+    from jochre3_ocr_spark.sources.alto_xml import parse_alto
+
+    doc = parse_alto(xml)
+    assert doc.doc_id == back.orderBy("doc_id").first().doc_id
