@@ -287,12 +287,29 @@ def _alternatives_for(
     return out
 
 
+def _alternatives_cached(content: str, lexicon: Lexicon, hyphenated: bool):
+    """Per-lexicon memo: the alternatives of a CONTENT string are pure in
+    (content, lexicon, hyphenated), and Zipfian corpora repeat words
+    heavily — the cache lives on the Lexicon (stable per worker)."""
+    cache = getattr(lexicon, "_alt_cache", None)
+    if cache is None:
+        cache = {}
+        lexicon._alt_cache = cache
+    key = (content, hyphenated)
+    hit = cache.get(key)
+    if hit is None:
+        hit = frozenset(_alternatives_for(content, lexicon, hyphenated))
+        if len(cache) < 262144:
+            cache[key] = hit
+    return hit
+
+
 def add_alternatives_rule(doc: Document, lexicon: Lexicon) -> None:
     """AltoTransformer.addStringAlternatives (core/alto/AltoTransformer.scala:62-67)
     + Yiddish getAlternatives: merge, dedupe, canonical (purpose, content) sort."""
     for word in iter_words(doc):
-        alts = _alternatives_for(word.content, lexicon, hyphenated=False)
+        alts = set(_alternatives_cached(word.content, lexicon, False))
         if word.subs_content:
-            alts |= _alternatives_for(word.subs_content, lexicon, hyphenated=True)
+            alts |= _alternatives_cached(word.subs_content, lexicon, True)
         merged = alts | set(word.alternatives)
         word.alternatives = sorted(merged)
