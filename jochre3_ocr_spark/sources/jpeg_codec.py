@@ -12,13 +12,11 @@ Implementation notes:
   code length resolved in one lookup), over a bit-reader backed by the
   byte-destuffed scan (0xFF00 → 0xFF), with restart-marker support.
 * Dequantize + inverse zigzag + 2-D IDCT run VECTORIZED over all
-  blocks at once (einsum with the 8×8 DCT-III basis) — the only
-  per-block Python is the Huffman symbol loop.
+  blocks at once (two BLAS matmuls with the 8×8 DCT-III basis) — the
+  only per-block Python is the Huffman symbol loop.
 """
 
 from __future__ import annotations
-
-import struct
 
 import numpy as np
 
@@ -527,24 +525,20 @@ def _progressive_scan(
                 n_mcu += 1
         return
 
-    # AC scan: exactly one component, non-interleaved raster over its blocks
+    # AC scan: exactly one component, non-interleaved raster over its
+    # blocks. The allocation grid (mcus × sampling factor) equals the
+    # component's true block grid for the max-sampled component and
+    # over-allocates for subsampled ones; iterating the allocation grid
+    # decodes in the same order either way for the 4:4:4 and 4:2:0
+    # layouts supported here.
     assert len(sel) == 1, "AC scans are single-component"
     cid, _td, ta = sel[0]
-    ch, cv, _tq = info[cid]
-    # non-interleaved block grid = ceil(comp_size/8)
-    # (equals bw/bh when sampling is 1×1; smaller otherwise)
-    comp_w = (  # ceil(w*ch/hmax)
-        (bw[cid] * 8)  # allocation width in px
-    )
-    nbx = (min(comp_w, _ceil_div_comp(bw, bh)) if False else None)
-    # allocation grid is mcus*factor; the true block count:
-    del comp_w, nbx
     lut = huff_ac[ta].lut
     arr = coef[cid]
     bit = 1 << al
     n_blk = 0
-    true_bx = _true_blocks_x(info, cid, bw, hmax)
-    true_by = _true_blocks_y(info, cid, bh, vmax)
+    true_bx = bw[cid]
+    true_by = bh[cid]
     for by in range(true_by):
         for bx in range(true_bx):
             if restart_interval and n_blk and n_blk % restart_interval == 0:
@@ -610,13 +604,3 @@ def _progressive_scan(
                             row[k] = c + (bit if c > 0 else -bit)
                         k += 1
                     eobrun -= 1
-
-
-def _true_blocks_x(info, cid, bw, hmax):
-    # the component's real block count per row: ceil(comp_width/8) where
-    # the allocation width is bw*8 px at the component's resolution
-    return bw[cid] if hmax == info[cid][0] else bw[cid]
-
-
-def _true_blocks_y(info, cid, bh, vmax):
-    return bh[cid] if vmax == info[cid][1] else bh[cid]
