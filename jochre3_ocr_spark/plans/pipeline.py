@@ -512,7 +512,12 @@ def run_job(
     if stale and os.path.isdir(stale):
         shutil.rmtree(stale, ignore_errors=True)
 
-    docs = spark.read.parquet(input_path)
+    # "table:NAME" reads a catalog table (Iceberg / bucketed-parquet,
+    # sources/catalog.py); anything else is a parquet path
+    if input_path.startswith("table:"):
+        docs = spark.table(input_path[len("table:"):])
+    else:
+        docs = spark.read.parquet(input_path)
     try:
         done = spark.read.parquet(output_path).select("doc_id").distinct()
         todo = docs.join(done, "doc_id", "left_anti")

@@ -57,3 +57,19 @@ def test_iceberg_builder_conf_shape():
     b = C.iceberg_builder_conf(FakeBuilder(), "/tmp/wh")
     assert b.conf["spark.sql.catalog.graft.type"] == "hadoop"
     assert "IcebergSparkSessionExtensions" in b.conf["spark.sql.extensions"]
+
+
+def test_run_job_reads_catalog_table(spark, docs_table, tmp_path):
+    """run_job over a catalog table ("table:NAME") — the Iceberg-contract
+    input path; resumable like the parquet path."""
+    from jochre3_ocr_spark.plans.pipeline import run_job
+    from jochre3_ocr_spark.sources.corpus import lexicon_words
+
+    outp = str(tmp_path / "table_out")
+    n = run_job(spark, f"table:{docs_table}", outp, lexicon_words())
+    assert n == 64
+    # resume: no new docs
+    n2 = run_job(spark, f"table:{docs_table}", outp, lexicon_words())
+    assert n2 == 64
+    got = spark.read.parquet(outp)
+    assert got.count() == 64 and got.select("doc_id").distinct().count() == 64
