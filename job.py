@@ -56,6 +56,20 @@ def main(argv=None) -> int:
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
+    # under spark-submit the in-code driver-memory config cannot apply
+    # (the JVM pre-exists); a 1g default heap OOMs large corpora at
+    # local[32] — tell the operator instead of failing mid-job
+    max_heap = int(
+        spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    )
+    n_threads = spark.sparkContext.defaultParallelism
+    if max_heap < n_threads * 192 * 1024 * 1024:
+        print(
+            f"WARNING: driver heap {max_heap >> 20} MiB is small for "
+            f"{n_threads} local executor threads — pass --driver-memory 8g "
+            f"to spark-submit (in-code config cannot resize a running JVM)",
+            file=sys.stderr,
+        )
     if args.generate:
         corpus.docs_df(spark, args.generate).write.mode("overwrite").parquet(
             args.input

@@ -74,7 +74,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         # local[N] runs all executor threads in the driver JVM: the 1g
-        # default heap GC-thrashes under 32 threads of string churn
+        # default heap OOMs ≥100k docs under 32 threads of string churn.
+        # NOTE: this in-code setting only applies when PYTHON launches the
+        # JVM (pytest / `python bench.py`). Under spark-submit the JVM
+        # pre-exists — pass `--driver-memory 8g` or export
+        # SPARK_DRIVER_MEMORY=8g (both honored by spark-submit itself).
         .config(
             "spark.driver.memory",
             os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
@@ -97,6 +101,17 @@ def get_spark(
         .config(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
         )
+        # parquet writers buffer a full row group PER TASK before flushing;
+        # at 32 local threads the 128 MB default can pin ~4 GB of heap on
+        # wide span rows (measured: 100k-doc job OOMs an 8 GB driver).
+        # 32 MB keeps scan parallelism fine at these file sizes.
+        .config("spark.hadoop.parquet.block.size", str(32 * 1024 * 1024))
+        # the vectorized reader materializes 4096 rows per batch by
+        # default; span rows average ~200 struct elements (giants 40k+),
+        # so a batch can hit tens of MB PER TASK — the measured OOM site
+        # at 100k docs (FileScanRDD.hasNext). 512 bounds scan memory 8×
+        # with no measurable throughput cost on this row shape.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
     )
     if master:
         builder = builder.master(master)
