@@ -51,12 +51,20 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "ann_cosine_topk",
         "text_quality",
     ]
+    # min-of-N per query: this box takes EXTERNAL load spikes (load avg
+    # 1→17 with no local processes, BENCH.md round 2) — a single shot can
+    # read 20% slow through no fault of the engine
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(1, repeats)):
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
 
     # end-to-end extraction throughput on the synthesized corpus at this sf
     from jochre3_ocr_spark.plans.pipeline import extract_with_salting
