@@ -171,6 +171,51 @@ def _unit_vec(vec_col: str):
     return F.transform(v, lambda x: x / norm)
 
 
+def kmeans_centroids_sampled(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Sample-trained spherical k-means — the practical 100 TB quantizer:
+    train on a deterministic sample (lowest ``sample_size`` ids, one
+    collect), Lloyd's in numpy on the driver, then the caller assigns the
+    FULL corpus distributed (assign_cells). Farthest-first init, same
+    semantics as the all-distributed variant but one Spark job instead of
+    k+iters."""
+    import numpy as np
+
+    rows = (
+        df.orderBy(id_col)
+        .limit(sample_size)
+        .select(_unit_vec(vec_col).alias("v"))
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    # farthest-first init
+    cents = [x[0]]
+    d2 = ((x - cents[0]) ** 2).sum(axis=1)
+    while len(cents) < k:
+        i = int(np.argmax(d2))  # ties: lowest index (argmax first-max)
+        cents.append(x[i])
+        d2 = np.minimum(d2, ((x - cents[-1]) ** 2).sum(axis=1))
+    c = np.stack(cents)
+    for _ in range(iters):
+        dists = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = dists.argmin(axis=1)
+        new_c = c.copy()
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                new_c[j] = members.mean(axis=0)
+        if np.array_equal(new_c, c):
+            break
+        c = new_c
+    return [list(map(float, row)) for row in c]
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int = 8,
@@ -321,15 +366,23 @@ def ivf_kmeans_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_size: int | None = 4096,
 ) -> DataFrame:
     """IVF top-k over k-means cells (the production coarse quantizer;
     ivf_topk's first-K-vectors centroids are the degenerate fallback).
     Same pruned plan: the scoring join carries (pos, cell). Queries
     multi-probe their ``n_probe`` nearest cells (recall knob: probe cost
-    scales linearly, still |n_probe·cell| ≪ |corpus|)."""
+    scales linearly, still |n_probe·cell| ≪ |corpus|). The quantizer
+    trains on a deterministic sample by default (one Spark job);
+    ``sample_size=None`` trains all-distributed (k+iters passes)."""
     from pyspark.sql.window import Window
 
-    centroids = kmeans_centroids(df, n_cells, kmeans_iters, id_col, vec_col)
+    if sample_size:
+        centroids = kmeans_centroids_sampled(
+            df, n_cells, kmeans_iters, sample_size, id_col, vec_col
+        )
+    else:
+        centroids = kmeans_centroids(df, n_cells, kmeans_iters, id_col, vec_col)
     assign = assign_cells(df, centroids, id_col, vec_col)
     q_assign = assign_cells(df, centroids, id_col, vec_col, n_probe=n_probe)
 
