@@ -104,8 +104,9 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                 batch["height"],
             ):
                 try:
-                    if mtype not in ("image/npy", "image/png"):
-                        # audio/video decode genuinely needs external libs
+                    if mtype not in ("image/npy", "image/png", "image/jpeg"):
+                        # non-image payloads route to audio_features /
+                        # sample_frames_df instead
                         raise NotImplementedError(
                             f"decode for {mtype} not available in this container"
                         )

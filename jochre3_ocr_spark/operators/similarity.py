@@ -338,21 +338,12 @@ def assign_cells(
             ).alias("cell", "d"),
         )
     )
-    if n_probe <= 1:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("vid").orderBy(F.asc("d"), F.asc("cell"))
-        return (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select("vid", "cell")
-        )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("vid").orderBy(F.asc("d"), F.asc("cell"))
     return (
         dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_probe)
+        .filter(F.col("rn") <= max(1, n_probe))
         .select("vid", "cell")
     )
 
