@@ -356,6 +356,78 @@ FROM mh
 GROUP BY doc_id
 """
 
+# SimHash near-dup pairs (operators/dedup.simhash_neardup_pairs): 32-bit
+# signature, 4×8-bit bands (pigeonhole: hamming ≤ 1 ⇒ ≥3 identical bands),
+# bucket-join then bit_count(xor) verify — banded, not all-pairs.
+_Q_SIMHASH_ND_SPARK = """
+WITH toks AS (
+  SELECT CAST(doc_id AS STRING) AS doc_id, token
+  FROM documents
+  LATERAL VIEW explode(array_distinct(filter(split(text, ' '), x -> x <> '')))
+    x AS token
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(CASE WHEN substr(md5(token), b + 1, 1)
+                                 IN ('8','9','a','b','c','d','e','f')
+                            THEN 1 ELSE -1 END) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM toks CROSS JOIN (SELECT explode(sequence(0, 31)) AS b)
+  GROUP BY doc_id, b
+),
+sigs AS (
+  SELECT doc_id, sum(bit * CAST(pow(2, b) AS BIGINT)) AS simhash
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, band,
+         shiftright(simhash, band * 8) & 255 AS band_val
+  FROM sigs LATERAL VIEW explode(sequence(0, 3)) x AS band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         a.simhash AS s1, b.simhash AS s2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, CAST(bit_count(s1 ^ s2) AS INT) AS hamming
+FROM cand WHERE bit_count(s1 ^ s2) <= 1
+"""
+_Q_SIMHASH_ND_DUCK = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(list_distinct(list_filter(string_split(text, ' '),
+                                          x -> x <> ''))) AS token
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(CASE WHEN substr(md5(token), b + 1, 1)
+                                 IN ('8','9','a','b','c','d','e','f')
+                            THEN 1 ELSE -1 END) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM toks CROSS JOIN range(0, 32) r(b)
+  GROUP BY doc_id, b
+),
+sigs AS (
+  SELECT doc_id, CAST(sum(bit * CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * 8)) & 255 AS band_val
+  FROM sigs CROSS JOIN range(0, 4) rb(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         a.simhash AS s1, b.simhash AS s2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= 1
+"""
+
 # MinHash LSH banding (operators/dedup.minhash_lsh_candidates): 8 min-hashes
 # in 4 bands of 2; docs sharing any band hash become candidate pairs —
 # the bucketed (non-all-pairs) 100 TB dedup shape.
@@ -1299,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dehyphenate_corpus": _dehyphenate_corpus,
         "word_frequency_corpus": _word_frequency_corpus,
         "dedup_minhash_lsh": _sql(_Q_LSH_SPARK),
+        "dedup_simhash_neardup": _sql(_Q_SIMHASH_ND_SPARK),
         "pdf_page_scan": _pdf_page_scan,
         "token_counts_bpe": _token_counts_bpe,
         "ann_ivf_kmeans_topk": _ann_ivf_kmeans_topk,
@@ -1337,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _Q_IVF_DUCK,
         "dedup_embedding_neardup": _Q_EMB_NEARDUP_DUCK,
         "dedup_minhash_lsh": _Q_LSH_DUCK,
+        "dedup_simhash_neardup": _Q_SIMHASH_ND_DUCK,
         "token_counts_bpe": _Q_BPE_DUCK,
         # rows-only (non-SQL semantics): ocr_layout_end_to_end,
         # media_image_features, dehyphenate_corpus, word_frequency_corpus,

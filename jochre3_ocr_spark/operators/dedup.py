@@ -236,3 +236,56 @@ def simhash(
             "simhash"
         )
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 2,
+    bits: int = 16,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band the signature (pigeonhole —
+    hamming ≤ max_hamming over n_bands > max_hamming bands guarantees at
+    least one identical band), bucket-join on (band, band_value), verify
+    with bit_count(s1 XOR s2). The banded join is the 100 TB shape: no
+    all-pairs, candidates ∝ bucket sizes.
+    Returns (doc1, doc2, hamming)."""
+    assert n_bands > max_hamming, "pigeonhole needs n_bands > max_hamming"
+    band_bits = bits // n_bands
+    sig = simhash(df, id_col, text_col, bits)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftright(simhash, band * {band_bits}) & {(1 << band_bits) - 1}"
+        ),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )

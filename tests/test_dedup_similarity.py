@@ -202,3 +202,39 @@ def test_ivf_multiprobe_recall_monotone(spark, embeddings):
         recalls.append(len(exact & a) / len(exact))
     assert recalls[0] <= recalls[1]
     assert recalls[1] == 1.0  # probing every cell is exhaustive
+
+
+def test_simhash_neardup_matches_sql(spark, documents):
+    from jochre3_ocr_spark.operators.dedup import simhash_neardup_pairs
+
+    api = simhash_neardup_pairs(documents, max_hamming=1, bits=32, n_bands=4)
+    sql = E.queries()["dedup_simhash_neardup"](spark, SF_DIR)
+    assert rows(api) == rows(sql)
+
+
+def test_simhash_neardup_pigeonhole_complete(spark):
+    """With n_bands > max_hamming the banding loses NOTHING: the banded
+    result equals the brute-force all-pairs hamming filter."""
+    from pyspark.sql import functions as F
+
+    from jochre3_ocr_spark.operators.dedup import simhash, simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    banded = {
+        (r.doc1, r.doc2)
+        for r in simhash_neardup_pairs(docs, max_hamming=1, bits=32).collect()
+    }
+    sig = simhash(docs, bits=32)
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r.doc1, r.doc2)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h"),
+        )
+        .filter("h <= 1")
+        .collect()
+    }
+    assert banded == brute
