@@ -104,3 +104,18 @@ def test_bpe_token_counts_stays_jvm_side(spark):
     plan = _plan(bpe_token_counts(docs))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "*(" in plan  # whole-stage-codegen span over the scan
+
+
+def test_q5_broadcasts_small_dimensions(spark):
+    """q5's region/nation/supplier dims are broadcast (no shuffle on the
+    small side) — 'broadcast small dims' at any scale; lineitem, the fact
+    side, must not be broadcast."""
+    import __spark_entry__ as em
+
+    df = em.queries()["q5_local_supplier_volume"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the fact table is never the build side of a broadcast
+    for line in plan.splitlines():
+        if "BroadcastExchange" in line:
+            assert "lineitem" not in line
