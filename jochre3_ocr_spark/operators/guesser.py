@@ -231,6 +231,12 @@ def _select_best(
 ):
     """WordWithBeam.selectBestGuess (:125-143)."""
     if isinstance(item, Word) and beam:
+        if len(beam) == 1:  # identity-oracle fast path: nothing to sort
+            _apply_guess(
+                item, rescore_guess(beam[0], lexicon, unknown_word_factor),
+                "none", None,
+            )
+            return item
         rescored = rescore_beam(beam, lexicon, unknown_word_factor)
         _apply_guess(item, rescored[0], "none", None)
     return item
@@ -280,6 +286,12 @@ def guess_document(
                     _select_best(item, beam, lexicon, uwf)
             continue
 
+        def finish_all(guesses, skip_first_select: bool):
+            for j, (item, beam) in enumerate(guesses):
+                if j == 0 and skip_first_select:
+                    continue  # already guessed via previous line's pair
+                _select_best(item, beam, lexicon, uwf)
+
         carry: Word | None = None  # pre-guessed first word of this line
         carried_flags: list[bool] = [False] * len(lines_with_beams)
         for idx, (line, guesses) in enumerate(lines_with_beams):
@@ -287,12 +299,6 @@ def guess_document(
             carried = carry is not None
             carry_word = carry
             carry = None
-
-            def finish_all(guesses, skip_first_select: bool):
-                for j, (item, beam) in enumerate(guesses):
-                    if j == 0 and skip_first_select:
-                        continue  # already guessed via previous line's pair
-                    _select_best(item, beam, lexicon, uwf)
 
             if nxt is None:
                 finish_all(guesses, carried)
