@@ -60,53 +60,90 @@ def _extract_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.selectExpr("doc_id", "n_spans", "n_words")
 
 
-def _extract_yiddish_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extraction with the confusion glyph classifier: non-trivial beams,
-    lexicon rescoring deciding the argmax (rows-only; pinned by
-    tests/test_pipeline_spark.py::test_extract_with_beam_confusions...)."""
-    from jochre3_ocr_spark.plans.pipeline import extract
-    from jochre3_ocr_spark.schema import DOCS_SCHEMA, PipelineConfig
-    from jochre3_ocr_spark.sources.corpus import generate_docs, lexicon_words
+# 16 "inert" Hebrew consonants: outside every simplify digraph/rewrite
+# class (no ו/י/א, no ה/ע/פ to_yivo edit letters, no final forms), so
+# translate()-ing the driver's [a-z ] corpus through them yields genuine
+# Yiddish-script text whose full-pipeline output is INDEPENDENTLY
+# derivable in SQL — the technique that upgrades the Yiddish-path
+# queries from rows-only to oracle-checked. ב/ד/ח are deliberately kept:
+# they are keys of the deterministic glyph-confusion table, making the
+# beam variant's search non-trivial while 1-char→1-char substitutions
+# keep every length/count column invariant.
+_YID_ALEPH = "בגדזחטכלמנסצקרשת"
+_FROM26 = "abcdefghijklmnopqrstuvwxyz"
+_TO26 = (_YID_ALEPH * 2)[:26]
 
-    rows = [
-        (
-            d["doc_id"],
-            [
-                {"kind": k, "text": t, "media_ref": m, "offset": o}
-                for k, t, m, o in d["spans"]
-            ],
-        )
-        for d in generate_docs(100)
-    ]
-    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
-    out = extract(docs, lexicon_words(), config=PipelineConfig(glyph_confusions=True))
+
+def _yiddish_docs(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as SF
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        SF.col("doc_id").cast("string").alias("doc_id"),
+        SF.translate("text", _FROM26, _TO26).alias("text"),
+    )
+
+
+def _extract_yiddish_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction with the confusion glyph classifier over the
+    Yiddish-translated driver corpus: non-trivial beams + lexicon
+    rescoring. Confusions are 1-char→1-char (guesser.CONFUSION_TABLE),
+    so n_words/n_spans/char counts are beam-invariant and SQL-derivable;
+    the beam ARGMAX itself is pinned by
+    tests/test_pipeline_spark.py (confusion vectors)."""
+    from jochre3_ocr_spark.plans.pipeline import extract_text_df
+    from jochre3_ocr_spark.schema import PipelineConfig
+    from jochre3_ocr_spark.sources.corpus import lexicon_words
+
+    out = extract_text_df(
+        _yiddish_docs(spark, sf_dir),
+        lexicon_words(),
+        config=PipelineConfig(glyph_confusions=True),
+    )
     return out.selectExpr(
-        "doc_id", "n_words", "status", "length(processed_text) AS n_chars"
+        "doc_id", "n_spans", "n_words", "status",
+        "length(processed_text) AS n_chars",
     )
 
 
 def _extract_yiddish_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full Yiddish pipeline (beam + hyphenation + ALTO rules) over the
-    synthesized corpus — semantics not SQL-expressible (rows-only check);
-    pinned instead by tests/ against the pure-Python oracle."""
-    from jochre3_ocr_spark.plans.pipeline import extract_with_salting
-    from jochre3_ocr_spark.schema import DOCS_SCHEMA
-    from jochre3_ocr_spark.sources.corpus import generate_docs, lexicon_words
+    """Full Yiddish pipeline over the translated driver corpus, through
+    the SALTED skew path (giant_threshold=600 routes the top ~7% of docs
+    down the chunk-split → repartition → reassemble branch): beam + ALTO
+    rules + reassembly, oracle-checked down to the exact processed text.
+    The hyphenation/number/punctuation rules (inert on this corpus) are
+    pinned by tests/test_rules.py and tests/test_pipeline_spark.py."""
+    import pandas as pd
 
-    rows = [
-        (
-            d["doc_id"],
-            [
-                {"kind": k, "text": t, "media_ref": m, "offset": o}
-                for k, t, m, o in d["spans"]
-            ],
-        )
-        for d in generate_docs(120)
-    ]
-    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
-    out = extract_with_salting(docs, lexicon_words(), giant_threshold=2000)
+    from jochre3_ocr_spark.plans.pipeline import (
+        extract_with_salting,
+        text_to_spans,
+    )
+    from jochre3_ocr_spark.schema import DOCS_SCHEMA
+    from jochre3_ocr_spark.sources.corpus import lexicon_words
+
+    def to_spans(batches):
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "spans": [
+                            {"kind": k, "text": t, "media_ref": m, "offset": o}
+                            for k, t, m, o in text_to_spans(text)
+                        ],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    span_docs = _yiddish_docs(spark, sf_dir).mapInPandas(
+        to_spans, schema=DOCS_SCHEMA
+    )
+    out = extract_with_salting(span_docs, lexicon_words(), giant_threshold=600)
     return out.selectExpr(
-        "doc_id", "n_spans", "n_words", "status", "length(processed_text) AS n_chars"
+        "doc_id", "n_spans", "n_words", "status", "processed_text",
+        "round(mean_confidence, 4) AS mean_conf",
     )
 
 
@@ -131,6 +168,68 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ')
          AS processed_text
 FROM documents
+"""
+
+# Yiddish-path oracles: same invariants, over translate()-mapped text.
+# mean_conf is the engine's unknown-word lexicon rescoring factor 0.5
+# (FullSegmentationGuesser.scala unknownWordFactor) — constant because
+# every mapped word is outside the Yiddish lexicon (the 16-letter
+# alphabet excludes every vowel letter the lexicon's entries contain).
+_ORACLE_YIDDISH_CORPUS = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(translate(text, '{_FROM26}', '{_TO26}'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1 + 2 * len(t) + list_sum(list_transform(t, x -> length(x)))
+            AS INTEGER) AS n_spans,
+       CAST(len(t) AS INTEGER) AS n_words,
+       'ok' AS status,
+       array_to_string(t, ' ') AS processed_text,
+       CAST(0.5 AS DOUBLE) AS mean_conf
+FROM toks
+"""
+
+_ORACLE_YIDDISH_BEAM = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(translate(text, '{_FROM26}', '{_TO26}'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1 + 2 * len(t) + list_sum(list_transform(t, x -> length(x)))
+            AS INTEGER) AS n_spans,
+       CAST(len(t) AS INTEGER) AS n_words,
+       'ok' AS status,
+       CAST(len(t) - 1 + list_sum(list_transform(t, x -> length(x)))
+            AS INTEGER) AS n_chars
+FROM toks
+"""
+
+# vision-path oracle: ocr_documents lays words out 4/line, 3 lines/block
+# (12 words per block), blocks joined with "\\n" in processedContent
+# (TextBlock.scala:94-124, Page.scala:156-166); n_spans counts
+# block+line+word+space+glyph nodes = blocks + 2W + G.
+_ORACLE_OCR_E2E = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(translate(text, '{_FROM26}', '{_TO26}'), ' '),
+                     x -> x <> '') AS t
+  FROM documents WHERE doc_id < 120
+)
+SELECT doc_id,
+       CAST(ceil(ceil(len(t) / 4.0) / 3.0) + 2 * len(t)
+            + list_sum(list_transform(t, x -> length(x))) AS INTEGER) AS n_spans,
+       CAST(len(t) AS INTEGER) AS n_words,
+       'ok' AS status,
+       array_to_string(
+         list_transform(range(1, CAST(ceil(len(t) / 12.0) AS BIGINT) + 1),
+                        g -> array_to_string(t[(g-1)*12+1 : g*12], ' ')),
+         chr(10)) AS processed_text
+FROM toks
 """
 
 # --------------------------------------------------------------------------
@@ -901,21 +1000,79 @@ FROM counts
 
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal path: binary image columns -> decode -> grayscale ->
-    ink stats + skew estimate (operators/multimodal.py). Geometry/vision
-    semantics, rows-only check; pinned by tests/test_transforms.py."""
-    from jochre3_ocr_spark.operators.multimodal import (
-        extract_image_features,
-        synthesize_media_df,
+    """Multimodal path: binary image columns → PNG decode → grayscale →
+    ink stats (operators/multimodal.extract_image_features). Images are
+    synthesized per driver doc (top ``n_chars % h`` rows black), so
+    ink_ratio and mean_intensity are closed-form in SQL — the whole
+    encode→decode→feature chain is oracle-checked. Skew estimation stays
+    under skew_eval_stats (vision tolerance, rows-only)."""
+    import numpy as np
+    import pandas as pd
+
+    from jochre3_ocr_spark.operators.multimodal import extract_image_features
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 40")
+        .select("doc_id", "n_chars")
     )
 
-    media = synthesize_media_df(spark, 40)
+    def gen(batches):
+        from jochre3_ocr_spark.sources.png_codec import encode_png
+
+        for b in batches:
+            rows = []
+            for doc_id, n_chars in zip(b["doc_id"], b["n_chars"]):
+                n = int(n_chars)
+                h, w = 24 + n % 13, 24 + n % 17
+                k = n % h
+                img = np.full((h, w), 255, dtype=np.uint8)
+                img[:k, :] = 0
+                rows.append(
+                    {
+                        "media_ref": f"img://doc/{int(doc_id)}",
+                        "media_type": "image/png",
+                        "content": encode_png(img),
+                        "width": w,
+                        "height": h,
+                        "n_frames": 1,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns="media_ref media_type content width height n_frames".split(),
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        schema="media_ref string, media_type string, content binary, "
+        "width int, height int, n_frames int",
+    )
     out = extract_image_features(media)
     return out.selectExpr(
         "media_ref", "width", "height",
-        "round(ink_ratio, 4) AS ink_ratio",
-        "round(skew_deg, 2) AS skew_deg", "status",
+        "round(ink_ratio, 6) AS ink_ratio",
+        "round(mean_intensity, 4) AS mean_intensity",
+        "status",
     )
+
+
+_Q_MEDIA_IMAGE_DUCK = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         24 + n_chars % 13 AS h,
+         24 + n_chars % 17 AS w,
+         n_chars % (24 + n_chars % 13) AS k
+  FROM documents WHERE doc_id < 40
+)
+SELECT 'img://doc/' || did AS media_ref,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       round(CAST(k * w AS DOUBLE) / (h * w), 6) AS ink_ratio,
+       round(CAST(255 * (h - k) * w AS DOUBLE) / (h * w), 4) AS mean_intensity,
+       'ok' AS status
+FROM d
+"""
 
 
 
@@ -1037,31 +1194,28 @@ FROM pair WHERE cos > 0.3
 
 
 def _dehyphenate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Standalone dehyphenation over the synthesized Yiddish corpus text
-    (the /dehyphenate API operator, YiddishDehyphenator.scala:24-137) —
-    rows-only (lexicon-driven semantics)."""
+    """Standalone dehyphenation (the /dehyphenate API operator,
+    YiddishDehyphenator.scala:24-137) over the driver corpus with
+    deterministic maqaf line breaks injected JVM-side (every word longer
+    than 4 chars splits after its 3rd char). With an empty lexicon every
+    4-branch decision lands on "drop the hyphen", so the exact restored
+    text is SQL-derivable; the lexicon-driven keep/drop branches are
+    pinned by tests/test_dehyphenate.py."""
     import pandas as pd
 
-    from jochre3_ocr_spark.plans.pipeline import (
-        _get_worker_lexicon,
-        extract,
-    )
-    from jochre3_ocr_spark.schema import DOCS_SCHEMA
-    from jochre3_ocr_spark.sources.corpus import generate_docs, lexicon_words
+    from pyspark.sql import functions as SF
 
-    rows = [
-        (
-            d["doc_id"],
-            [
-                {"kind": k, "text": t, "media_ref": m, "offset": o}
-                for k, t, m, o in d["spans"]
-            ],
-        )
-        for d in generate_docs(80)
-    ]
-    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
-    extracted = extract(docs, lexicon_words())
-    bc = spark.sparkContext.broadcast(lexicon_words())
+    from jochre3_ocr_spark.plans.pipeline import _get_worker_lexicon
+
+    hyph = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        SF.col("doc_id").cast("string").alias("doc_id"),
+        SF.expr(
+            "array_join(transform(filter(split(text, ' '), x -> x != ''), "
+            "x -> IF(length(x) > 4, "
+            "concat(substr(x, 1, 3), '־\\n', substr(x, 4)), x)), ' ')"
+        ).alias("text"),
+    )
+    bc = spark.sparkContext.broadcast([])
 
     def run(batches):
         from jochre3_ocr_spark.functions.dehyphenate import dehyphenate
@@ -1071,55 +1225,97 @@ def _dehyphenate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": b["doc_id"],
-                    "dehyphenated_len": [
-                        len(dehyphenate(t or "", lex)) for t in b["text"]
-                    ],
-                    "n_breaks_in": [
-                        (t or "").count("\n") for t in b["text"]
+                    "dehyphenated": [dehyphenate(t or "", lex) for t in b["text"]],
+                    "n_lines_in": [
+                        (t or "").count("\n") + 1 for t in b["text"]
                     ],
                 }
             )
 
-    return extracted.select("doc_id", "text").mapInPandas(
-        run, schema="doc_id string, dehyphenated_len int, n_breaks_in int"
+    return hyph.mapInPandas(
+        run, schema="doc_id string, dehyphenated string, n_lines_in int"
     )
 
 
 def _word_frequency_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """word-in-lexicon + standardize-words API operators
+    """Distributed vocabulary build (explode → groupBy count) + the
+    word-in-lexicon / standardize-words API operators
     (api/.../AnalysisApp.scala:158-176, Lexicon.getFrequency /
-    standardize) over the corpus vocabulary — rows-only."""
+    Lexicon.standardize). The lexicon is built FROM the corpus (every
+    translated word of length ≥ 5), so membership is non-trivial and
+    SQL-derivable; to_yivo's repair-candidate search provably returns
+    the identity here (candidate edits either shorten below 5 or insert
+    diacritics no entry contains)."""
     import pandas as pd
 
-    from jochre3_ocr_spark.plans.pipeline import _get_worker_lexicon
-    from jochre3_ocr_spark.sources.corpus import (
-        KNOWN_WORDS,
-        NUMBER_WORDS,
-        UNKNOWN_WORDS,
-        VARIANT_SPELLINGS,
-        lexicon_words,
-    )
+    from pyspark.sql import functions as SF
 
-    words = list(KNOWN_WORDS) + list(UNKNOWN_WORDS) + list(VARIANT_SPELLINGS) + list(NUMBER_WORDS)
-    bc = spark.sparkContext.broadcast(lexicon_words())
-    df = spark.createDataFrame([(w,) for w in words], "word string")
+    from jochre3_ocr_spark.plans.pipeline import _get_worker_lexicon
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (
+        docs.select(SF.explode(SF.split("text", " ")).alias("word"))
+        .filter("word != ''")
+        .groupBy("word")
+        .agg(SF.count("*").alias("word_count"))
+    )
+    long_words = [
+        r["w"]
+        for r in words.selectExpr(
+            f"translate(word, '{_FROM26}', '{_TO26}') AS w"
+        )
+        .filter(SF.length("w") >= 5)
+        .distinct()
+        .collect()
+    ]
+    bc = spark.sparkContext.broadcast(long_words)
+    trans = str.maketrans(_FROM26, _TO26)
 
     def run(batches):
         lex = _get_worker_lexicon(bc)
         for b in batches:
+            yid = [w.translate(trans) for w in b["word"]]
             yield pd.DataFrame(
                 {
                     "word": b["word"],
-                    "frequency": [lex.get_frequency(w) for w in b["word"]],
-                    "standardized": [lex.to_yivo(w) for w in b["word"]],
+                    "word_count": b["word_count"],
+                    "frequency": [lex.get_frequency(w) for w in yid],
+                    "standardized": [lex.to_yivo(w) for w in yid],
                 }
             )
 
-    return df.mapInPandas(
-        run, schema="word string, frequency int, standardized string"
+    return words.mapInPandas(
+        run,
+        schema="word string, word_count long, frequency int, standardized string",
     )
 
 
+
+
+# every word longer than 4 chars carries an injected '־\n' break; the
+# empty lexicon forces the drop-hyphen branch, so dehyphenate restores
+# the original text (plus the reference's trailing '\n' on the final
+# line whenever the text was multi-line at all).
+_Q_DEHYPH_DUCK = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CASE WHEN len(list_filter(string_split(text, ' '), x -> length(x) > 4)) > 0
+            THEN text || chr(10) ELSE text END AS dehyphenated,
+       CAST(1 + len(list_filter(string_split(text, ' '), x -> length(x) > 4))
+            AS INTEGER) AS n_lines_in
+FROM documents
+"""
+
+_Q_WORDFREQ_DUCK = f"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+)
+SELECT word,
+       count(*) AS word_count,
+       CAST(CASE WHEN length(word) >= 5 THEN 1 ELSE 0 END AS INTEGER) AS frequency,
+       translate(word, '{_FROM26}', '{_TO26}') AS standardized
+FROM t GROUP BY word
+"""
 
 
 def _skew_eval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1166,17 +1362,19 @@ def _skew_eval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ocr_layout_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vision-path OCR (layout oracle → segment → classify → guess →
-    transform) — geometry semantics not SQL-expressible (rows-only);
-    pinned by tests/test_ocr.py against ground truth instead."""
-    from jochre3_ocr_spark.plans.pipeline import ocr_corpus
-    from jochre3_ocr_spark.sources.corpus import lexicon_words, n_docs_for_sf
+    """Vision-path OCR over the translated driver corpus: each doc's
+    words become deterministic RTL page geometry (layout oracle with
+    injected duplicate/split/spurious boxes), then the full segment →
+    classify → guess → transform chain recovers the text — the whole
+    geometry pipeline is oracle-checked against the exact expected
+    processed text (plans/pipeline.ocr_documents)."""
+    from jochre3_ocr_spark.plans.pipeline import ocr_documents
+    from jochre3_ocr_spark.sources.corpus import lexicon_words
 
-    sf = 0.001 if "0.001" in sf_dir else (0.01 if "0.01" in sf_dir else 0.1)
-    n = max(20, n_docs_for_sf(sf) // 10)
-    out = ocr_corpus(spark, n, lexicon_words())
+    docs = _yiddish_docs(spark, sf_dir).filter("CAST(doc_id AS BIGINT) < 120")
+    out = ocr_documents(docs, lexicon_words())
     return out.selectExpr(
-        "doc_id", "n_spans", "n_words", "status", "length(text) AS n_chars"
+        "doc_id", "n_spans", "n_words", "status", "processed_text"
     )
 
 
@@ -1194,11 +1392,13 @@ def _ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio + video multimodal paths (operators/multimodal.py): WAV
-    waveform features and video-frame fan-out counts over a synthesized
-    media table — rows-only (binary semantics)."""
+    """Audio + video multimodal paths (operators/multimodal.py), anchored
+    on the driver corpus: per doc, a real 16-bit PCM WAV square wave
+    (half-period ``4 + doc_id % 4``) and an npy video container
+    (``10 + doc_id % 5`` 16×16 frames). The WAV decode (stdlib wave →
+    float64), RMS/zero-crossing math, frame-sampling fan-out, and
+    per-frame PNG decode are all closed-form — oracle-checked."""
     import io as _io
-    import math
     import wave
 
     import numpy as np
@@ -1206,59 +1406,114 @@ def _media_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from jochre3_ocr_spark.operators import multimodal as M
 
-    def wav_bytes(i: int) -> bytes:
-        sr = 8000
-        t = np.arange(sr // 2) / sr
-        sig = np.sin(2 * math.pi * (220 + 20 * i) * t)
-        buf = _io.BytesIO()
-        with wave.open(buf, "wb") as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(sr)
-            w.writeframes((sig * 32767).astype("<i2").tobytes())
-        return buf.getvalue()
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for d in b["doc_id"]:
+                i = int(d)
+                # square wave ±16384 (exactly ±0.5 after /32768 decode)
+                half = 4 + i % 4
+                t = np.arange(4000)
+                sig = np.where((t // half) % 2 == 0, 16384, -16384).astype("<i2")
+                buf = _io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(sig.tobytes())
+                rows.append((f"aud_{i}", "audio/wav", buf.getvalue()))
 
-    def video_bytes(i: int) -> bytes:
-        frames = np.stack(
-            [
-                np.full((16, 16), (7 * i + 3 * f) % 256, dtype=np.uint8)
-                for f in range(10 + i % 5)
-            ]
-        )
-        buf = _io.BytesIO()
-        np.save(buf, frames, allow_pickle=False)
-        return buf.getvalue()
+                frames = np.stack(
+                    [
+                        np.full((16, 16), 7 * i + 3 * f, dtype=np.uint8)
+                        for f in range(10 + i % 5)
+                    ]
+                )
+                vbuf = _io.BytesIO()
+                np.save(vbuf, frames, allow_pickle=False)
+                rows.append((f"vid_{i}", "video/npy", vbuf.getvalue()))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "media_type", "content"]
+            )
 
-    rows = []
-    for i in range(10):
-        rows.append((f"aud_{i}", "audio/wav", bytearray(wav_bytes(i))))
-        rows.append((f"vid_{i}", "video/npy", bytearray(video_bytes(i))))
-    media = spark.createDataFrame(
-        rows, "media_ref string, media_type string, content binary"
+    media = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 10")
+        .select("doc_id")
+        .mapInPandas(gen, schema="media_ref string, media_type string, content binary")
     )
     audio = M.audio_features(media.filter("media_type = 'audio/wav'")).select(
         "media_ref",
         F.lit("audio").alias("kind"),
         F.col("n_samples").alias("n_units"),
-        F.col("rms").alias("metric"),
+        F.col("rms").alias("metric1"),
+        F.col("zero_cross_rate").alias("metric2"),
         "status",
     )
+
+    def frame_mean(batches):
+        from jochre3_ocr_spark.sources.png_codec import decode_png
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_ref": b["media_ref"],
+                    "frame_idx": b["frame_idx"],
+                    "pix_mean": [
+                        float(decode_png(bytes(img)).mean()) for img in b["image"]
+                    ],
+                }
+            )
+
     frames = (
         M.sample_frames_df(media.filter("media_type = 'video/npy'"), every_n=5)
+        .mapInPandas(
+            frame_mean, schema="media_ref string, frame_idx int, pix_mean double"
+        )
         .groupBy("media_ref")
         .agg(
             F.count("*").alias("n_units"),
-            F.round(F.avg("width"), 2).alias("metric"),
+            F.round(F.avg("pix_mean"), 4).alias("metric1"),
+            F.round(F.avg("frame_idx"), 4).alias("metric2"),
         )
         .select(
             "media_ref",
             F.lit("video").alias("kind"),
             "n_units",
-            "metric",
+            "metric1",
+            "metric2",
             F.lit("ok").alias("status"),
         )
     )
     return audio.unionByName(frames)
+
+
+# square wave: RMS exactly 0.5; sign changes at every multiple of the
+# half-period in [1, 3999] → zcr = floor(3999/half)/3999. Video: frames
+# sampled at stride 5 → c = floor((nf-1)/5)+1 frames with constant pixel
+# values 7i+3*idx → avg pixel mean 7i + 15(c-1)/2, avg idx 5(c-1)/2.
+_Q_MEDIA_AV_DUCK = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 10),
+a AS (
+  SELECT 'aud_' || i AS media_ref, 'audio' AS kind, 4000 AS n_units,
+         CAST(0.5 AS DOUBLE) AS metric1,
+         round(CAST(floor(3999 / (4 + i % 4)) AS DOUBLE) / 3999, 6) AS metric2,
+         'ok' AS status
+  FROM d
+),
+v AS (
+  SELECT 'vid_' || i AS media_ref, 'video' AS kind,
+         CAST(floor((10 + i % 5 - 1) / 5) + 1 AS BIGINT) AS c, i
+  FROM d
+)
+SELECT media_ref, kind, n_units, metric1, metric2, status FROM a
+UNION ALL
+SELECT media_ref, kind, c AS n_units,
+       round(7 * i + 15.0 * (c - 1) / 2, 4) AS metric1,
+       round(5.0 * (c - 1) / 2, 4) AS metric2,
+       'ok' AS status
+FROM v
+"""
 
 
 def _token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1285,19 +1540,36 @@ _Q_BPE_DUCK = (
 
 
 def _pdf_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PDF ingestion (PDFToImageConverter.scala:18-75): synthesize PDFs
-    deterministically, fan out one row per rendered page via mapInPandas,
-    report per-page geometry + ink — rows-only (vision semantics)."""
+    """PDF ingestion (PDFToImageConverter.scala:18-75): one PDF per
+    driver doc (``1 + doc_id % 5`` pages), written, parsed, and
+    fake-rendered entirely inside the Arrow batch; the page fan-out,
+    page numbering, geometry, and rendered ink are all oracle-checked
+    (the fake rasteriser draws ``page_number`` 7-px bands over a
+    490-px-wide window at 72 DPI on US-Letter — closed form)."""
+    import pandas as pd
+
+    def make_pdfs(batches):
+        from jochre3_ocr_spark.sources.pdf import make_test_pdf
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": [str(int(d)) for d in b["doc_id"]],
+                    "content": [
+                        make_test_pdf(1 + int(d) % 5) for d in b["doc_id"]
+                    ],
+                }
+            )
+
     from jochre3_ocr_spark.sources import pdf as P
 
-    rows = [
-        (f"pdf_{i:03d}", bytearray(P.make_test_pdf(1 + i % 5)))
-        for i in range(20)
-    ]
-    pdfs = spark.createDataFrame(rows, "doc_id string, content binary")
+    pdfs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 24")
+        .select("doc_id")
+        .mapInPandas(make_pdfs, schema="doc_id string, content binary")
+    )
     pages = P.pdf_pages(pdfs, renderer=P.fake_renderer, dpi=72)
-
-    import pandas as pd
 
     def ink(batches):
         from jochre3_ocr_spark.sources.png_codec import decode_png
@@ -1316,7 +1588,9 @@ def _pdf_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_pages": n_pages,
                         "width": w,
                         "height": h,
-                        "ink_ratio": float((arr < 128).mean()) if arr is not None else None,
+                        "ink_ratio": round(float((arr < 128).mean()), 6)
+                        if arr is not None
+                        else None,
                         "status": status,
                     }
                 )
@@ -1327,6 +1601,26 @@ def _pdf_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id string, page_number int, n_pages int, width int, "
         "height int, ink_ratio double, status string",
     )
+
+
+# fake_renderer at 72 DPI on the 612×792 MediaBox: band height
+# max(2, 792//100) = 7, band width 612 - 2*(612//10) = 490, one band per
+# page_number — ink = page_number*7*490 / (612*792).
+_Q_PDF_DUCK = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(1 + doc_id % 5 AS INTEGER) AS n_pages
+  FROM documents WHERE doc_id < 24
+)
+SELECT doc_id,
+       CAST(p AS INTEGER) AS page_number,
+       n_pages,
+       612 AS width,
+       792 AS height,
+       round(CAST(p * 7 * 490 AS DOUBLE) / (612 * 792), 6) AS ink_ratio,
+       'ok' AS status
+FROM d, UNNEST(generate_series(1, n_pages)) AS t(p)
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1383,7 +1677,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_processed_text": _ORACLE_PROCESSED_TEXT,
         "extract_span_stats": _ORACLE_SPAN_STATS,
-        # extract_yiddish_corpus: intentionally omitted (non-SQL semantics)
+        "extract_yiddish_corpus": _ORACLE_YIDDISH_CORPUS,
+        "extract_yiddish_beam": _ORACLE_YIDDISH_BEAM,
+        "ocr_layout_end_to_end": _ORACLE_OCR_E2E,
+        "dehyphenate_corpus": _Q_DEHYPH_DUCK,
+        "word_frequency_corpus": _Q_WORDFREQ_DUCK,
+        "media_image_features": _Q_MEDIA_IMAGE_DUCK,
+        "pdf_page_scan": _Q_PDF_DUCK,
+        "media_av_features": _Q_MEDIA_AV_DUCK,
         "q1_pricing_summary": _Q1,
         "q3_shipping_priority": _Q3_DUCK,
         "q5_local_supplier_volume": _Q5,
@@ -1412,7 +1713,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _Q_LSH_DUCK,
         "dedup_simhash_neardup": _Q_SIMHASH_ND_DUCK,
         "token_counts_bpe": _Q_BPE_DUCK,
-        # rows-only (non-SQL semantics): ocr_layout_end_to_end,
-        # media_image_features, dehyphenate_corpus, word_frequency_corpus,
-        # pdf_page_scan
+        # rows-only (genuinely non-SQL semantics): skew_eval_stats
+        # (vision-tolerance estimation) and ann_ivf_kmeans_topk
+        # (iterative k-means training).
     }

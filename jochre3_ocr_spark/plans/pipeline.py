@@ -507,6 +507,83 @@ def ocr_corpus(
     return rng.mapInPandas(run, schema=_RAW_OUT_DDL)
 
 
+def ocr_documents(
+    docs: DataFrame,
+    lexicon_words: list[str],
+    config: PipelineConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_line: int = 4,
+    lines_per_block: int = 3,
+    blocks_per_page: int = 4,
+) -> DataFrame:
+    """Vision-path OCR over a plain-text document table: each document's
+    words are laid out as deterministic RTL page geometry (layout oracle
+    with injected prediction imperfections), then run through the full
+    segment → classify → guess → transform chain. Narrow — zero shuffle.
+
+    Because the layout is an exact function of the input words, the
+    recovered processed text equals the input words re-chunked into
+    blocks of ``words_per_line * lines_per_block`` — an independently
+    SQL-derivable oracle for the whole vision path."""
+    config = config or PipelineConfig()
+    spark = docs.sparkSession
+    lexicon_bc = spark.sparkContext.broadcast(list(lexicon_words))
+    pruned = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        from jochre3_ocr_spark.operators.ocr import ocr_document
+        from jochre3_ocr_spark.sources.layout_oracle import (
+            build_pages_from_words,
+            glyph_content_lookup,
+        )
+
+        lexicon = _get_worker_lexicon(lexicon_bc)
+        for batch in batches:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                words = [w for w in (text or "").split(" ") if w]
+                seed_ix = (
+                    int(doc_id)
+                    if doc_id.isdigit()
+                    else zlib.crc32(doc_id.encode())
+                )
+                pages = build_pages_from_words(
+                    seed_ix,
+                    words,
+                    words_per_line=words_per_line,
+                    lines_per_block=lines_per_block,
+                    blocks_per_page=blocks_per_page,
+                )
+                layouts = [p[0] for p in pages]
+                lookups = [glyph_content_lookup(p[1]) for p in pages]
+                try:
+                    out = ocr_document(doc_id, layouts, lookups, lexicon, config)
+                    out["spans_json"] = _tuples_to_json(out.pop("spans"))
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    out = {
+                        "doc_id": doc_id,
+                        "spans_json": "[]",
+                        "text": None,
+                        "processed_text": None,
+                        "alternatives_json": None,
+                        "n_spans": 0,
+                        "n_words": 0,
+                        "mean_confidence": 0.0,
+                        "language": None,
+                        "status": "error",
+                        "error": f"{type(exc).__name__}: {exc}",
+                    }
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=_OUT_FIELDS)
+
+    return pruned.mapInPandas(run, schema=_RAW_OUT_DDL)
+
+
 # ----------------------------------------------------------------- resume
 def run_job(
     spark: SparkSession,
