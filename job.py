@@ -39,6 +39,12 @@ def main(argv=None) -> int:
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=32)
     p.add_argument(
+        "--metrics",
+        default="auto",
+        help="per-partition lineage/metrics checkpoint parquet path "
+        "(north_rule); 'auto' = <output>_metrics, 'none' disables",
+    )
+    p.add_argument(
         "--formats",
         default="spans",
         help="comma list of output formats: spans,text,processed,alto4 "
@@ -87,6 +93,11 @@ def main(argv=None) -> int:
         remove_glyphs=args.remove_glyphs,
         language=args.language,
     )
+    metrics_path = (
+        None
+        if args.metrics == "none"
+        else (args.output + "_metrics" if args.metrics == "auto" else args.metrics)
+    )
     t0 = time.time()
     n = run_job(
         spark,
@@ -95,6 +106,7 @@ def main(argv=None) -> int:
         words,
         config=config,
         salted=not args.no_salting,
+        metrics_path=metrics_path,
     )
     formats = [f.strip() for f in args.formats.split(",") if f.strip()]
     extra = [f for f in formats if f != "spans"]
@@ -111,15 +123,14 @@ def main(argv=None) -> int:
         if "alto4" in extra:
             write_alto(fin, args.output + "_alto4")
     elapsed = time.time() - t0
-    print(
-        json.dumps(
-            {
-                "docs_complete": n,
-                "sec": round(elapsed, 2),
-                "output": args.output,
-            }
-        )
-    )
+    summary = {
+        "docs_complete": n,
+        "sec": round(elapsed, 2),
+        "output": args.output,
+    }
+    if metrics_path:
+        summary["metrics"] = metrics_path
+    print(json.dumps(summary))
     spark.stop()
     return 0
 

@@ -584,6 +584,59 @@ def ocr_documents(
     return pruned.mapInPandas(run, schema=_RAW_OUT_DDL)
 
 
+# ------------------------------------------- lineage / partition metrics
+def doc_lineage(spark: SparkSession, output_path: str) -> DataFrame:
+    """Per-document lineage: which committed task file holds each doc
+    (north_rule: per-partition checkpointed lineage). Task files are the
+    durable unit of work under FileOutputCommitter v2 — one row per
+    (doc_id, committed file)."""
+    return spark.read.parquet(output_path).select(
+        "doc_id",
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+        "status",
+    )
+
+
+def write_partition_metrics(
+    spark: SparkSession, output_path: str, metrics_path: str
+) -> int:
+    """Append per-partition (per committed task file) metrics rows for
+    files not yet checkpointed: doc/ok/error counts, span and word
+    totals (north_rule: per-partition lineage + metrics enabling
+    resume). Incremental: re-running after a resume adds rows only for
+    the newly committed files, so totals never double-count. Returns
+    the number of NEW files checkpointed this run.
+
+    Derived from the committed output itself (one cheap column-pruned
+    scan), so the metrics are exactly consistent with what a reader of
+    the output sees — not with what an in-flight task hoped to write."""
+    out = spark.read.parquet(output_path).select(
+        "doc_id",
+        "n_spans",
+        "n_words",
+        "status",
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+    )
+    try:
+        seen = spark.read.parquet(metrics_path).select("file").distinct()
+        out = out.join(F.broadcast(seen), "file", "left_anti")
+    except Exception:  # no metrics yet
+        pass
+    new = (
+        out.groupBy("file")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("n_error"),
+            F.sum("n_spans").alias("total_spans"),
+            F.sum("n_words").alias("total_words"),
+        )
+        .withColumn("committed_at", F.current_timestamp())
+    )
+    new.write.mode("append").parquet(metrics_path)
+    return spark.read.parquet(metrics_path).select("file").distinct().count()
+
+
 # ----------------------------------------------------------------- resume
 def run_job(
     spark: SparkSession,
@@ -592,6 +645,7 @@ def run_job(
     lexicon_words: list[str],
     config: PipelineConfig | None = None,
     salted: bool = True,
+    metrics_path: str | None = None,
 ) -> int:
     """Resumable batch run: anti-join completed doc_ids, process the rest,
     append. Returns the total number of completed docs."""
@@ -618,4 +672,6 @@ def run_job(
     fn = extract_with_salting if salted else extract
     result = fn(todo, lexicon_words, config)
     result.write.mode("append").parquet(output_path)
+    if metrics_path:
+        write_partition_metrics(spark, output_path, metrics_path)
     return spark.read.parquet(output_path).select("doc_id").distinct().count()

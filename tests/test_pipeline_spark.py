@@ -110,6 +110,48 @@ def test_resume_is_idempotent(spark, docs_df, oracle, tmp_path):
     assert_matches_oracle(final.collect(), oracle)
 
 
+def test_partition_metrics_and_lineage(spark, docs_df, tmp_path):
+    """north_rule: per-partition checkpointed lineage + metrics. Metrics
+    rows are per committed task file, incremental across resumes (no
+    double-count), and exactly consistent with the committed output."""
+    inp = str(tmp_path / "docs.parquet")
+    outp = str(tmp_path / "out.parquet")
+    mp = str(tmp_path / "metrics.parquet")
+    docs_df.write.parquet(inp)
+
+    # interrupted first run: half the docs, metrics checkpointed
+    half = spark.read.parquet(inp).limit(N_DOCS // 2)
+    pipeline.extract(half, lexicon_words()).write.mode("append").parquet(outp)
+    pipeline.write_partition_metrics(spark, outp, mp)
+    m1 = spark.read.parquet(mp)
+    files1 = {r["file"] for r in m1.collect()}
+    assert m1.agg({"n_docs": "sum"}).collect()[0][0] == N_DOCS // 2
+
+    # resume with metrics: only NEW files get appended
+    n = pipeline.run_job(spark, inp, outp, lexicon_words(), metrics_path=mp)
+    assert n == N_DOCS
+    m2 = spark.read.parquet(mp)
+    assert m2.select("file").distinct().count() == m2.count()  # one row/file
+    assert files1 < {r["file"] for r in m2.collect()}
+    # totals exactly consistent with the committed output
+    out = spark.read.parquet(outp)
+    assert m2.agg({"n_docs": "sum"}).collect()[0][0] == out.count()
+    assert (
+        m2.agg({"total_spans": "sum"}).collect()[0][0]
+        == out.agg({"n_spans": "sum"}).collect()[0][0]
+    )
+    assert m2.agg({"n_error": "sum"}).collect()[0][0] == 0
+
+    # lineage: every doc maps to exactly one committed file, and the
+    # file set agrees with the metrics checkpoint
+    lin = pipeline.doc_lineage(spark, outp)
+    assert lin.count() == N_DOCS
+    assert lin.select("doc_id").distinct().count() == N_DOCS
+    assert {r["file"] for r in lin.select("file").distinct().collect()} == {
+        r["file"] for r in m2.collect()
+    }
+
+
 def test_error_quarantine(spark):
     """A malformed doc must produce an error row, not fail the job."""
     rows = [("bad", [{"kind": "word", "text": None, "media_ref": None, "offset": 0}])]
