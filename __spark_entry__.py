@@ -116,31 +116,55 @@ def _extract_yiddish_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from jochre3_ocr_spark.plans.pipeline import (
+        extract,
         extract_with_salting,
         text_to_spans,
     )
-    from jochre3_ocr_spark.schema import DOCS_SCHEMA
     from jochre3_ocr_spark.sources.corpus import lexicon_words
 
     def to_spans(batches):
+        from jochre3_ocr_spark.plans.pipeline import _tuples_to_json
+
         for b in batches:
             rows = []
             for doc_id, text in zip(b["doc_id"], b["text"]):
+                spans = text_to_spans(text)
                 rows.append(
                     {
                         "doc_id": doc_id,
-                        "spans": [
-                            {"kind": k, "text": t, "media_ref": m, "offset": o}
-                            for k, t, m, o in text_to_spans(text)
-                        ],
+                        "spans_json": _tuples_to_json(spans),
+                        "n_in_spans": len(spans),
                     }
                 )
-            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "spans_json", "n_in_spans"]
+            )
 
-    span_docs = _yiddish_docs(spark, sf_dir).mapInPandas(
-        to_spans, schema=DOCS_SCHEMA
+    # Pre-branch JVM-side: the span count is a closed form of the text
+    # (1 block + lines + words + spaces + glyphs = 1 + 2W + G), so the
+    # normal/giant split happens in whole-stage codegen BEFORE the
+    # Python span builder — the builder runs ONCE per row instead of
+    # once per branch (extract_with_salting's two-scan shape is priced
+    # for re-scanning parquet, not recomputing a Python stage).
+    docs = _yiddish_docs(spark, sf_dir).withColumn(
+        "n_est",
+        F.expr(
+            "1 + 2 * size(filter(split(text, ' '), x -> x != '')) "
+            "+ length(replace(text, ' ', ''))"
+        ),
     )
-    out = extract_with_salting(span_docs, lexicon_words(), giant_threshold=600)
+    builder_schema = "doc_id string, spans_json string, n_in_spans int"
+    normal = (
+        docs.filter("n_est <= 600")
+        .mapInPandas(to_spans, schema=builder_schema)
+    )
+    giant = (
+        docs.filter("n_est > 600")
+        .mapInPandas(to_spans, schema=builder_schema)
+    )
+    out = extract(normal, lexicon_words()).unionByName(
+        extract_with_salting(giant, lexicon_words(), giant_threshold=600)
+    )
     return out.selectExpr(
         "doc_id", "n_spans", "n_words", "status", "processed_text",
         "round(mean_confidence, 4) AS mean_conf",

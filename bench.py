@@ -73,10 +73,15 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
     sf = _sf_from_dir(sf_dir)
     n = n_docs_for_sf(sf if sf > 0 else 0.01)
     docs = docs_df(spark, n, partitions=cpus * 2)
-    t0 = time.time()
-    out = extract_with_salting(docs, lexicon_words())
-    out.write.format("noop").mode("overwrite").save()
-    elapsed = time.time() - t0
+    # same min-of-N as the headline queries: this box takes external
+    # load spikes and the first pass pays cold page-cache/JIT costs
+    elapsed = None
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        out = extract_with_salting(docs, lexicon_words())
+        out.write.format("noop").mode("overwrite").save()
+        el = time.time() - t0
+        elapsed = el if elapsed is None else min(elapsed, el)
     timings["extract_corpus_e2e"] = round(elapsed, 3)
     docs_per_sec = round(n / elapsed, 2)
     spark.stop()

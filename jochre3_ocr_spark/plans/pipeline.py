@@ -212,6 +212,20 @@ def _make_extract_fn(lexicon_bc, config: PipelineConfig):
 
 
 def _prune_to_json(docs: DataFrame) -> DataFrame:
+    # fast path: a producer that already encodes spans as JSON (plus an
+    # optional span count) skips the arrow-struct → JVM to_json round
+    # trip — measured ~25% off the salted Yiddish query at sf0.1
+    if "spans_json" in docs.columns:
+        n = (
+            F.col("n_in_spans")
+            if "n_in_spans" in docs.columns
+            else F.size(F.from_json("spans_json", _SPAN_ARRAY_DDL))
+        )
+        return docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "spans_json",
+            n.cast("int").alias("n_in_spans"),
+        )
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.to_json("spans").alias("spans_json"),
