@@ -1403,16 +1403,50 @@ def _ocr_layout_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over deterministic spherical k-means cells with
-    multi-probe (operators/similarity.ivf_kmeans_topk) — rows-only
-    (iterative algorithm; the first-k-centroid variant ann_ivf_topk
-    carries the SQL oracle)."""
+    """IVF ANN over deterministic spherical k-means cells
+    (operators/similarity.ivf_kmeans_topk) with EXHAUSTIVE multi-probe
+    (n_probe = n_cells): probing every cell makes the pruned cell-join
+    plan provably equal to brute-force top-k, so the whole train →
+    assign → probe → score machinery is oracle-checked against the
+    brute-force SQL. The approximate regime (n_probe < n_cells, recall
+    monotone in n_probe) is pinned by tests/test_dedup_similarity.py."""
     from jochre3_ocr_spark.operators.similarity import ivf_kmeans_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_kmeans_topk(
-        emb, "vec_id < 5", k=3, n_cells=8, kmeans_iters=3, n_probe=2
+        emb, "vec_id < 5", k=3, n_cells=8, kmeans_iters=3, n_probe=8
     )
+
+
+_Q_IVF_KMEANS_DUCK = """
+WITH q AS (
+  SELECT vec_id AS qid,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id AS cid,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+dots AS (
+  SELECT q.qid, c.cid,
+         sum(q.v * c.v) AS dot,
+         sqrt(sum(q.v * q.v)) AS nq,
+         sqrt(sum(c.v * c.v)) AS nc
+  FROM q JOIN c ON q.pos = c.pos
+  GROUP BY q.qid, c.cid
+)
+SELECT qid, cid, rank FROM (
+  SELECT qid, cid,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY dot / (nq * nc) DESC, cid
+         ) AS rank
+  FROM dots WHERE qid <> cid
+) t WHERE rank <= 3
+"""
 
 
 def _media_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1737,7 +1771,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _Q_LSH_DUCK,
         "dedup_simhash_neardup": _Q_SIMHASH_ND_DUCK,
         "token_counts_bpe": _Q_BPE_DUCK,
+        "ann_ivf_kmeans_topk": _Q_IVF_KMEANS_DUCK,
         # rows-only (genuinely non-SQL semantics): skew_eval_stats
-        # (vision-tolerance estimation) and ann_ivf_kmeans_topk
-        # (iterative k-means training).
+        # (vision-tolerance estimation error of the deskewers).
     }
