@@ -160,3 +160,48 @@ def write_alto(out_df: DataFrame, path: str) -> None:
     out_df.select("doc_id", "spans", "mean_confidence", "language").mapInPandas(
         run, schema="doc_id string, alto_xml string"
     ).write.mode("overwrite").parquet(path)
+
+
+def alto_zip_bytes(out_df: DataFrame) -> DataFrame:
+    """Zip sink (AnalysisLogic.scala:232-245: the API's downloadable
+    `<doc>_alto4.zip` containing `<doc>_alto4.xml`): one zip per
+    document as a binary column, built inside the Arrow batch — the
+    serving-download analog as a distributed column rather than a
+    driver-side endpoint. Write with `.write.parquet` or feed a
+    foreachPartition uploader."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    def run(batches):
+        from jochre3_ocr_spark.operators.spantree import parse_spans
+        from jochre3_ocr_spark.sources.alto_xml import emit_alto
+
+        for b in batches:
+            rows = []
+            for doc_id, spans, conf, lang in zip(
+                b["doc_id"], b["spans"], b["mean_confidence"], b["language"]
+            ):
+                tuples = [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in spans
+                ]
+                doc = parse_spans(doc_id, tuples)
+                doc.confidence = float(conf) if conf is not None else 0.0
+                doc.language = lang
+                buf = io.BytesIO()
+                # fixed date_time: deterministic bytes at any wall clock
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                    info = zipfile.ZipInfo(
+                        f"{doc_id}_alto4.xml", date_time=(1980, 1, 1, 0, 0, 0)
+                    )
+                    zf.writestr(info, emit_alto(doc))
+                rows.append(
+                    {"doc_id": doc_id, "alto_zip": buf.getvalue()}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "alto_zip"])
+
+    return out_df.select(
+        "doc_id", "spans", "mean_confidence", "language"
+    ).mapInPandas(run, schema="doc_id string, alto_zip binary")
