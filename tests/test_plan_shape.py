@@ -106,6 +106,21 @@ def test_bpe_token_counts_stays_jvm_side(spark):
     assert "*(" in plan  # whole-stage-codegen span over the scan
 
 
+def test_yiddish_corpus_branches_before_python_builder(spark):
+    """extract_yiddish_corpus pre-branches normal/giant on the
+    closed-form span count in whole-stage codegen, BELOW the Python span
+    builder — the builder must run once per row, not once per branch
+    (each MapInPandas sits above a scan-side n_est filter)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["extract_yiddish_corpus"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # two branches, each with its own filtered scan feeding its builder
+    assert plan.count("MapInPandas") >= 3  # 2 builders + ≥1 kernel
+    filters = [ln for ln in plan.splitlines() if "Filter" in ln and "size(filter(split" in ln]
+    assert len(filters) >= 2, f"JVM-side n_est pre-branch filters missing:\n{plan}"
+
+
 def test_q5_broadcasts_small_dimensions(spark):
     """q5's region/nation/supplier dims are broadcast (no shuffle on the
     small side) — 'broadcast small dims' at any scale; lineitem, the fact
