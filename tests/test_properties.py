@@ -133,3 +133,70 @@ def test_pdf_page_count_property(n):
     from jochre3_ocr_spark.sources.pdf import count_pdf_pages, make_test_pdf
 
     assert count_pdf_pages(make_test_pdf(n)) == n
+
+
+# the inert alphabet used by the oracle-anchored driver queries
+# (__spark_entry__._YID_ALEPH): 16 Hebrew consonants outside every
+# simplify digraph/rewrite class, every to_yivo edit letter, and the
+# shtumer-alef / final-form classes. The oracle technique rests on the
+# claim that the FULL pipeline is a pure per-char translate on such
+# text — pin it property-wise, not just on the driver corpus.
+_INERT = "בגדזחטכלמנסצקרשת"
+_TO26 = (_INERT * 2)[:26]
+_TRANS = str.maketrans("abcdefghijklmnopqrstuvwxyz", _TO26)
+_LOWER_WORDS = st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(_LOWER_WORDS)
+@settings(max_examples=150, deadline=None)
+def test_inert_alphabet_pipeline_is_pure_translate(words):
+    """For translate()-mapped [a-z] text, the full pipeline (beam +
+    simplify + every ALTO rule) returns exactly the mapped words:
+    n_spans = 1 + 2W + G, processed text = mapped tokens joined, all
+    confidences = the unknown-word factor."""
+    from jochre3_ocr_spark.plans.pipeline import text_to_spans
+    from jochre3_ocr_spark.sources.corpus import lexicon_words
+
+    lex = Lexicon.from_words(lexicon_words())
+    text = " ".join(words).translate(_TRANS)
+    out = process_document_safe("d", text_to_spans(text), lex)
+    W = len(words)
+    G = sum(len(w) for w in words)
+    assert out["status"] == "ok"
+    assert out["n_words"] == W
+    assert out["n_spans"] == (1 + 2 * W + G if W else 1)
+    assert out["processed_text"] == text
+    if W:
+        assert out["mean_confidence"] == 0.5
+
+
+@given(_LOWER_WORDS)
+@settings(max_examples=75, deadline=None)
+def test_inert_alphabet_beam_confusions_length_invariant(words):
+    """With the confusion classifier, content may flip (lexicon
+    rescoring) but every count/length column is invariant — the beam
+    query's oracle contract."""
+    from jochre3_ocr_spark.operators.guesser import confusable_topk
+    from jochre3_ocr_spark.plans.pipeline import text_to_spans
+    from jochre3_ocr_spark.schema import PipelineConfig
+    from jochre3_ocr_spark.sources.corpus import lexicon_words
+
+    lex = Lexicon.from_words(lexicon_words())
+    text = " ".join(words).translate(_TRANS)
+    out = process_document_safe(
+        "d",
+        text_to_spans(text),
+        lex,
+        PipelineConfig(glyph_confusions=True),
+        confusable_topk,
+    )
+    W = len(words)
+    G = sum(len(w) for w in words)
+    assert out["status"] == "ok"
+    assert out["n_words"] == W
+    assert out["n_spans"] == (1 + 2 * W + G if W else 1)
+    assert len(out["processed_text"]) == (G + W - 1 if W else 0)
