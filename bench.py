@@ -124,11 +124,18 @@ def run_scaling(sf_dir: str) -> dict:
             "noop"
         ).mode("overwrite").save()
 
-        t0 = time.time()
-        extract_with_salting(docs, lexicon_words()).write.mode("overwrite").parquet(
-            f"{tmp}/out_{cores}.parquet"
-        )
-        elapsed = time.time() - t0
+        # min-of-2 like the headline protocol: a single shot is exposed
+        # to this box's external load spikes (load avg 1→17 with no
+        # local processes), and the efficiency number is a RATIO of two
+        # single-shots — noise compounds. min-of-N measures the engine.
+        elapsed = None
+        for _ in range(2):
+            t0 = time.time()
+            extract_with_salting(docs, lexicon_words()).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/out_{cores}.parquet")
+            el = time.time() - t0
+            elapsed = el if elapsed is None else min(elapsed, el)
         out[f"local[{cores}]"] = {
             "sec": round(elapsed, 2),
             "docs_per_sec": round(n / elapsed, 2),
