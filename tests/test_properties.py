@@ -200,3 +200,37 @@ def test_inert_alphabet_beam_confusions_length_invariant(words):
     assert out["n_words"] == W
     assert out["n_spans"] == (1 + 2 * W + G if W else 1)
     assert len(out["processed_text"]) == (G + W - 1 if W else 0)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=0, max_value=2**20),
+)
+@settings(max_examples=40, deadline=None)
+def test_vision_path_recovers_arbitrary_word_layouts(words, seed_ix):
+    """build_pages_from_words → full segment/classify/guess/transform
+    must recover EXACTLY the input words re-chunked into 12-word blocks
+    (4/line × 3 lines), for any [a-z] word list and any imperfection
+    seed — the contract behind the ocr_layout_end_to_end oracle."""
+    from jochre3_ocr_spark.operators.ocr import ocr_document
+    from jochre3_ocr_spark.sources.layout_oracle import (
+        build_pages_from_words,
+        glyph_content_lookup,
+    )
+
+    mapped = [w.translate(_TRANS) for w in words]
+    pages = build_pages_from_words(seed_ix, mapped)
+    layouts = [p[0] for p in pages]
+    lookups = [glyph_content_lookup(p[1]) for p in pages]
+    lex = Lexicon.from_words(["דער"])
+    out = ocr_document("d", layouts, lookups, lex)
+    expected = "\n".join(
+        " ".join(mapped[i : i + 12]) for i in range(0, len(mapped), 12)
+    )
+    assert out["status"] == "ok"
+    assert out["processed_text"] == expected
+    assert out["n_words"] == len(mapped)
