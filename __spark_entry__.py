@@ -1342,6 +1342,74 @@ FROM t GROUP BY word
 """
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: MinHash-LSH candidate pairs →
+    connected components (iterative min-label propagation) → per-doc
+    cluster verdicts with a canonical representative
+    (operators/dedup.duplicate_clusters). The transitive-closure step
+    every dedup pipeline needs after pair generation; oracled by a
+    DuckDB recursive CTE over the identical LSH pair set."""
+    from jochre3_ocr_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_clusters(docs)
+
+
+# LSH pairs (same CTE chain as _Q_LSH_DUCK) → symmetric edges →
+# recursive min-label closure. String doc_ids compare lexicographically
+# in both engines, so cluster_id = lexicographic min of the component.
+_Q_DEDUP_CLUSTERS_DUCK = """
+WITH RECURSIVE toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         )) AS shingle
+  FROM toks
+  WHERE len(t) >= 3
+),
+mh AS (
+  SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN range(0, 8) r(s)
+  GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, CAST(s // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY s)) AS band_hash
+  FROM mh
+  GROUP BY doc_id, CAST(s // 2 AS INT)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION
+  SELECT doc2, doc1 FROM pairs
+),
+cc(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, cc.label FROM edges e JOIN cc ON cc.node = e.dst
+),
+comp AS (
+  SELECT node, min(label) AS cid FROM cc GROUP BY node
+)
+SELECT node AS doc_id,
+       cid AS cluster_id,
+       count(*) OVER (PARTITION BY cid) AS cluster_size,
+       node = cid AS is_canonical
+FROM comp
+"""
+
+
 def _skew_eval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deskew evaluation (Deskewer.scala:250-282 + MathUtils.scala:36-45):
     both estimators (moment consensus AND the reference's contour chain)
@@ -1738,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dehyphenate_corpus": _dehyphenate_corpus,
         "word_frequency_corpus": _word_frequency_corpus,
         "dedup_minhash_lsh": _sql(_Q_LSH_SPARK),
+        "dedup_duplicate_clusters": _dedup_clusters,
         "dedup_simhash_neardup": _sql(_Q_SIMHASH_ND_SPARK),
         "pdf_page_scan": _pdf_page_scan,
         "token_counts_bpe": _token_counts_bpe,
@@ -1784,6 +1853,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _Q_IVF_DUCK,
         "dedup_embedding_neardup": _Q_EMB_NEARDUP_DUCK,
         "dedup_minhash_lsh": _Q_LSH_DUCK,
+        "dedup_duplicate_clusters": _Q_DEDUP_CLUSTERS_DUCK,
         "dedup_simhash_neardup": _Q_SIMHASH_ND_DUCK,
         "token_counts_bpe": _Q_BPE_DUCK,
         "ann_ivf_kmeans_topk": _Q_IVF_KMEANS_DUCK,

@@ -289,3 +289,89 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "doc1",
+    right: str = "doc2",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve candidate pairs into duplicate CLUSTERS: connected
+    components by iterative min-label propagation. Returns
+    (doc_id, cluster_id) for every node appearing in ``pairs``, where
+    cluster_id = the smallest doc_id in the component.
+
+    The step after candidate generation in a dedup pipeline: LSH/simhash
+    emit pairs, but keeping one doc per GROUP needs the transitive
+    closure (a~b, b~c ⇒ keep one of {a,b,c}).
+
+    Scale shape: each iteration is one groupBy(min) over the symmetric
+    edge list joined to current labels — shuffle ∝ |edges|. Label
+    propagation converges in O(component diameter) iterations;
+    near-duplicate clusters are near-cliques (diameter ≤ ~3), so 2-4
+    iterations settle real corpora. Lineage is truncated per iteration
+    (localCheckpoint) so the plan does not grow with iterations; the
+    convergence probe piggybacks on the same pass (max over
+    "label changed" flags). For adversarial long-chain graphs the
+    O(log n) upgrade is the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond");
+    the propagation loop is the right default for dedup workloads.
+    """
+    sym = pairs.select(
+        F.col(left).alias("src"), F.col(right).alias("dst")
+    ).union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+    edges = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(
+            nbr_min, labels.node == nbr_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_min", F.col("label"))
+            ).alias("label"),
+            (F.coalesce("nbr_min", F.col("label")) < F.col("label")).alias(
+                "changed"
+            ),
+        )
+        stepped = stepped.localCheckpoint(eager=True)
+        if stepped.agg(F.max("changed")).collect()[0][0] is not True:
+            labels = stepped
+            break
+        labels = stepped
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering: MinHash LSH candidate pairs
+    → connected components → (doc_id, cluster_id, cluster_size,
+    is_canonical). ``is_canonical`` marks the doc to KEEP (smallest
+    doc_id per cluster) — the pipeline's "drop duplicates, keep one
+    representative" verdict table."""
+    pairs = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, band_size)
+    cc = connected_components(pairs)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+    )

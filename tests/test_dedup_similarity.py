@@ -238,3 +238,53 @@ def test_simhash_neardup_pigeonhole_complete(spark):
         .collect()
     }
     assert banded == brute
+
+
+def test_connected_components_chain_triangle_pair(spark):
+    """Min-label propagation must close transitive chains (multi-
+    iteration), triangles (cycles), and isolated pairs; cluster_id is
+    the lexicographic min of each component."""
+    from jochre3_ocr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            # chain a-b-c-d-e (diameter 4: takes >1 propagation round)
+            ("b", "a"), ("b", "c"), ("c", "d"), ("d", "e"),
+            # triangle with a cycle
+            ("x", "y"), ("y", "z"), ("z", "x"),
+            # isolated pair
+            ("m", "n"),
+        ],
+        "doc1 string, doc2 string",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+        "x": "x", "y": "x", "z": "x",
+        "m": "m", "n": "m",
+    }
+
+
+def test_duplicate_clusters_marks_canonicals(spark):
+    """End-to-end LSH → components → verdicts: one canonical per
+    cluster, cluster_size consistent, every doc in some pair covered."""
+    from jochre3_ocr_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = duplicate_clusters(docs).collect()
+    pairs = minhash_lsh_candidates(docs).collect()
+    nodes = {p["doc1"] for p in pairs} | {p["doc2"] for p in pairs}
+    assert {r["doc_id"] for r in out} == nodes
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        assert sum(r["is_canonical"] for r in rows) == 1
+        assert all(r["cluster_size"] == len(rows) for r in rows)
+        assert min(r["doc_id"] for r in rows) == cid
