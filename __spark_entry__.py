@@ -1410,6 +1410,107 @@ FROM comp
 """
 
 
+def _corpus_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition a training-data pipeline actually runs:
+    quality metrics (length / repetition) + duplicate-cluster resolution
+    → one keep/drop verdict row per document with the first matching
+    drop reason (too_short → repetitive → duplicate precedence). Pure
+    column expressions joined to the components output — one broadcast-
+    sized join against the verdict table at any corpus scale."""
+    from pyspark.sql import functions as SF
+
+    from jochre3_ocr_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quality = docs.selectExpr(
+        "CAST(doc_id AS STRING) AS doc_id",
+        "size(filter(split(text, ' '), x -> x != '')) AS n_tokens",
+        "round(size(array_distinct(filter(split(text, ' '), x -> x != ''))) "
+        "/ size(filter(split(text, ' '), x -> x != '')), 4) AS distinct_ratio",
+    )
+    dups = duplicate_clusters(docs).select(
+        "doc_id", (~SF.col("is_canonical")).alias("is_dup")
+    )
+    joined = quality.join(dups, "doc_id", "left").withColumn(
+        "is_duplicate", SF.coalesce("is_dup", SF.lit(False))
+    )
+    return joined.selectExpr(
+        "doc_id",
+        "CAST(n_tokens AS INT) AS n_tokens",
+        "distinct_ratio",
+        "is_duplicate",
+        "CASE WHEN n_tokens < 12 THEN 'too_short' "
+        "     WHEN distinct_ratio < 0.35 THEN 'repetitive' "
+        "     WHEN is_duplicate THEN 'duplicate' END AS drop_reason",
+        "(n_tokens >= 12 AND distinct_ratio >= 0.35 AND NOT is_duplicate) AS keep",
+    )
+
+
+_Q_FILTER_VERDICTS_DUCK = """
+WITH RECURSIVE toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         )) AS shingle
+  FROM toks
+  WHERE len(t) >= 3
+),
+mh AS (
+  SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN range(0, 8) r(s)
+  GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, CAST(s // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY s)) AS band_hash
+  FROM mh
+  GROUP BY doc_id, CAST(s // 2 AS INT)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION
+  SELECT doc2, doc1 FROM pairs
+),
+cc(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, cc.label FROM edges e JOIN cc ON cc.node = e.dst
+),
+comp AS (
+  SELECT node, min(label) AS cid FROM cc GROUP BY node
+),
+quality AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS n_tokens,
+         round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+           AS distinct_ratio
+  FROM toks
+)
+SELECT q.doc_id,
+       q.n_tokens,
+       q.distinct_ratio,
+       coalesce(c.node <> c.cid, FALSE) AS is_duplicate,
+       CASE WHEN q.n_tokens < 12 THEN 'too_short'
+            WHEN q.distinct_ratio < 0.35 THEN 'repetitive'
+            WHEN coalesce(c.node <> c.cid, FALSE) THEN 'duplicate' END
+         AS drop_reason,
+       (q.n_tokens >= 12 AND q.distinct_ratio >= 0.35
+        AND NOT coalesce(c.node <> c.cid, FALSE)) AS keep
+FROM quality q LEFT JOIN comp c ON q.doc_id = c.node
+"""
+
+
 def _skew_eval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deskew evaluation (Deskewer.scala:250-282 + MathUtils.scala:36-45):
     both estimators (moment consensus AND the reference's contour chain)
@@ -1807,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_frequency_corpus": _word_frequency_corpus,
         "dedup_minhash_lsh": _sql(_Q_LSH_SPARK),
         "dedup_duplicate_clusters": _dedup_clusters,
+        "corpus_filter_verdicts": _corpus_filter_verdicts,
         "dedup_simhash_neardup": _sql(_Q_SIMHASH_ND_SPARK),
         "pdf_page_scan": _pdf_page_scan,
         "token_counts_bpe": _token_counts_bpe,
@@ -1854,6 +1956,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_neardup": _Q_EMB_NEARDUP_DUCK,
         "dedup_minhash_lsh": _Q_LSH_DUCK,
         "dedup_duplicate_clusters": _Q_DEDUP_CLUSTERS_DUCK,
+        "corpus_filter_verdicts": _Q_FILTER_VERDICTS_DUCK,
         "dedup_simhash_neardup": _Q_SIMHASH_ND_DUCK,
         "token_counts_bpe": _Q_BPE_DUCK,
         "ann_ivf_kmeans_topk": _Q_IVF_KMEANS_DUCK,
