@@ -69,22 +69,40 @@ def confusable_topk(glyph_content: str) -> list[tuple[str, float]]:
 class Guess:
     """FullSegmentationGuesser Guess (:105-119): a glyph-outcome sequence
     scored by the geometric mean of confidences (computed eagerly — it is
-    read many times per beam step)."""
+    read many times per beam step). The log-sum is carried so a beam
+    extension scores in O(1); the left-to-right accumulation makes the
+    incremental value bit-identical to recomputing the sum."""
 
-    __slots__ = ("outcomes", "confidences", "score", "_word")
+    __slots__ = ("outcomes", "confidences", "score", "logsum", "_word")
 
     def __init__(self, outcomes: tuple[str, ...], confidences: tuple[float, ...]):
         self.outcomes = outcomes
         self.confidences = confidences
         if not outcomes:
+            self.logsum = 0.0
             self.score = 1.0
         elif all(c == 1.0 for c in confidences):
+            self.logsum = 0.0
             self.score = 1.0  # geo-mean of ones (identity-oracle fast path)
         else:
-            self.score = math.exp(
-                sum(math.log(c) for c in confidences) / len(confidences)
-            )
+            ls = 0.0
+            for c in confidences:
+                ls += math.log(c)
+            self.logsum = ls
+            self.score = math.exp(ls / len(confidences))
         self._word: str | None = None
+
+    @classmethod
+    def extended(cls, parent: "Guess", out: str, conf: float) -> "Guess":
+        """O(1)-scored beam extension of ``parent`` by one glyph outcome."""
+        g = cls.__new__(cls)
+        g.outcomes = parent.outcomes + (out,)
+        g.confidences = parent.confidences + (conf,)
+        ls = parent.logsum + (0.0 if conf == 1.0 else math.log(conf))
+        g.logsum = ls
+        g.score = 1.0 if ls == 0.0 else math.exp(ls / len(g.confidences))
+        g._word = None
+        return g
 
     @property
     def word(self) -> str:
@@ -136,7 +154,7 @@ def get_beam(
             key=lambda i: (beam[i].score, -i),
         )
         beam = [
-            Guess(beam[i].outcomes + (out,), beam[i].confidences + (conf,))
+            Guess.extended(beam[i], out, conf)
             for i in top
             for out, conf in predictions
         ]
