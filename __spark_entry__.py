@@ -77,10 +77,16 @@ _TO26 = (_YID_ALEPH * 2)[:26]
 def _yiddish_docs(spark: SparkSession, sf_dir: str):
     from pyspark.sql import functions as SF
 
+    from jochre3_ocr_spark.plans.pipeline import _spread_small_input
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
-        SF.col("doc_id").cast("string").alias("doc_id"),
-        SF.translate("text", _FROM26, _TO26).alias("text"),
+    # the driver parquet is one row group → 1-2 scan splits; spread it
+    # BEFORE the Python stages so builders and kernels use every core
+    return _spread_small_input(
+        docs.select(
+            SF.col("doc_id").cast("string").alias("doc_id"),
+            SF.translate("text", _FROM26, _TO26).alias("text"),
+        )
     )
 
 
@@ -360,7 +366,7 @@ _Q_DEDUP_EXACT_DUCK = _Q_DEDUP_EXACT_SPARK.replace("AS STRING", "AS VARCHAR")
 
 _Q_NGRAM_JACCARD_SPARK = """
 WITH toks AS (
-  SELECT CAST(doc_id AS STRING) AS doc_id,
+  SELECT /*+ REBALANCE */ CAST(doc_id AS STRING) AS doc_id,
          filter(split(text, ' '), x -> x <> '') AS t
   FROM documents
 ),
@@ -427,7 +433,7 @@ WHERE p.common >= 3
 
 _Q_MINHASH_SPARK = """
 WITH toks AS (
-  SELECT CAST(doc_id AS STRING) AS doc_id,
+  SELECT /*+ REBALANCE */ CAST(doc_id AS STRING) AS doc_id,
          filter(split(text, ' '), x -> x <> '') AS t
   FROM documents
 ),
@@ -484,7 +490,7 @@ GROUP BY doc_id
 # bucket-join then bit_count(xor) verify — banded, not all-pairs.
 _Q_SIMHASH_ND_SPARK = """
 WITH toks AS (
-  SELECT CAST(doc_id AS STRING) AS doc_id, token
+  SELECT /*+ REBALANCE */ CAST(doc_id AS STRING) AS doc_id, token
   FROM documents
   LATERAL VIEW explode(array_distinct(filter(split(text, ' '), x -> x <> '')))
     x AS token
@@ -556,7 +562,7 @@ FROM cand WHERE bit_count(xor(s1, s2)) <= 1
 # the bucketed (non-all-pairs) 100 TB dedup shape.
 _Q_LSH_SPARK = """
 WITH toks AS (
-  SELECT CAST(doc_id AS STRING) AS doc_id,
+  SELECT /*+ REBALANCE */ CAST(doc_id AS STRING) AS doc_id,
          filter(split(text, ' '), x -> x <> '') AS t
   FROM documents
 ),
@@ -621,7 +627,7 @@ FROM bands a JOIN bands b
 
 _Q_SIMHASH_SPARK = """
 WITH toks AS (
-  SELECT CAST(doc_id AS STRING) AS doc_id, token
+  SELECT /*+ REBALANCE */ CAST(doc_id AS STRING) AS doc_id, token
   FROM documents
   LATERAL VIEW explode(array_distinct(filter(split(text, ' '), x -> x <> '')))
     x AS token
@@ -1231,13 +1237,17 @@ def _dehyphenate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from jochre3_ocr_spark.plans.pipeline import _get_worker_lexicon
 
-    hyph = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        SF.col("doc_id").cast("string").alias("doc_id"),
-        SF.expr(
-            "array_join(transform(filter(split(text, ' '), x -> x != ''), "
-            "x -> IF(length(x) > 4, "
-            "concat(substr(x, 1, 3), '־\\n', substr(x, 4)), x)), ' ')"
-        ).alias("text"),
+    from jochre3_ocr_spark.plans.pipeline import _spread_small_input
+
+    hyph = _spread_small_input(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            SF.col("doc_id").cast("string").alias("doc_id"),
+            SF.expr(
+                "array_join(transform(filter(split(text, ' '), x -> x != ''), "
+                "x -> IF(length(x) > 4, "
+                "concat(substr(x, 1, 3), '־\\n', substr(x, 4)), x)), ' ')"
+            ).alias("text"),
+        )
     )
     bc = spark.sparkContext.broadcast([])
 
@@ -1549,7 +1559,9 @@ def _skew_eval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    docs = (
+    from jochre3_ocr_spark.plans.pipeline import _spread_small_input
+
+    docs = _spread_small_input(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .filter("doc_id < 40")
         .select("doc_id")

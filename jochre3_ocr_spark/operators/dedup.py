@@ -23,9 +23,16 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("t"),
+    from jochre3_ocr_spark.plans.pipeline import _spread_small_input
+
+    # shingle/hash fan-out cost is per row, but a compact parquet input
+    # yields 1-2 scan splits — spread before the explode (no-op when the
+    # input already supplies >= slots partitions)
+    return _spread_small_input(
+        df.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("t"),
+        )
     )
 
 

@@ -249,7 +249,7 @@ def extract(
     config = config or PipelineConfig()
     spark = docs.sparkSession
     lexicon_bc = spark.sparkContext.broadcast(list(lexicon_words))
-    pruned = _prune_to_json(docs).drop("n_in_spans")
+    pruned = _spread_small_input(_prune_to_json(docs).drop("n_in_spans"))
     raw = pruned.mapInPandas(_make_extract_fn(lexicon_bc, config), schema=_RAW_OUT_DDL)
     return _finalize(raw) if materialize_spans else raw
 
@@ -388,7 +388,7 @@ def extract_with_salting(
     normal = pruned.filter(F.col("n_in_spans") <= giant_threshold).drop("n_in_spans")
     giant = pruned.filter(F.col("n_in_spans") > giant_threshold).drop("n_in_spans")
 
-    raw_normal = normal.mapInPandas(
+    raw_normal = _spread_small_input(normal).mapInPandas(
         _make_extract_fn(lexicon_bc, config), schema=_RAW_OUT_DDL
     )
 
@@ -445,6 +445,7 @@ def extract_text_df(
     pruned = docs.select(
         F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
     )
+    pruned = _spread_small_input(pruned)
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from jochre3_ocr_spark.operators.kernel import process_document_safe
@@ -462,6 +463,22 @@ def extract_text_df(
 
     raw = pruned.mapInPandas(extract_batches, schema=_RAW_OUT_DDL)
     return _finalize(raw) if materialize_spans else raw
+
+
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Kernel cost is per ROW, but scan parallelism is per FILE SPLIT —
+    and a parquet file is splittable only at row-group boundaries, so a
+    small/compact input (one row group) pins the whole fused
+    scan→kernel stage to 1-2 cores. When the scan yields fewer
+    partitions than the cluster has slots, pay one metadata-sized
+    round-robin shuffle to unlock every core. At production scale the
+    input has ≫ cores splits and this is a no-op (no Exchange added —
+    the narrow-plan guarantee holds exactly when it matters)."""
+    spark = df.sparkSession
+    slots = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        return df.repartition(slots)
+    return df
 
 
 # ------------------------------------------------------- vision-path OCR
@@ -543,8 +560,11 @@ def ocr_documents(
     config = config or PipelineConfig()
     spark = docs.sparkSession
     lexicon_bc = spark.sparkContext.broadcast(list(lexicon_words))
-    pruned = docs.select(
-        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
+    pruned = _spread_small_input(
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
