@@ -325,9 +325,15 @@ def connected_components(
     (Kiveris et al., "Connected Components in MapReduce and Beyond");
     the propagation loop is the right default for dedup workloads.
     """
+    # materialize the pair source ONCE before symmetrizing: the union
+    # reads it twice, and an un-checkpointed candidate generator (LSH)
+    # would re-run per branch
+    pairs = pairs.select(
+        F.col(left).alias("a"), F.col(right).alias("b")
+    ).localCheckpoint(eager=True)
     sym = pairs.select(
-        F.col(left).alias("src"), F.col(right).alias("dst")
-    ).union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     edges = sym.distinct().localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
