@@ -54,7 +54,7 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can
     # read 20% slow through no fault of the engine
-    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in headline:
         best = None
