@@ -115,6 +115,8 @@ class TextLine:
     items: list  # Word | Space | Hyphen, in reading order
     language: str | None = None
     rect: "Rect | None" = None  # set by geometry-bearing sources
+    # (x1, y1, x2, y2) — TextLine.baseLine (core/model/TextLine.scala:14,85)
+    baseline: "tuple | None" = None
 
     @property
     def words(self) -> list[Word]:

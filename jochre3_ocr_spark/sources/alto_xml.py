@@ -157,7 +157,18 @@ def _parse_line(el) -> TextLine:
             items.append(Space(_rect(child)))
         elif tag == "HYP":
             items.append(Hyphen(child.get("CONTENT", ""), _rect(child)))
-    return TextLine(items=items, rect=_rect(el))
+    baseline = None
+    bl = el.get("BASELINE")
+    if bl:
+        try:
+            # "x1,y1 x2,y2" (TextLine.fromXML / TextLine.scala:85)
+            p1, p2 = bl.split(" ", 1)
+            x1, y1 = (int(float(v)) for v in p1.split(","))
+            x2, y2 = (int(float(v)) for v in p2.split(","))
+            baseline = (x1, y1, x2, y2)
+        except ValueError:
+            baseline = None
+    return TextLine(items=items, rect=_rect(el), baseline=baseline)
 
 
 def _parse_text_block(el) -> TextBlock:
@@ -234,7 +245,11 @@ def _box_attrs(rect: Rect) -> dict:
 
 
 def _emit_line(line: TextLine, parent) -> None:
-    el = ET.SubElement(parent, "TextLine")
+    attrs = {}
+    if line.baseline is not None:
+        x1, y1, x2, y2 = line.baseline
+        attrs["BASELINE"] = f"{x1},{y1} {x2},{y2}"  # TextLine.scala:85
+    el = ET.SubElement(parent, "TextLine", attrs)
     for item in line.items:
         if isinstance(item, Word):
             attrs = {

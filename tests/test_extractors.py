@@ -1,0 +1,237 @@
+"""Corpus extractor tests — GlyphExtractor / WordExtractor /
+TextLineExtractor semantics (reference core/corpus/*.scala) over the
+Spark mapInPandas rebuild (sources/extractors.py)."""
+
+import numpy as np
+import pytest
+
+from jochre3_ocr_spark.operators.spantree import Rect
+from jochre3_ocr_spark.operators.transforms import (
+    decode_image,
+    encode_image,
+    rotate_image,
+)
+from jochre3_ocr_spark.sources.extractors import (
+    crop_alphabet,
+    extract_crops,
+    glyph_crop_rect,
+    label_file_lines,
+    lines_with_rectangles_tree,
+    unrotate_rect,
+)
+
+PAGE_W, PAGE_H = 400, 300
+
+
+def _alto(rotation: float = 0.0) -> str:
+    """Two-line page: line 1 = two words (one with 2 glyphs), line 2 =
+    word + HYP (combined-word fusion), explicit BASELINEs."""
+    rot = f' ROTATION="{rotation}"' if rotation else ""
+    return f"""<alto><Layout>
+  <Page WIDTH="{PAGE_W}" HEIGHT="{PAGE_H}" LANG="yi" PC="0.9"{rot}>
+   <PrintSpace>
+    <TextBlock HPOS="10" VPOS="20" WIDTH="380" HEIGHT="200">
+     <TextLine HPOS="10" VPOS="20" WIDTH="380" HEIGHT="40" BASELINE="10,60 390,60">
+      <String HPOS="300" VPOS="30" WIDTH="60" HEIGHT="24" CONTENT="אב" WC="0.9">
+       <Glyph HPOS="330" VPOS="30" WIDTH="30" HEIGHT="24" CONTENT="א" GC="0.8"/>
+       <Glyph HPOS="300" VPOS="30" WIDTH="30" HEIGHT="24" CONTENT="ב" GC="0.7"/>
+      </String>
+      <SP HPOS="280" VPOS="30" WIDTH="20" HEIGHT="24"/>
+      <String HPOS="200" VPOS="30" WIDTH="80" HEIGHT="24" CONTENT="גד" WC="0.8">
+       <Glyph HPOS="240" VPOS="30" WIDTH="40" HEIGHT="24" CONTENT="ג" GC="0.6"/>
+       <Glyph HPOS="200" VPOS="30" WIDTH="40" HEIGHT="24" CONTENT="ד" GC="0.6"/>
+      </String>
+     </TextLine>
+     <TextLine HPOS="10" VPOS="70" WIDTH="380" HEIGHT="40" BASELINE="10,110 390,110">
+      <String HPOS="320" VPOS="80" WIDTH="40" HEIGHT="24" CONTENT="הו" WC="0.7">
+       <Glyph HPOS="340" VPOS="80" WIDTH="20" HEIGHT="24" CONTENT="ה" GC="0.6"/>
+       <Glyph HPOS="320" VPOS="80" WIDTH="20" HEIGHT="24" CONTENT="ו" GC="0.6"/>
+      </String>
+      <HYP HPOS="300" VPOS="80" WIDTH="20" HEIGHT="24" CONTENT="־"/>
+     </TextLine>
+    </TextBlock>
+   </PrintSpace>
+  </Page>
+ </Layout></alto>"""
+
+
+def _page_image() -> np.ndarray:
+    img = np.zeros((PAGE_H, PAGE_W), dtype=np.uint8)
+    img[:] = np.arange(PAGE_W, dtype=np.uint32).reshape(1, -1) % 251
+    return img
+
+
+def _corpus_df(spark, n_pages: int = 1, rotation: float = 0.0):
+    img_bytes = encode_image(_page_image())
+    rows = [(f"page{p:02d}", img_bytes, _alto(rotation)) for p in range(n_pages)]
+    return spark.createDataFrame(rows, "doc_id string, image binary, alto_xml string")
+
+
+# ------------------------------------------------------------ pure math
+def test_glyph_crop_rect_margins():
+    # GlyphExtractor.scala:66-82 on (100,200,20,30)
+    r = glyph_crop_rect(Rect(100, 200, 20, 30), PAGE_W, PAGE_H)
+    # height=33, width=22 -> adjusted=33; margins (33-20)//2=6, (33-30)//2=1
+    assert (r.left, r.top, r.width, r.height) == (94, 199, 33, 33)
+
+
+def test_glyph_crop_rect_clamps_to_page():
+    r = glyph_crop_rect(Rect(2, 1, 10, 40), PAGE_W, PAGE_H)
+    assert r.left == 0 and r.top == 0
+    assert r.right <= PAGE_W and r.bottom <= PAGE_H
+
+
+def test_lines_with_rectangles_tree_baseline_fold():
+    from jochre3_ocr_spark.sources.alto_xml import parse_alto
+
+    doc = parse_alto(_alto())
+    block = doc.blocks[0]
+    pairs = lines_with_rectangles_tree(block)
+    assert len(pairs) == 2
+    (_, r0), (_, r1) = pairs
+    # line0: top=block.top=20, h=(60-20)+int((110-60)*0.25)=40+12=52
+    assert (r0.left, r0.top, r0.width, r0.height) == (10, 20, 380, 52)
+    # line1: top=72, h=block.bottom(220)-72=148
+    assert (r1.left, r1.top, r1.width, r1.height) == (10, 72, 380, 148)
+
+
+def test_unrotate_rect_zero_is_identity():
+    r = Rect(10, 20, 30, 40)
+    assert unrotate_rect(r, 400, 300, 0.0) == r
+
+
+def test_unrotate_rect_matches_imageinfo_formula():
+    import math
+
+    rot = 5.0
+    r = Rect(50, 60, 100, 20)
+    out = unrotate_rect(r, PAGE_W, PAGE_H, rot)
+    rad = math.radians(rot)
+    cx, cy = PAGE_W / 2.0, PAGE_H / 2.0
+    x1 = int(cx + (50 - cx) * math.cos(rad) - (60 - cy) * math.sin(rad))
+    y1 = int(cy + (50 - cx) * math.sin(rad) + (60 - cy) * math.cos(rad))
+    assert (out.left, out.top) == (x1, y1)
+
+
+# -------------------------------------------------------------- Spark op
+def test_extract_glyph_crops(spark):
+    crops = extract_crops(_corpus_df(spark), unit="glyph").collect()
+    # 2+2 glyphs line1, 2 glyphs word + 1 hyphen-glyph (combined word) line2
+    assert len(crops) == 7
+    by_idx = {r.idx: r for r in crops}
+    # first glyph of first combined word: א at (330,30,30,24)
+    g0 = by_idx[0]
+    assert g0.content == "א"
+    exp = glyph_crop_rect(Rect(330, 30, 30, 24), PAGE_W, PAGE_H)
+    assert (g0.left, g0.top, g0.width, g0.height) == (
+        exp.left, exp.top, exp.width, exp.height,
+    )
+    # label: pageFile \t content \t l,t,w,h (GlyphExtractor.scala:98-100)
+    assert g0.label_line == (
+        f"page00.npy\tא\t{exp.left},{exp.top},{exp.width},{exp.height}"
+    )
+    assert g0.image_file == "page00.npy"
+    # crop bytes decode to the exact page slice
+    img = _page_image()
+    sub = decode_image(bytes(g0.crop))
+    np.testing.assert_array_equal(
+        sub, img[exp.top : exp.bottom, exp.left : exp.right]
+    )
+
+
+def test_extract_word_crops_and_split(spark):
+    crops = extract_crops(
+        _corpus_df(spark), unit="word", validation_one_every=2
+    ).collect()
+    # combined words: line1 -> 2 words; line2 -> 1 (word+hyphen fused)
+    assert len(crops) == 3
+    by_idx = {r.idx: r for r in crops}
+    assert by_idx[0].content == "אב"
+    assert by_idx[2].content == "הו־"  # hyphen fused into the combined word
+    # (i+1) % 2 == 0 -> val (GlyphExtractor.scala:59-66)
+    assert [by_idx[i].split for i in range(3)] == ["train", "val", "train"]
+    assert by_idx[1].image_file == "page00_0001.npy"
+    assert by_idx[1].label_line == "page00_0001.npy\tגד"
+    img = _page_image()
+    w0 = by_idx[0]
+    sub = decode_image(bytes(w0.crop))
+    np.testing.assert_array_equal(sub, img[30:54, 300:360])
+
+
+def test_extract_line_crops(spark):
+    crops = extract_crops(_corpus_df(spark), unit="line").collect()
+    assert len(crops) == 2
+    by_idx = {r.idx: r for r in crops}
+    assert by_idx[0].image_file == "page00_000.npy"
+    assert (by_idx[0].left, by_idx[0].top) == (10, 20)
+    assert by_idx[0].height == 52
+    assert by_idx[1].content == "הו־"
+
+
+def test_extract_rotation_prelude(spark):
+    rot = 4.0
+    crops = extract_crops(
+        _corpus_df(spark, rotation=rot), unit="word"
+    ).collect()
+    by_idx = {r.idx: r for r in crops}
+    w0 = by_idx[0]
+    # coords re-mapped through Page.unrotate (ImageInfo corner rotation)
+    exp = unrotate_rect(Rect(300, 30, 60, 24), PAGE_W, PAGE_H, rot)
+    assert (w0.left, w0.top, w0.width, w0.height) == (
+        exp.left, exp.top, exp.width, exp.height,
+    )
+    # crop taken from the unrotated image
+    img = rotate_image(_page_image(), -rot)
+    sub = decode_image(bytes(w0.crop))
+    np.testing.assert_array_equal(
+        sub, img[exp.top : exp.bottom, exp.left : exp.right]
+    )
+
+
+def test_simplifier_applied(spark):
+    crops = extract_crops(
+        _corpus_df(spark), unit="word", simplifier=lambda s: s.replace("ב", "X")
+    ).collect()
+    assert {r.content for r in crops} == {"אX", "גד", "הו־"}
+
+
+def test_alphabet_union(spark):
+    crops = extract_crops(_corpus_df(spark), unit="word")
+    chars = {r.char for r in crop_alphabet(crops).collect()}
+    assert chars == {"א", "ב", "ג", "ד", "ה", "ו", "־"}
+
+
+def test_label_file_lines_order(spark):
+    crops = extract_crops(_corpus_df(spark, n_pages=2), unit="word")
+    lines = [r.label_line for r in label_file_lines(crops, "train").collect()]
+    assert lines[0].startswith("page00_0000.npy\t")
+    assert lines == sorted(lines)  # (doc_id, idx) order == lexicographic here
+
+
+def test_partitioning_invariance(spark):
+    df = _corpus_df(spark, n_pages=6)
+    a = sorted(
+        (r.doc_id, r.idx, r.label_line, r.split)
+        for r in extract_crops(df.repartition(1), unit="glyph").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.idx, r.label_line, r.split)
+        for r in extract_crops(df.repartition(5), unit="glyph").collect()
+    )
+    assert a == b and len(a) == 6 * 7
+
+
+def test_unknown_unit_raises(spark):
+    with pytest.raises(ValueError):
+        extract_crops(_corpus_df(spark), unit="paragraph")
+
+
+def test_baseline_roundtrip():
+    from jochre3_ocr_spark.sources.alto_xml import emit_alto, parse_alto
+
+    doc = parse_alto(_alto())
+    line = doc.blocks[0].lines[0]
+    assert line.baseline == (10, 60, 390, 60)
+    xml = emit_alto(doc, PAGE_W, PAGE_H)
+    doc2 = parse_alto(xml)
+    assert doc2.blocks[0].lines[0].baseline == (10, 60, 390, 60)
