@@ -247,6 +247,8 @@ class Document:
     language: str | None = None  # page-level vote (Page.withLanguage)
     confidence: float = 0.0  # mean word confidence (Jochre.scala:365-386)
     rotation: float = 0.0  # deskew angle (Page.rotation, Jochre.scala:381)
+    width: int = 0  # page pixel dims (Page.scala WIDTH/HEIGHT attrs)
+    height: int = 0
 
     @property
     def content(self) -> str:
@@ -513,14 +515,21 @@ def map_rects(doc: Document, fn) -> None:
     undo the print-area crop and the resize scale, Jochre.scala:388)."""
     for block in doc.blocks:
         if isinstance(block, Media):
+            if block.rect is not None:
+                block.rect = fn(block.rect)
             continue
-        children = block.blocks if isinstance(block, ComposedBlock) else [block]
-        if getattr(block, "rect", None) is not None:
-            block.rect = fn(block.rect)
+        if isinstance(block, ComposedBlock):
+            if block.rect is not None:
+                block.rect = fn(block.rect)
+            children = block.blocks
+        else:
+            children = [block]
         for tb in children:
             if tb.rect is not None:
                 tb.rect = fn(tb.rect)
             for line in tb.lines:
+                if line.rect is not None:
+                    line.rect = fn(line.rect)
                 for item in line.items:
                     item.rect = fn(item.rect)
                     if isinstance(item, Word):

@@ -189,7 +189,13 @@ def parse_alto(xml_text: str, doc_id: str | None = None) -> Document:
             fn = root.find(".//fileName")
         doc_id = (fn.text or "") if fn is not None else ""
     blocks: list = []
-    page_meta = {"language": None, "confidence": 0.0, "rotation": 0.0}
+    page_meta = {
+        "language": None,
+        "confidence": 0.0,
+        "rotation": 0.0,
+        "width": 0,
+        "height": 0,
+    }
 
     def walk(el):
         tag = _strip_ns(el.tag)
@@ -198,6 +204,8 @@ def parse_alto(xml_text: str, doc_id: str | None = None) -> Document:
             page_meta["language"] = el.get("LANG") or page_meta["language"]
             page_meta["confidence"] = float(el.get("PC") or 0.0)
             page_meta["rotation"] = float(el.get("ROTATION") or 0.0)
+            page_meta["width"] = _int_attr(el, "WIDTH", 0)
+            page_meta["height"] = _int_attr(el, "HEIGHT", 0)
             for c in el:
                 walk(c)
             return
@@ -215,7 +223,7 @@ def parse_alto(xml_text: str, doc_id: str | None = None) -> Document:
                 )
             )
         elif tag == "Illustration":
-            blocks.append(Media(media_ref=el.get("ID", "")))
+            blocks.append(Media(media_ref=el.get("ID", ""), rect=_rect(el)))
         else:
             for c in el:
                 walk(c)
@@ -227,6 +235,8 @@ def parse_alto(xml_text: str, doc_id: str | None = None) -> Document:
         language=page_meta["language"],
         confidence=page_meta["confidence"],
         rotation=page_meta["rotation"],
+        width=page_meta["width"],
+        height=page_meta["height"],
     )
 
 

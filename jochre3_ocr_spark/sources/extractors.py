@@ -86,16 +86,39 @@ def unrotate_rect(rect: Rect, width: int, height: int, rotation: float) -> Rect:
     return Rect(x1, y1, x2 - x1, y2 - y1)
 
 
+def _map_baselines(doc: Document, pt_fn) -> None:
+    """Apply a point map to every TextLine baseline — the reference's
+    TextLine.translate/rotate carry the baseLine along with the
+    rectangles (TextLine.scala:120-139); map_rects only sees Rects."""
+    for block in _text_blocks(doc):
+        for line in block.lines:
+            if line.baseline is not None:
+                x1, y1, x2, y2 = line.baseline
+                line.baseline = (*pt_fn(x1, y1), *pt_fn(x2, y2))
+
+
 def unrotate_doc(doc: Document, width: int, height: int) -> None:
     """Page.unrotate (Page.scala:117-119): re-map every rectangle in the
     tree; the paired image is straightened with rotate(−rotation)
     (RotationTransformer.scala:8-17, ImageUtils.scala:45-46)."""
+    import math as _math
+
     from jochre3_ocr_spark.operators.spantree import map_rects
 
     if not doc.rotation:
         return
     rot = doc.rotation
     map_rects(doc, lambda r: unrotate_rect(r, width, height, rot))
+    rad = _math.radians(rot)
+    cos_r, sin_r = _math.cos(rad), _math.sin(rad)
+    cx, cy = width / 2.0, height / 2.0
+    _map_baselines(
+        doc,
+        lambda x, y: (
+            int(cx + (x - cx) * cos_r - (y - cy) * sin_r),
+            int(cy + (x - cx) * sin_r + (y - cy) * cos_r),
+        ),
+    )
     doc.rotation = 0.0
 
 
@@ -341,6 +364,357 @@ def crop_alphabet(crops: DataFrame) -> DataFrame:
         .mapInPandas(gen, schema="char string")
         .distinct()
     )
+
+
+# --------------------------------------------------------- YOLO export
+# core/corpus/package.scala:6-45 — the annotation object types, in the
+# enum's declaration order.
+YOLO_OBJECT_TYPES = (
+    "TopLevelTextBlock",
+    "Illustration",
+    "TextBlock",
+    "BaseLine",
+    "NonFinalBaseLine",
+    "FinalBaseLine",
+    "Word",
+    "WordSeparator",
+    "Glyph",
+    "GlyphSeparator",
+)
+
+YOLO_SCHEMA = (
+    "doc_id string, tile_idx int, split string, image_file string, "
+    "label_file string, class_idx int, class_name string, "
+    "x_center double, y_center double, box_width double, "
+    "box_height double, label_line string"
+)
+
+
+def yolo_dataset_yaml(objects_to_include, root_name: str = "dataset") -> str:
+    """The dataset-yaml the annotator writes (YoloAnnotator.scala:56-75)."""
+    lines = [
+        f"path: {root_name} # dataset root dir",
+        "train: images/train # train images (relative to 'path')",
+        "val: images/val # validation images (relative to 'path')",
+        "test:  # test images (relative to 'path') - optional",
+        "# Classes",
+        "names:",
+    ]
+    lines += [f"  {i}: {name}" for i, name in enumerate(objects_to_include)]
+    return "\n".join(lines) + "\n"
+
+
+def _page_yolo_boxes(
+    doc: Document,
+    page_w: int,
+    page_h: int,
+    objects: set,
+    left_to_right: bool,
+    line_thickness: float,
+    tb_h_margin: float,
+    tb_v_margin: float,
+):
+    """All candidate YoloBoxes for one (possibly print-area-cropped)
+    page, normalized to [0,1] — YoloAnnotator.scala:92-240 literally,
+    including the reference quirk that GlyphSeparator boxes stay in
+    PIXEL units (:167-187) and are therefore always dropped by the
+    normalized tile-containment filter (:260-266)."""
+    from jochre3_ocr_spark.functions.reading_order import sort_blocks
+
+    width, height = float(page_w), float(page_h)
+    boxes: list[tuple[str, float, float, float, float]] = []
+
+    def rect_box(cls: str, r: Rect):
+        boxes.append(
+            (
+                cls,
+                (r.left + r.width / 2.0) / width,
+                (r.top + r.height / 2.0) / height,
+                r.width / width,
+                r.height / height,
+            )
+        )
+
+    # reading-order text blocks (Page.allTextBlocks, Page.scala:41-47)
+    tops = [
+        b for b in doc.blocks if isinstance(b, (TextBlock, ComposedBlock))
+    ]
+    sorted_tops = sort_blocks(
+        tops,
+        left_to_right,
+        box_of=lambda b: (b.rect.left, b.rect.top, b.rect.width, b.rect.height)
+        if b.rect
+        else (0, 0, 0, 0),
+    )
+    all_text_blocks: list[TextBlock] = []
+    for b in sorted_tops:
+        if isinstance(b, ComposedBlock):
+            all_text_blocks.extend(b.blocks)
+        else:
+            all_text_blocks.append(b)
+
+    # per-line boxes (YoloAnnotator.scala:115-195)
+    for block in all_text_blocks:
+        pairs = lines_with_rectangles_tree(block)
+        n_lines = len(pairs)
+        for i, (line, line_rect) in enumerate(pairs):
+            base = getattr(line, "baseline", None)
+            if base is not None:
+                bx1, by1, bx2, by2 = base
+            else:
+                lr = line.rect or line_rect
+                bx1, by1, bx2, by2 = lr.left, lr.bottom, lr.right, lr.bottom
+            baseline_y = (by1 + by2) / 2.0
+            baseline_h_px = line_thickness * height
+            base_box = (
+                "BaseLine",
+                ((bx1 + bx2) / 2.0) / width,
+                baseline_y / height,
+                (bx2 - bx1) / width,
+                baseline_h_px / height,
+            )
+            typed = (
+                "FinalBaseLine" if i == n_lines - 1 else "NonFinalBaseLine",
+            ) + base_box[1:]
+            boxes.append(base_box)
+            boxes.append(typed)
+            combined = line.combined_words()
+            for word in combined:
+                rect_box("Word", word.rect)
+            for word in combined:
+                for g in word.glyphs:
+                    rect_box("Glyph", g.rect)
+            from jochre3_ocr_spark.operators.spantree import Space
+
+            for item in line.items:
+                if isinstance(item, Space):
+                    boxes.append(
+                        (
+                            "WordSeparator",
+                            (item.rect.left + item.rect.width / 2.0) / width,
+                            ((line_rect.top + baseline_y) / 2.0) / height,
+                            item.rect.width / width,
+                            ((baseline_y - line_rect.top) * 0.85) / height,
+                        )
+                    )
+            if "GlyphSeparator" in objects:
+                # pixel-valued, per the reference (:167-187)
+                sep_h = int((baseline_y - line_rect.top) * 0.85)
+                sep_w = int(line_thickness * width)
+                for word in combined:
+                    gs = sorted(
+                        word.glyphs,
+                        key=(lambda g: g.rect.left)
+                        if left_to_right
+                        else (lambda g: -g.rect.right),
+                    )
+                    for gi, g in enumerate(gs):
+                        if gi > 0:
+                            boxes.append(
+                                (
+                                    "GlyphSeparator",
+                                    float(g.rect.left),
+                                    (line_rect.top + baseline_y) / 2.0,
+                                    float(sep_w),
+                                    float(sep_h),
+                                )
+                            )
+
+    # paragraph-level text blocks (:198-209)
+    for block in all_text_blocks:
+        if block.rect:
+            rect_box("TextBlock", block.rect)
+
+    # top-level blocks / illustrations on the uncropped page (:212-240)
+    from jochre3_ocr_spark.operators.spantree import Media
+
+    for b in doc.blocks:
+        if isinstance(b, (TextBlock, ComposedBlock)) and b.rect:
+            r = b.rect
+            boxes.append(
+                (
+                    "TopLevelTextBlock",
+                    (r.left + r.width / 2.0) / width,
+                    (r.top + r.height / 2.0) / height,
+                    r.width / width + tb_h_margin * 2.0,
+                    r.height / height + tb_v_margin * 2.0,
+                )
+            )
+        elif isinstance(b, Media) and b.rect:
+            rect_box("Illustration", b.rect)
+
+    return [b for b in boxes if b[0] in objects]
+
+
+def yolo_annotations(
+    corpus: DataFrame,
+    objects_to_include,
+    task: str = "detection",
+    tile_count: int | None = None,
+    validation_one_every: int | None = None,
+    left_to_right: bool = False,
+    line_thickness: float = 0.01,
+    crop_to_print_area: bool = True,
+    crop_margin: float = 0.01,
+    tb_h_margin: float = 0.005,
+    tb_v_margin: float = 0.0,
+    tile_margin: float = 0.125,
+) -> DataFrame:
+    """YoloAnnotator.annotateOneFile (YoloAnnotator.scala:77-425) as a
+    Spark stage: one output row per (page, tile, annotation box), with
+    the YOLO label-file line pre-formatted (detection ``cls cx cy w h``
+    or segmentation 4-corner polygon, :395-419; 6-decimal formatting and
+    left-justified width-2 class index, :52-53).
+
+    ``corpus`` rows: ``doc_id string, alto_xml string`` plus an optional
+    ``page_index int`` used for the train/val split ((index+1) %
+    validation_one_every, :246-254 — the reference splits by FILE index,
+    not unit index). When ``page_index`` is absent it is derived as the
+    doc_id rank — a narrow global sort; pass the column explicitly on
+    big corpora. Config defaults mirror reference.conf:30-48.
+
+    When ``crop_to_print_area`` and neither TopLevelTextBlock nor
+    Illustration is requested, the page is first cropped to the print
+    area + margin (Page.croppedPrintArea, Page.scala:86-111).
+    """
+    if task not in ("detection", "segmentation"):
+        raise ValueError(f"unknown task {task!r}")
+    objects_list = list(objects_to_include)
+    for o in objects_list:
+        if o not in YOLO_OBJECT_TYPES:
+            raise ValueError(f"unknown YOLO object type {o!r}")
+    class_idx = {name: i for i, name in enumerate(objects_list)}
+    objects = set(objects_list)
+
+    cols = ["doc_id", "alto_xml"]
+    if "page_index" in corpus.columns:
+        src = corpus.select(*cols, "page_index")
+    else:
+        from pyspark.sql import Window
+
+        src = corpus.select(*cols).withColumn(
+            "page_index",
+            F.row_number().over(Window.orderBy("doc_id")).cast("int") - 1,
+        )
+
+    do_crop = crop_to_print_area and not (
+        "TopLevelTextBlock" in objects or "Illustration" in objects
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from jochre3_ocr_spark.functions.geometry import tile as tile_fn
+        from jochre3_ocr_spark.operators.spantree import map_rects
+        from jochre3_ocr_spark.sources.alto_xml import parse_alto
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id tile_idx split image_file label_file class_idx "
+                    "class_name x_center y_center box_width box_height "
+                    "label_line"
+                ).split()
+            }
+            for doc_id, xml, page_index in zip(
+                pdf["doc_id"], pdf["alto_xml"], pdf["page_index"]
+            ):
+                doc = parse_alto(xml, doc_id=doc_id)
+                page_w, page_h = doc.width, doc.height
+                if do_crop and doc.blocks:
+                    # Page.croppedPrintArea (Page.scala:86-111)
+                    rects = [
+                        b.rect
+                        for b in doc.blocks
+                        if getattr(b, "rect", None) is not None
+                    ]
+                    if rects:
+                        min_l = min(r.left for r in rects)
+                        min_t = min(r.top for r in rects)
+                        max_r = max(r.right for r in rects)
+                        max_b = max(r.bottom for r in rects)
+                        xm = int(page_w * crop_margin)
+                        ym = int(page_h * crop_margin)
+                        nl = max(min_l - xm, 0)
+                        nt = max(min_t - ym, 0)
+                        nw = (max_r - min_l) + 2 * xm
+                        nh = (max_b - min_t) + 2 * ym
+                        nw = min(nw, page_w - nl)
+                        nh = min(nh, page_h - nt)
+                        # Page.crop (Page.scala:131-140)
+                        map_rects(doc, lambda r: r.translate(-nl, -nt))
+                        _map_baselines(
+                            doc, lambda x, y: (x - nl, y - nt)
+                        )
+                        page_w, page_h = nw, nh
+                boxes = _page_yolo_boxes(
+                    doc,
+                    page_w,
+                    page_h,
+                    objects,
+                    left_to_right,
+                    line_thickness,
+                    tb_h_margin,
+                    tb_v_margin,
+                )
+                split = _split_for(int(page_index), validation_one_every)
+                if tile_count:
+                    tiles = tile_fn(
+                        (0, 0, page_w, page_h),
+                        tile_count,
+                        tile_count,
+                        tile_margin,
+                    )
+                else:
+                    tiles = [(0, 0, page_w, page_h)]
+                for ti, (tl, tt, tw, th) in enumerate(tiles):
+                    t_l, t_t = tl / page_w, tt / page_h
+                    t_r, t_b = (tl + tw) / page_w, (tt + th) / page_h
+                    for cls, cx, cy, bw, bh in boxes:
+                        # full-containment filter (:258-266)
+                        if not (
+                            cx - bw / 2 >= t_l
+                            and cx + bw / 2 <= t_r
+                            and cy - bh / 2 >= t_t
+                            and cy + bh / 2 <= t_b
+                        ):
+                            continue
+                        # remap to tile-relative normalized (:267-281)
+                        ncx = (cx - t_l) * page_w / tw
+                        ncy = (cy - t_t) * page_h / th
+                        nbw = bw * page_w / tw
+                        nbh = bh * page_h / th
+                        if task == "segmentation":
+                            xs = (ncx - nbw / 2, ncx - nbw / 2,
+                                  ncx + nbw / 2, ncx + nbw / 2)
+                            ys = (ncy - nbh / 2, ncy + nbh / 2,
+                                  ncy + nbh / 2, ncy - nbh / 2)
+                            body = " ".join(
+                                f"{x:.6f} {y:.6f}" for x, y in zip(xs, ys)
+                            )
+                        else:
+                            body = (
+                                f"{ncx:.6f} {ncy:.6f} {nbw:.6f} {nbh:.6f}"
+                            )
+                        ci = class_idx[cls]
+                        out["doc_id"].append(doc_id)
+                        out["tile_idx"].append(ti)
+                        out["split"].append(split)
+                        out["image_file"].append(
+                            f"{doc_id}_{ti}.{IMAGE_EXTENSION}"
+                        )
+                        out["label_file"].append(f"{doc_id}_{ti}.txt")
+                        out["class_idx"].append(ci)
+                        out["class_name"].append(cls)
+                        out["x_center"].append(ncx)
+                        out["y_center"].append(ncy)
+                        out["box_width"].append(nbw)
+                        out["box_height"].append(nbh)
+                        out["label_line"].append(f"{ci:<2} {body}")
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(gen, schema=YOLO_SCHEMA)
 
 
 def label_file_lines(crops: DataFrame, split: str = "train") -> DataFrame:

@@ -235,3 +235,102 @@ def test_baseline_roundtrip():
     xml = emit_alto(doc, PAGE_W, PAGE_H)
     doc2 = parse_alto(xml)
     assert doc2.blocks[0].lines[0].baseline == (10, 60, 390, 60)
+
+
+# ----------------------------------------------------------- YOLO export
+def _yolo(spark, objects, **kw):
+    from jochre3_ocr_spark.sources.extractors import yolo_annotations
+
+    return yolo_annotations(_corpus_df(spark), objects, **kw).collect()
+
+
+def test_yolo_word_boxes_print_area_crop(spark):
+    rows = _yolo(spark, ["Word"])
+    assert len(rows) == 3
+    # croppedPrintArea: block (10,20,380,200) + 1% margins -> origin (6,17),
+    # page 388x206 (Page.scala:86-111); word1 (300,30,60,24) -> (294,13)
+    r0 = sorted(rows, key=lambda r: -r.x_center)[0]
+    assert r0.class_idx == 0 and r0.class_name == "Word"
+    assert abs(r0.x_center - 324 / 388) < 1e-9
+    assert abs(r0.y_center - 25 / 206) < 1e-9
+    assert abs(r0.box_width - 60 / 388) < 1e-9
+    assert abs(r0.box_height - 24 / 206) < 1e-9
+    assert r0.label_line == (
+        f"{0:<2} {324/388:.6f} {25/206:.6f} {60/388:.6f} {24/206:.6f}"
+    )
+
+
+def test_yolo_baseline_classes(spark):
+    rows = _yolo(spark, ["NonFinalBaseLine", "FinalBaseLine"])
+    assert [(r.class_name) for r in sorted(rows, key=lambda r: r.y_center)] == [
+        "NonFinalBaseLine",
+        "FinalBaseLine",
+    ]
+    nf = min(rows, key=lambda r: r.y_center)
+    assert abs(nf.y_center - 43 / 206) < 1e-9  # baseline 60 - crop top 17
+
+
+def test_yolo_glyph_separator_reference_quirk(spark):
+    # pixel-valued separators are dropped by the normalized containment
+    # filter (YoloAnnotator.scala:167-187 vs :258-266) — reference parity
+    rows = _yolo(spark, ["Glyph", "GlyphSeparator"])
+    assert {r.class_name for r in rows} == {"Glyph"}
+    assert len(rows) == 7
+
+
+def test_yolo_top_level_uncropped_with_margins(spark):
+    rows = _yolo(spark, ["TopLevelTextBlock"])
+    assert len(rows) == 1
+    r = rows[0]
+    assert abs(r.x_center - 0.5) < 1e-9 and abs(r.y_center - 0.4) < 1e-9
+    assert abs(r.box_width - (380 / 400 + 0.01)) < 1e-9
+    assert abs(r.box_height - 200 / 300) < 1e-9
+
+
+def test_yolo_word_separator_geometry(spark):
+    rows = _yolo(spark, ["WordSeparator"])
+    assert len(rows) == 1
+    r = rows[0]
+    assert abs(r.x_center - 284 / 388) < 1e-9
+    assert abs(r.y_center - 23 / 206) < 1e-9
+    assert abs(r.box_height - 34 / 206) < 1e-9
+
+
+def test_yolo_tiling_remaps_to_unit_square(spark):
+    rows = _yolo(spark, ["Glyph"], tile_count=2)
+    assert rows and {r.tile_idx for r in rows} != {0}
+    for r in rows:
+        assert -1e-9 <= r.x_center - r.box_width / 2
+        assert r.x_center + r.box_width / 2 <= 1 + 1e-9
+        assert r.image_file == f"{r.doc_id}_{r.tile_idx}.npy"
+
+
+def test_yolo_segmentation_polygon(spark):
+    rows = _yolo(spark, ["Word"], task="segmentation")
+    parts = rows[0].label_line.split()
+    assert len(parts) == 9  # class + 4 corner points
+
+
+def test_yolo_split_by_page_index(spark):
+    from jochre3_ocr_spark.sources.extractors import yolo_annotations
+
+    df = _corpus_df(spark, n_pages=4).withColumn(
+        "page_index",
+        __import__("pyspark.sql.functions", fromlist=["f"]).expr(
+            "cast(substring(doc_id, 5, 2) as int)"
+        ),
+    )
+    rows = yolo_annotations(df, ["Word"], validation_one_every=2).collect()
+    splits = {r.doc_id: r.split for r in rows}
+    assert splits == {
+        "page00": "train", "page01": "val",
+        "page02": "train", "page03": "val",
+    }
+
+
+def test_yolo_dataset_yaml():
+    from jochre3_ocr_spark.sources.extractors import yolo_dataset_yaml
+
+    y = yolo_dataset_yaml(["Word", "Glyph"])
+    assert "  0: Word\n  1: Glyph\n" in y
+    assert y.startswith("path: dataset")
