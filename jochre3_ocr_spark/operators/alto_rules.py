@@ -19,8 +19,10 @@ from jochre3_ocr_spark.functions.lexicon import Lexicon
 from jochre3_ocr_spark.functions.simplify import simplify, string_to_chars
 from jochre3_ocr_spark.functions.translit import transliterate
 from jochre3_ocr_spark.operators.spantree import (
+    ComposedBlock,
     Document,
     Glyph,
+    Media,
     Hyphen,
     Rect,
     Space,
@@ -313,3 +315,83 @@ def add_alternatives_rule(doc: Document, lexicon: Lexicon) -> None:
             alts |= _alternatives_cached(word.subs_content, lexicon, True)
         merged = alts | set(word.alternatives)
         word.alternatives = sorted(merged)
+
+
+# ---------------------------------------------------- corpus glyph merge
+# YiddishCorpusTransformer.annotateOneFile (yiddish/corpus/
+# YiddishCorpusTransformer.scala:40-92): fold adjacent glyph pairs into
+# the combined Yiddish ligature glyphs. Defaults mirror
+# yiddish/reference.conf:29-34 (only pasekh-tsvey-yudn on).
+_TSVEY_YUDN_SECOND = ("י", "יָ", "יַ", "יֵ", "יֶ")
+_TSVEY_VOVN_SECOND = ("ו", "וִ", "וַ", "וָ", "וֶ", "וֵ", "וְ")
+
+
+def merge_yiddish_glyph_pairs(
+    word: Word,
+    pasekh_tsvey_yudn: bool = True,
+    tsvey_yudn: bool = False,
+    yud_khirik_yud: bool = False,
+    tsvey_vovn: bool = False,
+) -> Word:
+    """Returns the word with ligature glyph pairs combined (union bbox,
+    confidence 1.0) and, when anything merged, the content rebuilt from
+    the glyph sequence — the if-chain order matches the reference."""
+    new_glyphs: list[Glyph] = []
+    changed = False
+    for glyph in word.glyphs:
+        if new_glyphs:
+            prev = new_glyphs[-1]
+            merged = None
+            if pasekh_tsvey_yudn and glyph.content == "יַ" and prev.content == "י":
+                merged = "ײַ"
+            elif (
+                tsvey_yudn
+                and glyph.content in _TSVEY_YUDN_SECOND
+                and prev.content == "י"
+            ):
+                merged = "ײ"
+            elif (
+                yud_khirik_yud and glyph.content == "יִ" and prev.content == "י"
+            ):
+                merged = "ייִ"
+            elif (
+                tsvey_vovn
+                and glyph.content in _TSVEY_VOVN_SECOND
+                and prev.content == "ו"
+            ):
+                merged = "װ"
+            if merged is not None:
+                new_glyphs[-1] = Glyph(
+                    merged, prev.rect.union(glyph.rect), 1.0
+                )
+                changed = True
+                continue
+        new_glyphs.append(glyph)
+    if not changed:
+        return word
+    return Word(
+        content="".join(g.content for g in new_glyphs),
+        rect=word.rect,
+        glyphs=new_glyphs,
+        alternatives=word.alternatives,
+        confidence=word.confidence,
+        language=word.language,
+        subs_type=word.subs_type,
+        subs_content=word.subs_content,
+    )
+
+
+def merge_yiddish_glyph_pairs_doc(doc: Document, **flags) -> None:
+    """Alto.transform over every word (YiddishCorpusTransformer.scala:40)."""
+    for block in doc.blocks:
+        if isinstance(block, Media):
+            continue
+        tbs = block.blocks if isinstance(block, ComposedBlock) else [block]
+        for tb in tbs:
+            for line in tb.lines:
+                line.items = [
+                    merge_yiddish_glyph_pairs(item, **flags)
+                    if isinstance(item, Word)
+                    else item
+                    for item in line.items
+                ]

@@ -717,6 +717,164 @@ def yolo_annotations(
     return src.mapInPandas(gen, schema=YOLO_SCHEMA)
 
 
+# ------------------------------------------------ other corpus annotators
+def alto_to_text(
+    corpus: DataFrame,
+    simplifier: Callable[[str], str] | None = "default",
+) -> DataFrame:
+    """YiddishAltoToText.extract (yiddish/corpus/YiddishAltoToText.scala:
+    21-50): per ALTO document, the page content plus its simplified twin.
+    The reference default simplifier is YiddishTextSimpifier with
+    non-Hebrew replacement off. Pass ``simplifier=None`` to skip the
+    simplified column (it comes back null)."""
+    if simplifier == "default":
+        from jochre3_ocr_spark.functions.simplify import simplify as _s
+
+        simplifier = _s
+
+    def gen(batches):
+        import pandas as pd
+
+        from jochre3_ocr_spark.sources.alto_xml import parse_alto
+
+        for pdf in batches:
+            out = {"doc_id": [], "content": [], "simplified_content": []}
+            for doc_id, xml in zip(pdf["doc_id"], pdf["alto_xml"]):
+                doc = parse_alto(xml, doc_id=doc_id)
+                content = doc.content
+                out["doc_id"].append(doc_id)
+                out["content"].append(content)
+                out["simplified_content"].append(
+                    simplifier(content) if simplifier is not None else None
+                )
+            yield pd.DataFrame(out)
+
+    return corpus.select("doc_id", "alto_xml").mapInPandas(
+        gen, schema="doc_id string, content string, simplified_content string"
+    )
+
+
+def transform_corpus(
+    corpus: DataFrame,
+    pasekh_tsvey_yudn: bool = True,
+    tsvey_yudn: bool = False,
+    yud_khirik_yud: bool = False,
+    tsvey_vovn: bool = False,
+) -> DataFrame:
+    """YiddishCorpusTransformer (yiddish/corpus/
+    YiddishCorpusTransformer.scala:40-106): merge Yiddish ligature glyph
+    pairs in every word and re-emit ALTO 4. Flag defaults mirror
+    yiddish/reference.conf:29-34. Returns (doc_id, alto_xml)."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from jochre3_ocr_spark.operators.alto_rules import (
+            merge_yiddish_glyph_pairs_doc,
+        )
+        from jochre3_ocr_spark.sources.alto_xml import emit_alto, parse_alto
+
+        for pdf in batches:
+            out = {"doc_id": [], "alto_xml": []}
+            for doc_id, xml in zip(pdf["doc_id"], pdf["alto_xml"]):
+                doc = parse_alto(xml, doc_id=doc_id)
+                merge_yiddish_glyph_pairs_doc(
+                    doc,
+                    pasekh_tsvey_yudn=pasekh_tsvey_yudn,
+                    tsvey_yudn=tsvey_yudn,
+                    yud_khirik_yud=yud_khirik_yud,
+                    tsvey_vovn=tsvey_vovn,
+                )
+                out["doc_id"].append(doc_id)
+                out["alto_xml"].append(
+                    emit_alto(doc, doc.width, doc.height)
+                )
+            yield pd.DataFrame(out)
+
+    return corpus.select("doc_id", "alto_xml").mapInPandas(
+        gen, schema="doc_id string, alto_xml string"
+    )
+
+
+def rotation_annotations(
+    corpus: DataFrame,
+    image_size: int = 1280,
+    validation_one_every: int | None = None,
+) -> DataFrame:
+    """RotationAnnotator (core/corpus/RotationAnnotator.scala:30-101):
+    per page, the image scaled so max(w, h) == image_size (the reference
+    uses Java bilinear; here nearest-neighbor — deterministic, same
+    geometry) and the skew label formatted ``%.2f`` — the page is NOT
+    unrotated first (initialTransforms is empty, :28): the rotation is
+    the training target. Split by file index like the YOLO annotator;
+    supply ``page_index`` or inherit the doc_id-rank default."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from jochre3_ocr_spark.operators.transforms import (
+            decode_image,
+            encode_image,
+        )
+        from jochre3_ocr_spark.sources.alto_xml import parse_alto
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id split image_file label_file rotation "
+                    "rotation_label image"
+                ).split()
+            }
+            for doc_id, image, xml, page_index in zip(
+                pdf["doc_id"],
+                pdf["image"],
+                pdf["alto_xml"],
+                pdf["page_index"],
+            ):
+                rotation = parse_alto(xml, doc_id=doc_id).rotation
+                img = decode_image(bytes(image))
+                h, w = img.shape[:2]
+                # RotationAnnotator.scala:52-67 keep-aspect to image_size
+                if h > w:
+                    sh, sw = image_size, int((w / h) * image_size)
+                else:
+                    sh, sw = int((h / w) * image_size), image_size
+                rows = (np.arange(sh) * h / sh).astype(int).clip(0, h - 1)
+                cols = (np.arange(sw) * w / sw).astype(int).clip(0, w - 1)
+                scaled = img[np.ix_(rows, cols)]
+                out["doc_id"].append(doc_id)
+                out["split"].append(
+                    _split_for(int(page_index), validation_one_every)
+                )
+                out["image_file"].append(f"{doc_id}.{IMAGE_EXTENSION}")
+                out["label_file"].append(f"{doc_id}.txt")
+                out["rotation"].append(float(rotation))
+                out["rotation_label"].append(f"{rotation:.2f}")
+                out["image"].append(encode_image(scaled))
+            yield pd.DataFrame(out)
+
+    cols = ["doc_id", "image", "alto_xml"]
+    if "page_index" in corpus.columns:
+        src = corpus.select(*cols, "page_index")
+    else:
+        from pyspark.sql import Window
+
+        src = corpus.select(*cols).withColumn(
+            "page_index",
+            F.row_number().over(Window.orderBy("doc_id")).cast("int") - 1,
+        )
+    return src.mapInPandas(
+        gen,
+        schema=(
+            "doc_id string, split string, image_file string, "
+            "label_file string, rotation double, rotation_label string, "
+            "image binary"
+        ),
+    )
+
+
 def label_file_lines(crops: DataFrame, split: str = "train") -> DataFrame:
     """The rows of ``glyph-to-text.txt`` / ``word-to-text.txt`` /
     ``line-to-text.txt`` for one split, in reference append order

@@ -334,3 +334,106 @@ def test_yolo_dataset_yaml():
     y = yolo_dataset_yaml(["Word", "Glyph"])
     assert "  0: Word\n  1: Glyph\n" in y
     assert y.startswith("path: dataset")
+
+
+# ------------------------------------------------- other corpus annotators
+def test_alto_to_text(spark):
+    from jochre3_ocr_spark.sources.extractors import alto_to_text
+
+    rows = alto_to_text(_corpus_df(spark)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.content == "אב גד\nהו־"  # Page.content: lines joined by \n
+    assert r.simplified_content is not None
+    none_rows = alto_to_text(_corpus_df(spark), simplifier=None).collect()
+    assert none_rows[0].simplified_content is None
+
+
+def test_merge_yiddish_glyph_pairs():
+    from jochre3_ocr_spark.operators.alto_rules import (
+        merge_yiddish_glyph_pairs,
+    )
+    from jochre3_ocr_spark.operators.spantree import Glyph, Rect, Word
+
+    w = Word(
+        content="איַל",
+        rect=Rect(0, 0, 30, 10),
+        glyphs=[
+            Glyph("א", Rect(20, 0, 10, 10), 0.9),
+            Glyph("י", Rect(12, 0, 8, 10), 0.9),
+            Glyph("יַ", Rect(4, 0, 8, 10), 0.9),
+            Glyph("ל", Rect(0, 0, 4, 10), 0.9),
+        ],
+        confidence=0.9,
+    )
+    out = merge_yiddish_glyph_pairs(w)  # default: pasekh-tsvey-yudn only
+    assert [g.content for g in out.glyphs] == ["א", "ײַ", "ל"]
+    assert out.content == "אײַל"
+    g = out.glyphs[1]
+    assert (g.rect.left, g.rect.width, g.confidence) == (4, 16, 1.0)
+    # flag off -> untouched
+    same = merge_yiddish_glyph_pairs(w, pasekh_tsvey_yudn=False)
+    assert same is w
+
+
+def test_merge_tsvey_vovn_chain():
+    from jochre3_ocr_spark.operators.alto_rules import (
+        merge_yiddish_glyph_pairs,
+    )
+    from jochre3_ocr_spark.operators.spantree import Glyph, Rect, Word
+
+    w = Word(
+        content="וו",
+        rect=Rect(0, 0, 20, 10),
+        glyphs=[
+            Glyph("ו", Rect(10, 0, 10, 10), 0.9),
+            Glyph("ו", Rect(0, 0, 10, 10), 0.9),
+        ],
+        confidence=0.9,
+    )
+    out = merge_yiddish_glyph_pairs(w, tsvey_vovn=True)
+    assert [g.content for g in out.glyphs] == ["װ"]
+    assert out.content == "װ"
+
+
+def test_transform_corpus_roundtrip(spark):
+    from jochre3_ocr_spark.sources.extractors import transform_corpus
+    from jochre3_ocr_spark.sources.alto_xml import parse_alto
+
+    xml = """<alto><Layout><Page WIDTH="100" HEIGHT="50">
+      <TextBlock HPOS="0" VPOS="0" WIDTH="100" HEIGHT="50">
+       <TextLine HPOS="0" VPOS="0" WIDTH="100" HEIGHT="20">
+        <String HPOS="10" VPOS="0" WIDTH="30" HEIGHT="20" CONTENT="איַ" WC="0.9">
+         <Glyph HPOS="30" VPOS="0" WIDTH="10" HEIGHT="20" CONTENT="א" GC="0.9"/>
+         <Glyph HPOS="20" VPOS="0" WIDTH="10" HEIGHT="20" CONTENT="י" GC="0.9"/>
+         <Glyph HPOS="10" VPOS="0" WIDTH="10" HEIGHT="20" CONTENT="יַ" GC="0.9"/>
+        </String>
+       </TextLine>
+      </TextBlock>
+     </Page></Layout></alto>"""
+    df = spark.createDataFrame(
+        [("d0", xml)], "doc_id string, alto_xml string"
+    )
+    out = transform_corpus(df).collect()[0]
+    doc = parse_alto(out.alto_xml)
+    word = doc.blocks[0].lines[0].words[0]
+    assert word.content == "אײַ"
+    assert [g.content for g in word.glyphs] == ["א", "ײַ"]
+
+
+def test_rotation_annotations(spark):
+    from jochre3_ocr_spark.sources.extractors import rotation_annotations
+
+    rows = rotation_annotations(
+        _corpus_df(spark, n_pages=2, rotation=-1.094), image_size=100,
+        validation_one_every=2,
+    ).collect()
+    assert len(rows) == 2
+    by_id = {r.doc_id: r for r in rows}
+    r = by_id["page00"]
+    assert r.rotation_label == "-1.09"  # %.2f (RotationAnnotator.scala:86-100)
+    assert r.split == "train" and by_id["page01"].split == "val"
+    img = decode_image(bytes(r.image))
+    # 400x300 -> w>h -> (75, 100)
+    assert img.shape == (75, 100)
+    assert r.label_file == "page00.txt"
