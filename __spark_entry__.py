@@ -1877,6 +1877,103 @@ FROM d, UNNEST(generate_series(1, n_pages)) AS t(p)
 """
 
 
+def _corpus_word_crop_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus WordExtractor (reference core/corpus/WordExtractor.scala:
+    32-86) driven end-to-end over pages synthesized from the driver
+    documents table with a closed-form layout — glyph width 10, word gap
+    10, one line at top 20, height 30, first 8 tokens — so every rect,
+    label line, and train/val split is independently derivable in SQL.
+    Labels-only mode (image=None): geometry comes from the Page attrs."""
+    from pyspark.sql import functions as SF
+
+    from jochre3_ocr_spark.plans.pipeline import _spread_small_input
+    from jochre3_ocr_spark.sources.extractors import extract_crops
+
+    docs = _spread_small_input(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            SF.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "image": [], "alto_xml": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in str(text).split(" ") if t][:8]
+                parts = []
+                left = 10
+                for t in toks:
+                    w = 10 * len(t)
+                    parts.append(
+                        f'<String HPOS="{left}" VPOS="20" WIDTH="{w}" '
+                        f'HEIGHT="30" CONTENT="{t}" WC="0.9"/>'
+                    )
+                    parts.append(
+                        f'<SP HPOS="{left + w}" VPOS="20" WIDTH="10" '
+                        f'HEIGHT="30"/>'
+                    )
+                    left += w + 10
+                xml = (
+                    '<alto><Layout><Page WIDTH="4000" HEIGHT="100">'
+                    '<PrintSpace>'
+                    '<TextBlock HPOS="0" VPOS="0" WIDTH="4000" HEIGHT="100">'
+                    '<TextLine HPOS="0" VPOS="10" WIDTH="4000" HEIGHT="50">'
+                    + "".join(parts)
+                    + "</TextLine></TextBlock></PrintSpace></Page>"
+                    "</Layout></alto>"
+                )
+                out["doc_id"].append(doc_id)
+                out["image"].append(None)
+                out["alto_xml"].append(xml)
+            yield pd.DataFrame(out)
+
+    corpus = docs.mapInPandas(
+        build, schema="doc_id string, image binary, alto_xml string"
+    )
+    crops = extract_crops(
+        corpus, unit="word", validation_one_every=3, with_crops=False
+    )
+    return crops.select(
+        "doc_id", "idx", "content", "split",
+        "left", "top", "width", "height", "label_line",
+    )
+
+
+# Same layout in closed form: left = 10 + sum of (10*len + 10) over the
+# preceding tokens; file name %s_%04d.npy (WordExtractor.scala:62,72).
+_Q_CORPUS_WORD_LABELS_DUCK = """
+WITH raw AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(d.text, ' ')) AS tok,
+         generate_subscripts(string_split(d.text, ' '), 1) AS i
+  FROM documents d
+), toks AS (
+  SELECT doc_id, tok AS content,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+              AS INT) AS idx,
+         CAST(10 * length(tok) AS INT) AS width
+  FROM raw
+  WHERE tok <> ''
+), first8 AS (
+  SELECT * FROM toks WHERE idx < 8
+), pos AS (
+  SELECT doc_id, idx, content, width,
+         CAST(10 + COALESCE(SUM(width + 10) OVER (
+              PARTITION BY doc_id ORDER BY idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS INT) AS "left"
+  FROM first8
+)
+SELECT doc_id, idx, content,
+       CASE WHEN (idx + 1) % 3 = 0 THEN 'val' ELSE 'train' END AS split,
+       "left", CAST(20 AS INT) AS top, width, CAST(30 AS INT) AS height,
+       printf('%s_%04d.npy', doc_id, idx) || chr(9) || content AS label_line
+FROM pos
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the extraction engine over sf0.001 documents."""
     return _extract_processed_text(spark, "/root/testdata/sf0.001")
@@ -1926,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": _token_counts_bpe,
         "ann_ivf_kmeans_topk": _ann_ivf_kmeans_topk,
         "media_av_features": _media_av_features,
+        "corpus_word_crop_labels": _corpus_word_crop_labels,
     }
 
 
@@ -1941,6 +2039,7 @@ def oracle_sql() -> dict[str, str]:
         "media_image_features": _Q_MEDIA_IMAGE_DUCK,
         "pdf_page_scan": _Q_PDF_DUCK,
         "media_av_features": _Q_MEDIA_AV_DUCK,
+        "corpus_word_crop_labels": _Q_CORPUS_WORD_LABELS_DUCK,
         "q1_pricing_summary": _Q1,
         "q3_shipping_priority": _Q3_DUCK,
         "q5_local_supplier_volume": _Q5,

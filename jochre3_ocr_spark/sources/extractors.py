@@ -281,15 +281,21 @@ def extract_crops(
             for doc_id, image, xml in zip(
                 pdf["doc_id"], pdf["image"], pdf["alto_xml"]
             ):
-                img = decode_image(bytes(image))
-                page_h, page_w = img.shape[:2]
                 doc = parse_alto(xml, doc_id=doc_id)
+                if image is None:
+                    # labels-only mode: geometry from the Page attrs
+                    img = None
+                    page_w, page_h = doc.width, doc.height
+                else:
+                    img = decode_image(bytes(image))
+                    page_h, page_w = img.shape[:2]
                 if doc.rotation:
-                    from jochre3_ocr_spark.operators.transforms import (
-                        rotate_image,
-                    )
+                    if img is not None:
+                        from jochre3_ocr_spark.operators.transforms import (
+                            rotate_image,
+                        )
 
-                    img = rotate_image(img, -doc.rotation)
+                        img = rotate_image(img, -doc.rotation)
                     unrotate_doc(doc, page_w, page_h)
                 for idx, content, label_rect, crop_rect in _iter_units(
                     doc, unit, page_w, page_h
@@ -312,7 +318,12 @@ def extract_crops(
                     out["label_line"].append(
                         _label_line(unit, image_file, content, label_rect)
                     )
-                    if with_crops and crop_rect.width and crop_rect.height:
+                    if (
+                        with_crops
+                        and img is not None
+                        and crop_rect.width
+                        and crop_rect.height
+                    ):
                         sub = crop_img(
                             img,
                             (
@@ -715,6 +726,88 @@ def yolo_annotations(
             yield pd.DataFrame(out)
 
     return src.mapInPandas(gen, schema=YOLO_SCHEMA)
+
+
+def word_to_glyph_annotations(
+    corpus: DataFrame,
+    validation_one_every: int | None = None,
+) -> DataFrame:
+    """YoloWordToGlyphAnnotator (core/corpus/YoloWordToGlyphAnnotator.
+    scala:72-227): for training a word→glyph splitter — one row per
+    (combined word, glyph) with the glyph box normalized RELATIVE TO THE
+    WORD rectangle, width/height clamped to 1.0 (:115-123), label line
+    ``0  cx cy w h`` (%.6f, :217-222), file names ``{base}_%04d``
+    (:199,205), split by page index (:89-96). Word crop images come from
+    ``extract_crops(unit="word")`` — this op emits labels only, so the
+    heavy pixel path is not duplicated."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from jochre3_ocr_spark.sources.alto_xml import parse_alto
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id word_idx glyph_idx split image_file label_file "
+                    "x_center y_center box_width box_height label_line"
+                ).split()
+            }
+            for doc_id, xml, page_index in zip(
+                pdf["doc_id"], pdf["alto_xml"], pdf["page_index"]
+            ):
+                doc = parse_alto(xml, doc_id=doc_id)
+                split = _split_for(int(page_index), validation_one_every)
+                words = []
+                for block in _text_blocks(doc):
+                    for line in block.lines:
+                        words.extend(line.combined_words())
+                for wi, word in enumerate(words):
+                    wl, wt = float(word.rect.left), float(word.rect.top)
+                    ww = float(word.rect.width) or 1.0
+                    wh = float(word.rect.height) or 1.0
+                    for gi, g in enumerate(word.glyphs):
+                        cx = (g.rect.left + g.rect.width / 2.0 - wl) / ww
+                        cy = (g.rect.top + g.rect.height / 2.0 - wt) / wh
+                        bw = min(g.rect.width / ww, 1.0)
+                        bh = min(g.rect.height / wh, 1.0)
+                        out["doc_id"].append(doc_id)
+                        out["word_idx"].append(wi)
+                        out["glyph_idx"].append(gi)
+                        out["split"].append(split)
+                        out["image_file"].append(
+                            f"{doc_id}_{wi:04d}.{IMAGE_EXTENSION}"
+                        )
+                        out["label_file"].append(f"{doc_id}_{wi:04d}.txt")
+                        out["x_center"].append(cx)
+                        out["y_center"].append(cy)
+                        out["box_width"].append(bw)
+                        out["box_height"].append(bh)
+                        out["label_line"].append(
+                            f"{0:<2} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}"
+                        )
+            yield pd.DataFrame(out)
+
+    cols = ["doc_id", "alto_xml"]
+    if "page_index" in corpus.columns:
+        src = corpus.select(*cols, "page_index")
+    else:
+        from pyspark.sql import Window
+
+        src = corpus.select(*cols).withColumn(
+            "page_index",
+            F.row_number().over(Window.orderBy("doc_id")).cast("int") - 1,
+        )
+    return src.mapInPandas(
+        gen,
+        schema=(
+            "doc_id string, word_idx int, glyph_idx int, split string, "
+            "image_file string, label_file string, x_center double, "
+            "y_center double, box_width double, box_height double, "
+            "label_line string"
+        ),
+    )
 
 
 # ------------------------------------------------ other corpus annotators

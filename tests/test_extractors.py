@@ -437,3 +437,24 @@ def test_rotation_annotations(spark):
     # 400x300 -> w>h -> (75, 100)
     assert img.shape == (75, 100)
     assert r.label_file == "page00.txt"
+
+
+def test_word_to_glyph_annotations(spark):
+    from jochre3_ocr_spark.sources.extractors import word_to_glyph_annotations
+
+    rows = word_to_glyph_annotations(_corpus_df(spark)).collect()
+    # 7 glyphs over 3 combined words (hyphen glyph included in word 2)
+    assert len(rows) == 7
+    # word0 "אב" rect (300,30,60,24); glyph א (330,30,30,24)
+    r = next(
+        x for x in rows if x.word_idx == 0 and x.glyph_idx == 0
+    )
+    assert abs(r.x_center - (330 + 15 - 300) / 60) < 1e-9
+    assert abs(r.y_center - 0.5) < 1e-9
+    assert abs(r.box_width - 0.5) < 1e-9
+    assert abs(r.box_height - 1.0) < 1e-9
+    assert r.label_line == f"{0:<2} {45/60:.6f} {0.5:.6f} {0.5:.6f} {1.0:.6f}"
+    assert r.image_file == "page00_0000.npy"
+    # clamp: hyphen glyph exactly fills its word slice -> within [0,1]
+    for x in rows:
+        assert x.box_width <= 1.0 + 1e-12 and x.box_height <= 1.0 + 1e-12
