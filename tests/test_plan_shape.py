@@ -134,3 +134,26 @@ def test_q5_broadcasts_small_dimensions(spark):
     for line in plan.splitlines():
         if "BroadcastExchange" in line:
             assert "lineitem" not in line
+
+
+def test_extractor_plan_zero_shuffle_with_page_index(spark):
+    """Corpus annotators stay Exchange-free (scan → mapInPandas) when the
+    caller supplies page_index — the scale path; the doc_id-rank default
+    is the documented small-corpus convenience (one narrow global sort)."""
+    from pyspark.sql import functions as F
+
+    from jochre3_ocr_spark.sources.extractors import (
+        extract_crops,
+        word_to_glyph_annotations,
+        yolo_annotations,
+    )
+
+    df = spark.createDataFrame(
+        [("d0", None, "<alto/>", 0)],
+        "doc_id string, image binary, alto_xml string, page_index int",
+    )
+    assert "Exchange" not in _plan(extract_crops(df, unit="word"))
+    assert "Exchange" not in _plan(yolo_annotations(df, ["Word"]))
+    assert "Exchange" not in _plan(word_to_glyph_annotations(df))
+    # without page_index the split derivation costs a global sort
+    assert "Exchange" in _plan(yolo_annotations(df.drop("page_index"), ["Word"]))
