@@ -87,26 +87,58 @@ def _crop(img: np.ndarray, rect: Rect) -> np.ndarray:
     return img[top:bottom, left:right]
 
 
+def image_segments(img: np.ndarray, blocks: list):
+    """ImageSegmentExtractor (core/text/ImageSegmentExtractor.scala:
+    24-71): white out every illustration rectangle on a copy of the
+    page, then cut one clamped sub-image per text container. Returns
+    [("text", rect, sub_image) | ("illustration", rect)] in block
+    order."""
+    cleaned = img.copy()
+    for b in blocks:
+        if isinstance(b, Media) and b.rect is not None:
+            h, w = cleaned.shape[:2]
+            r = b.rect
+            cleaned[
+                max(0, r.top) : min(h, r.bottom),
+                max(0, r.left) : min(w, r.right),
+            ] = 255
+    out = []
+    for b in blocks:
+        if isinstance(b, Media):
+            if b.rect is not None:
+                out.append(("illustration", b.rect))
+            continue
+        rect = _block_rect(b)
+        out.append(("text", rect, _crop(cleaned, rect)))
+    return out
+
+
 def block_text_guess(
     doc: Document,
     img: np.ndarray,
     converter: AltoConverter,
     left_to_right: bool = False,
 ) -> Document:
-    """BlockTextGuesser.guess: per text block, crop → converter → parse
-    ALTO → translate by (left, top); illustrations pass through; ignored
-    analysis errors contribute no blocks; BlockSorter re-sort
-    (BlockTextGuesser.scala:40-100)."""
+    """BlockTextGuesser.guess: ImageSegmentExtractor segments (text
+    crops with illustrations whited out) → converter → parse ALTO →
+    translate by (left, top); illustration segments pass through as
+    Media; ignored analysis errors contribute no blocks; BlockSorter
+    re-sort (BlockTextGuesser.scala:40-100)."""
     from jochre3_ocr_spark.sources.alto_xml import parse_alto
 
     out_blocks: list = []
+    text_segs = iter(
+        s for s in image_segments(img, doc.blocks) if s[0] == "text"
+    )
     for block in doc.blocks:
         if isinstance(block, Media):
+            # IllustrationSegment passes through (:77-78); the original
+            # Media keeps its media_ref
             out_blocks.append(block)
             continue
-        rect = _block_rect(block)
+        _, rect, sub_img = next(text_segs)
         try:
-            alto_xml = converter(_crop(img, rect))
+            alto_xml = converter(sub_img)
         except AnalysisExceptionToIgnore:
             continue
         sub = parse_alto(alto_xml, doc_id=doc.doc_id)

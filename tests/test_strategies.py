@@ -160,3 +160,60 @@ def test_ocr_document_strategy_dispatch():
         alto_converter=conv,
     )
     assert out_guessed["status"] == "ok" and out_guessed["n_words"] >= 1
+
+
+def test_image_segments_whiteout_illustrations():
+    """ImageSegmentExtractor.scala:24-71: illustrations are whited out
+    of every text crop; the original image is untouched."""
+    import numpy as np
+
+    from jochre3_ocr_spark.operators.spantree import Media, Rect, TextBlock
+    from jochre3_ocr_spark.operators.strategies import image_segments
+
+    img = np.full((100, 100), 7, dtype=np.uint8)
+    blocks = [
+        TextBlock(lines=[], rect=Rect(0, 0, 60, 60)),
+        Media(media_ref="ill1", rect=Rect(20, 20, 30, 30)),
+    ]
+    segs = image_segments(img, blocks)
+    kinds = [s[0] for s in segs]
+    assert kinds == ["text", "illustration"]
+    _, rect, sub = segs[0]
+    assert sub.shape == (60, 60)
+    assert sub[10, 10] == 7
+    assert sub[30, 30] == 255  # whited-out illustration overlap
+    assert img[30, 30] == 7  # original untouched
+    assert segs[1][1] == Rect(20, 20, 30, 30)
+
+
+def test_block_text_guess_keeps_media_and_whites_out(spark=None):
+    import numpy as np
+
+    from jochre3_ocr_spark.operators.spantree import Media, Rect, TextBlock
+    from jochre3_ocr_spark.operators.strategies import block_text_guess
+    from jochre3_ocr_spark.operators.spantree import Document
+
+    seen = []
+
+    def converter(sub):
+        seen.append(sub.copy())
+        return (
+            '<alto><Layout><Page WIDTH="60" HEIGHT="60"><PrintSpace>'
+            '<TextBlock HPOS="0" VPOS="0" WIDTH="60" HEIGHT="60">'
+            '<TextLine HPOS="0" VPOS="0" WIDTH="60" HEIGHT="20">'
+            '<String HPOS="0" VPOS="0" WIDTH="30" HEIGHT="20" CONTENT="x" WC="1"/>'
+            "</TextLine></TextBlock></PrintSpace></Page></Layout></alto>"
+        )
+
+    img = np.full((100, 100), 7, dtype=np.uint8)
+    doc = Document(
+        doc_id="d",
+        blocks=[
+            TextBlock(lines=[], rect=Rect(0, 0, 60, 60)),
+            Media(media_ref="ill1", rect=Rect(20, 20, 30, 30)),
+        ],
+    )
+    out = block_text_guess(doc, img, converter)
+    assert seen[0][30, 30] == 255  # converter saw the whited-out crop
+    medias = [b for b in out.blocks if isinstance(b, Media)]
+    assert len(medias) == 1 and medias[0].media_ref == "ill1"
