@@ -234,3 +234,43 @@ def test_vision_path_recovers_arbitrary_word_layouts(words, seed_ix):
     assert out["status"] == "ok"
     assert out["processed_text"] == expected
     assert out["n_words"] == len(mapped)
+
+
+rects = st.tuples(
+    st.integers(0, 1900), st.integers(0, 2700),
+    st.integers(1, 400), st.integers(1, 400),
+)
+
+
+@given(rects)
+@settings(max_examples=200, deadline=None)
+def test_glyph_crop_rect_contract(r):
+    """GlyphExtractor crop geometry (GlyphExtractor.scala:66-82): the
+    crop stays inside the page, is at least as wide as tall before
+    clamping (square pad), and covers the glyph∩page region."""
+    from jochre3_ocr_spark.operators.spantree import Rect
+    from jochre3_ocr_spark.sources.extractors import glyph_crop_rect
+
+    page_w, page_h = 2000, 2800
+    g = Rect(*r)
+    c = glyph_crop_rect(g, page_w, page_h)
+    assert 0 <= c.left and 0 <= c.top
+    assert c.right <= page_w and c.bottom <= page_h
+    gx1, gy1 = max(g.left, 0), max(g.top, 0)
+    gx2, gy2 = min(g.right, page_w), min(g.bottom, page_h)
+    if gx2 > gx1 and gy2 > gy1:
+        # interior glyphs (margins not clipped) are fully covered
+        if g.left > 40 and g.top > 40 and g.right < page_w - 40 and g.bottom < page_h - 40:
+            assert c.left <= g.left and c.right >= g.right
+            assert c.top <= g.top and c.bottom >= g.bottom
+
+
+@given(st.lists(st.tuples(st.integers(1, 8), st.integers(1, 8)), min_size=0, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_unrotate_roundtrip_identity_at_zero(pairs):
+    from jochre3_ocr_spark.operators.spantree import Rect
+    from jochre3_ocr_spark.sources.extractors import unrotate_rect
+
+    for w, h in pairs:
+        r = Rect(w * 3, h * 5, w, h)
+        assert unrotate_rect(r, 100, 100, 0.0) == r
