@@ -633,6 +633,11 @@ def yolo_annotations(
             ):
                 doc = parse_alto(xml, doc_id=doc_id)
                 page_w, page_h = doc.width, doc.height
+                if not page_w or not page_h:
+                    # a page without WIDTH/HEIGHT has no normalizable
+                    # geometry — contributes no boxes (reference pages
+                    # always carry dims, Page.fromXML)
+                    continue
                 if do_crop and doc.blocks:
                     # Page.croppedPrintArea (Page.scala:86-111)
                     rects = [

@@ -458,3 +458,13 @@ def test_word_to_glyph_annotations(spark):
     # clamp: hyphen glyph exactly fills its word slice -> within [0,1]
     for x in rows:
         assert x.box_width <= 1.0 + 1e-12 and x.box_height <= 1.0 + 1e-12
+
+
+def test_yolo_dimensionless_page_contributes_nothing(spark):
+    from jochre3_ocr_spark.sources.extractors import yolo_annotations
+
+    df = spark.createDataFrame(
+        [("d0", "<alto/>", 0)],
+        "doc_id string, alto_xml string, page_index int",
+    )
+    assert yolo_annotations(df, ["Word"]).count() == 0
