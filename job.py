@@ -45,6 +45,29 @@ def main(argv=None) -> int:
         "(north_rule); 'auto' = <output>_metrics, 'none' disables",
     )
     p.add_argument(
+        "--annotate",
+        default=None,
+        choices=[
+            "glyph", "word", "line", "yolo", "word-to-glyph",
+            "rotation", "alto-text", "transform",
+        ],
+        help="corpus-annotator mode (reference corpus extractor CLIs, "
+        "core/corpus/*.scala): read an annotated-corpus parquet "
+        "(doc_id, image, alto_xml[, page_index]) at --input and write "
+        "the annotation rows to --output",
+    )
+    p.add_argument(
+        "--validation-one-every",
+        type=int,
+        default=None,
+        help="every-Nth unit/page goes to the val split",
+    )
+    p.add_argument(
+        "--yolo-objects",
+        default="Word",
+        help="comma list of YOLO object types for --annotate yolo",
+    )
+    p.add_argument(
         "--formats",
         default="spans",
         help="comma list of output formats: spans,text,processed,alto4 "
@@ -80,6 +103,37 @@ def main(argv=None) -> int:
         corpus.docs_df(spark, args.generate).write.mode("overwrite").parquet(
             args.input
         )
+
+    if args.annotate:
+        from jochre3_ocr_spark.sources import extractors as X
+
+        src = spark.read.parquet(args.input)
+        voe = args.validation_one_every
+        if args.annotate in ("glyph", "word", "line"):
+            out = X.extract_crops(src, unit=args.annotate,
+                                  validation_one_every=voe)
+        elif args.annotate == "yolo":
+            objs = [o.strip() for o in args.yolo_objects.split(",") if o.strip()]
+            out = X.yolo_annotations(src, objs, validation_one_every=voe)
+        elif args.annotate == "word-to-glyph":
+            out = X.word_to_glyph_annotations(src, validation_one_every=voe)
+        elif args.annotate == "rotation":
+            out = X.rotation_annotations(src, validation_one_every=voe)
+        elif args.annotate == "alto-text":
+            out = X.alto_to_text(src)
+        else:
+            out = X.transform_corpus(src)
+        t0 = time.time()
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "annotate": args.annotate,
+            "rows": n,
+            "sec": round(time.time() - t0, 2),
+            "output": args.output,
+        }))
+        spark.stop()
+        return 0
 
     if args.lexicon:
         with open(args.lexicon, encoding="utf-8") as f:
