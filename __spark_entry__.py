@@ -1898,6 +1898,8 @@ def _corpus_word_crop_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(batches):
         import pandas as pd
 
+        from xml.sax.saxutils import quoteattr
+
         for pdf in batches:
             out = {"doc_id": [], "image": [], "alto_xml": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -1908,7 +1910,7 @@ def _corpus_word_crop_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                     w = 10 * len(t)
                     parts.append(
                         f'<String HPOS="{left}" VPOS="20" WIDTH="{w}" '
-                        f'HEIGHT="30" CONTENT="{t}" WC="0.9"/>'
+                        f'HEIGHT="30" CONTENT={quoteattr(t)} WC="0.9"/>'
                     )
                     parts.append(
                         f'<SP HPOS="{left + w}" VPOS="20" WIDTH="10" '

@@ -93,15 +93,17 @@ def image_segments(img: np.ndarray, blocks: list):
     page, then cut one clamped sub-image per text container. Returns
     [("text", rect, sub_image) | ("illustration", rect)] in block
     order."""
-    cleaned = img.copy()
-    for b in blocks:
-        if isinstance(b, Media) and b.rect is not None:
-            h, w = cleaned.shape[:2]
-            r = b.rect
-            cleaned[
-                max(0, r.top) : min(h, r.bottom),
-                max(0, r.left) : min(w, r.right),
-            ] = 255
+    medias = [b for b in blocks if isinstance(b, Media) and b.rect is not None]
+    # copy only when something must be whited out — the common
+    # no-illustration page crops straight from the original
+    cleaned = img.copy() if medias else img
+    for b in medias:
+        h, w = cleaned.shape[:2]
+        r = b.rect
+        cleaned[
+            max(0, r.top) : min(h, r.bottom),
+            max(0, r.left) : min(w, r.right),
+        ] = 255
     out = []
     for b in blocks:
         if isinstance(b, Media):

@@ -256,6 +256,8 @@ def _box_attrs(rect: Rect) -> dict:
 
 def _emit_line(line: TextLine, parent) -> None:
     attrs = {}
+    if line.rect is not None:
+        attrs.update(_box_attrs(line.rect))
     if line.baseline is not None:
         x1, y1, x2, y2 = line.baseline
         attrs["BASELINE"] = f"{x1},{y1} {x2},{y2}"  # TextLine.scala:85

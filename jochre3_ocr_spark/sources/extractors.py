@@ -188,6 +188,29 @@ def _split_for(i: int, validation_one_every: int | None) -> str:
     return "train"
 
 
+def _with_page_index(corpus: DataFrame, cols: list[str]) -> DataFrame:
+    """Project ``cols`` plus a ``page_index`` split key. When the input
+    lacks the column, derive it as the doc_id rank — computed on a
+    doc_id-ONLY projection (never shuffling image bytes through the
+    single-partition window) and broadcast-joined back, so the heavy
+    annotator stage keeps the input's parallelism; duplicate doc_ids
+    get one shared index (deterministic under any partitioning). At
+    scale, pass the column explicitly and this is a pure projection."""
+    if "page_index" in corpus.columns:
+        return corpus.select(*cols, "page_index")
+    from pyspark.sql import Window
+
+    idx = (
+        corpus.select("doc_id")
+        .distinct()
+        .withColumn(
+            "page_index",
+            F.row_number().over(Window.orderBy("doc_id")).cast("int") - 1,
+        )
+    )
+    return corpus.select(*cols).join(F.broadcast(idx), "doc_id")
+
+
 def _iter_units(doc: Document, unit: str, page_w: int, page_h: int):
     """Yields (idx, content, label_rect, crop_rect) per training unit in
     reference order (combinedWords document order)."""
@@ -283,9 +306,12 @@ def extract_crops(
             ):
                 doc = parse_alto(xml, doc_id=doc_id)
                 if image is None:
-                    # labels-only mode: geometry from the Page attrs
+                    # labels-only mode: geometry from the Page attrs;
+                    # a dimensionless page has no clampable geometry
                     img = None
                     page_w, page_h = doc.width, doc.height
+                    if not page_w or not page_h:
+                        continue
                 else:
                     img = decode_image(bytes(image))
                     page_h, page_w = img.shape[:2]
@@ -597,16 +623,7 @@ def yolo_annotations(
     class_idx = {name: i for i, name in enumerate(objects_list)}
     objects = set(objects_list)
 
-    cols = ["doc_id", "alto_xml"]
-    if "page_index" in corpus.columns:
-        src = corpus.select(*cols, "page_index")
-    else:
-        from pyspark.sql import Window
-
-        src = corpus.select(*cols).withColumn(
-            "page_index",
-            F.row_number().over(Window.orderBy("doc_id")).cast("int") - 1,
-        )
+    src = _with_page_index(corpus, ["doc_id", "alto_xml"])
 
     do_crop = crop_to_print_area and not (
         "TopLevelTextBlock" in objects or "Illustration" in objects
@@ -638,6 +655,10 @@ def yolo_annotations(
                     # geometry — contributes no boxes (reference pages
                     # always carry dims, Page.fromXML)
                     continue
+                if doc.rotation:
+                    # rotation prelude (CorpusAnnotator.scala:26-49:
+                    # RotationTransformer runs before annotateOneFile)
+                    unrotate_doc(doc, page_w, page_h)
                 if do_crop and doc.blocks:
                     # Page.croppedPrintArea (Page.scala:86-111)
                     rects = [
@@ -742,9 +763,12 @@ def word_to_glyph_annotations(
     (combined word, glyph) with the glyph box normalized RELATIVE TO THE
     WORD rectangle, width/height clamped to 1.0 (:115-123), label line
     ``0  cx cy w h`` (%.6f, :217-222), file names ``{base}_%04d``
-    (:199,205), split by page index (:89-96). Word crop images come from
-    ``extract_crops(unit="word")`` — this op emits labels only, so the
-    heavy pixel path is not duplicated."""
+    (:199,205), split by page index (:89-96). This op emits labels only, so the
+    heavy pixel path is not duplicated; word crop images come from
+    ``extract_crops(unit="word")`` — note that op's OWN split is
+    per-word (WordExtractor semantics), so when pairing crops with
+    these page-split labels, join this op's ``split`` by
+    (doc_id, word_idx) instead of using the crop rows' split."""
 
     def gen(batches):
         import pandas as pd
@@ -763,6 +787,9 @@ def word_to_glyph_annotations(
                 pdf["doc_id"], pdf["alto_xml"], pdf["page_index"]
             ):
                 doc = parse_alto(xml, doc_id=doc_id)
+                if doc.rotation and doc.width and doc.height:
+                    # rotation prelude (CorpusAnnotator.scala:26-49)
+                    unrotate_doc(doc, doc.width, doc.height)
                 split = _split_for(int(page_index), validation_one_every)
                 words = []
                 for block in _text_blocks(doc):
@@ -794,16 +821,7 @@ def word_to_glyph_annotations(
                         )
             yield pd.DataFrame(out)
 
-    cols = ["doc_id", "alto_xml"]
-    if "page_index" in corpus.columns:
-        src = corpus.select(*cols, "page_index")
-    else:
-        from pyspark.sql import Window
-
-        src = corpus.select(*cols).withColumn(
-            "page_index",
-            F.row_number().over(Window.orderBy("doc_id")).cast("int") - 1,
-        )
+    src = _with_page_index(corpus, ["doc_id", "alto_xml"])
     return src.mapInPandas(
         gen,
         schema=(
@@ -932,6 +950,20 @@ def rotation_annotations(
                 pdf["page_index"],
             ):
                 rotation = parse_alto(xml, doc_id=doc_id).rotation
+                if image is None:
+                    # label-only row: keep the %.2f target, no pixels
+                    out["doc_id"].append(doc_id)
+                    out["split"].append(
+                        _split_for(int(page_index), validation_one_every)
+                    )
+                    out["image_file"].append(
+                        f"{doc_id}.{IMAGE_EXTENSION}"
+                    )
+                    out["label_file"].append(f"{doc_id}.txt")
+                    out["rotation"].append(float(rotation))
+                    out["rotation_label"].append(f"{rotation:.2f}")
+                    out["image"].append(None)
+                    continue
                 img = decode_image(bytes(image))
                 h, w = img.shape[:2]
                 # RotationAnnotator.scala:52-67 keep-aspect to image_size
@@ -953,16 +985,7 @@ def rotation_annotations(
                 out["image"].append(encode_image(scaled))
             yield pd.DataFrame(out)
 
-    cols = ["doc_id", "image", "alto_xml"]
-    if "page_index" in corpus.columns:
-        src = corpus.select(*cols, "page_index")
-    else:
-        from pyspark.sql import Window
-
-        src = corpus.select(*cols).withColumn(
-            "page_index",
-            F.row_number().over(Window.orderBy("doc_id")).cast("int") - 1,
-        )
+    src = _with_page_index(corpus, ["doc_id", "image", "alto_xml"])
     return src.mapInPandas(
         gen,
         schema=(

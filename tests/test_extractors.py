@@ -468,3 +468,75 @@ def test_yolo_dimensionless_page_contributes_nothing(spark):
         "doc_id string, alto_xml string, page_index int",
     )
     assert yolo_annotations(df, ["Word"]).count() == 0
+
+
+# --------------------------------------------------- review-pass fixes
+def test_yolo_rotation_prelude(spark):
+    """CorpusAnnotator's default RotationTransformer applies to the YOLO
+    annotator too: boxes are computed on the unrotated page."""
+    from jochre3_ocr_spark.sources.extractors import (
+        unrotate_rect,
+        yolo_annotations,
+    )
+
+    rot = 3.0
+    df = spark.createDataFrame(
+        [("d0", _alto(rotation=rot), 0)],
+        "doc_id string, alto_xml string, page_index int",
+    )
+    rows = yolo_annotations(df, ["TopLevelTextBlock"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    exp = unrotate_rect(Rect(10, 20, 380, 200), PAGE_W, PAGE_H, rot)
+    assert abs(r.x_center - (exp.left + exp.width / 2.0) / PAGE_W) < 1e-9
+    assert abs(r.box_width - (exp.width / PAGE_W + 0.01)) < 1e-9
+
+
+def test_labels_only_dimensionless_page_skipped(spark):
+    df = spark.createDataFrame(
+        [("d0", None, "<alto><Layout><Page><PrintSpace>"
+          '<TextBlock HPOS="0" VPOS="0" WIDTH="10" HEIGHT="10">'
+          '<TextLine HPOS="0" VPOS="0" WIDTH="10" HEIGHT="10">'
+          '<String HPOS="0" VPOS="0" WIDTH="5" HEIGHT="5" CONTENT="x" WC="1"/>'
+          "</TextLine></TextBlock></PrintSpace></Page></Layout></alto>")],
+        "doc_id string, image binary, alto_xml string",
+    )
+    assert extract_crops(df, unit="glyph").count() == 0
+
+
+def test_rotation_annotations_null_image_row(spark):
+    from jochre3_ocr_spark.sources.extractors import rotation_annotations
+
+    df = spark.createDataFrame(
+        [("d0", None, _alto(rotation=2.0), 0)],
+        "doc_id string, image binary, alto_xml string, page_index int",
+    )
+    rows = rotation_annotations(df).collect()
+    assert len(rows) == 1
+    assert rows[0].rotation_label == "2.00" and rows[0].image is None
+
+
+def test_default_page_index_shared_for_duplicate_doc_ids(spark):
+    from jochre3_ocr_spark.sources.extractors import _with_page_index
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "x")],
+        "doc_id string, alto_xml string",
+    )
+    rows = _with_page_index(df.repartition(3), ["doc_id", "alto_xml"]).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.page_index)
+    assert by_doc == {"a": {0}, "b": {1}}
+
+
+def test_emit_line_box_attrs_roundtrip():
+    from jochre3_ocr_spark.sources.alto_xml import emit_alto, parse_alto
+
+    doc = parse_alto(_alto())
+    xml = emit_alto(doc, PAGE_W, PAGE_H)
+    doc2 = parse_alto(xml)
+    l0 = doc2.blocks[0].lines[0]
+    assert (l0.rect.left, l0.rect.top, l0.rect.width, l0.rect.height) == (
+        10, 20, 380, 40,
+    )
