@@ -298,32 +298,78 @@ def simhash_neardup_pairs(
     )
 
 
+class ConnectedComponentsDidNotConverge(RuntimeError):
+    """Raised when component resolution hits ``max_iters`` with the edge
+    set / labels still changing — returning partial labels would silently
+    mis-cluster, so the operator fails loudly instead."""
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SOCC'14 — public algorithm).
+
+    ``edges`` is canonically oriented (u > v, no self-loops). Returns the
+    new canonical edge set. Each sub-step is one groupBy(min) + one join
+    keyed on the node — shuffle ∝ |edges|, no driver-side state.
+    """
+    # large-star: every strictly-larger neighbour of u re-points at the
+    # minimum of u's closed neighbourhood
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    large = (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # small-star: u and all its ≤-neighbours re-point at the minimum
+    smins = large.groupBy("u").agg(F.min("v").alias("m"))
+    small = (
+        large.join(smins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(smins.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return small
+
+
 def connected_components(
     pairs: DataFrame,
     left: str = "doc1",
     right: str = "doc2",
     max_iters: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Resolve candidate pairs into duplicate CLUSTERS: connected
-    components by iterative min-label propagation. Returns
-    (doc_id, cluster_id) for every node appearing in ``pairs``, where
-    cluster_id = the smallest doc_id in the component.
+    components. Returns (doc_id, cluster_id) for every node appearing in
+    ``pairs``, where cluster_id = the smallest doc_id in the component.
+    Singleton docs (no candidate pair) do not appear — see
+    ``duplicate_clusters(include_singletons=True)`` for the full domain.
 
     The step after candidate generation in a dedup pipeline: LSH/simhash
     emit pairs, but keeping one doc per GROUP needs the transitive
     closure (a~b, b~c ⇒ keep one of {a,b,c}).
 
-    Scale shape: each iteration is one groupBy(min) over the symmetric
-    edge list joined to current labels — shuffle ∝ |edges|. Label
-    propagation converges in O(component diameter) iterations;
-    near-duplicate clusters are near-cliques (diameter ≤ ~3), so 2-4
-    iterations settle real corpora. Lineage is truncated per iteration
-    (localCheckpoint) so the plan does not grow with iterations; the
-    convergence probe piggybacks on the same pass (max over
-    "label changed" flags). For adversarial long-chain graphs the
-    O(log n) upgrade is the large-star/small-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce and Beyond");
-    the propagation loop is the right default for dedup workloads.
+    ``algorithm="star"`` (default) is the alternating large-star /
+    small-star algorithm (Kiveris et al., SOCC'14): O(log² n) rounds
+    worst-case — in practice ≤ ~5 — INDEPENDENT of component diameter,
+    so adversarial templated near-dup chains at 100× scale converge too.
+    ``algorithm="propagation"`` is min-label propagation: O(diameter)
+    rounds, one shuffle each — marginally cheaper on the near-clique
+    graphs real near-dup corpora produce.
+
+    Both paths probe convergence every round (one small agg piggybacked
+    on the checkpointed result) and raise
+    :class:`ConnectedComponentsDidNotConverge` if ``max_iters`` rounds
+    pass while still changing — wrong labels are never silently
+    returned. Lineage is truncated per round (localCheckpoint) so the
+    plan does not grow with iterations.
     """
     # materialize the pair source ONCE before symmetrizing: the union
     # reads it twice, and an un-checkpointed candidate generator (LSH)
@@ -331,6 +377,66 @@ def connected_components(
     pairs = pairs.select(
         F.col(left).alias("a"), F.col(right).alias("b")
     ).localCheckpoint(eager=True)
+    if algorithm == "star":
+        return _cc_star(pairs, max_iters)
+    if algorithm == "propagation":
+        return _cc_propagation(pairs, max_iters)
+    raise ValueError(f"unknown algorithm: {algorithm!r}")
+
+
+def _cc_star(pairs: DataFrame, max_iters: int) -> DataFrame:
+    nodes = (
+        pairs.select(F.col("a").alias("node"))
+        .union(pairs.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # fixed point ⇔ identical edge sets; count + order-free xor-of-
+    # xxhash64 checksum in ONE agg per round (collision ~2^-64 —
+    # acceptable for a convergence probe; bit_xor cannot overflow,
+    # unlike sum under Spark 4's default ANSI mode)
+    def _probe(e: DataFrame):
+        return tuple(
+            e.agg(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            ).collect()[0]
+        )
+
+    prev = _probe(edges)
+    converged = False
+    for _ in range(max_iters):
+        new_edges = _star_round(edges).localCheckpoint(eager=True)
+        cur = _probe(new_edges)
+        edges = new_edges
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise ConnectedComponentsDidNotConverge(
+            f"large-star/small-star did not reach a fixed point in "
+            f"{max_iters} rounds — raise max_iters (O(log^2 n) bound)"
+        )
+    # at the fixed point every edge is (node → component minimum); nodes
+    # absent from the edge list are their own component minimum
+    return nodes.join(
+        edges, nodes.node == edges.u, "left"
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("v", "node").alias("cluster_id"),
+    )
+
+
+def _cc_propagation(pairs: DataFrame, max_iters: int) -> DataFrame:
     sym = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -340,6 +446,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -358,10 +465,16 @@ def connected_components(
             ),
         )
         stepped = stepped.localCheckpoint(eager=True)
-        if stepped.agg(F.max("changed")).collect()[0][0] is not True:
-            labels = stepped
-            break
         labels = stepped
+        if stepped.agg(F.max("changed")).collect()[0][0] is not True:
+            converged = True
+            break
+    if not converged:
+        raise ConnectedComponentsDidNotConverge(
+            f"min-label propagation did not converge in {max_iters} "
+            f"rounds (component diameter > max_iters) — use "
+            f'algorithm="star" or raise max_iters'
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -372,19 +485,41 @@ def duplicate_clusters(
     n: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    include_singletons: bool = False,
 ) -> DataFrame:
     """End-to-end near-duplicate clustering: MinHash LSH candidate pairs
     → connected components → (doc_id, cluster_id, cluster_size,
     is_canonical). ``is_canonical`` marks the doc to KEEP (smallest
     doc_id per cluster) — the pipeline's "drop duplicates, keep one
-    representative" verdict table."""
+    representative" verdict table.
+
+    DOMAIN: by default rows cover only docs that appear in at least one
+    LSH candidate pair — unique docs get NO row, so a consumer filtering
+    ``is_canonical`` directly would drop them. Either left-join this
+    table back to the corpus and ``coalesce(is_canonical, true)`` (the
+    ``corpus_filter_verdicts`` pattern), or pass
+    ``include_singletons=True`` to union every unpaired doc as its own
+    cluster (cluster_size=1, is_canonical=true)."""
     pairs = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, band_size)
     cc = connected_components(pairs)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("cluster_id")
-    return (
+    out = (
         cc.withColumn("cluster_size", F.count("*").over(w))
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
     )
+    if include_singletons:
+        singles = (
+            df.select(F.col(id_col).cast("string").alias("doc_id"))
+            .join(cc.select("doc_id"), "doc_id", "left_anti")
+            .select(
+                "doc_id",
+                F.col("doc_id").alias("cluster_id"),
+                F.lit(1).cast("long").alias("cluster_size"),
+                F.lit(True).alias("is_canonical"),
+            )
+        )
+        out = out.unionByName(singles)
+    return out

@@ -36,6 +36,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.errors import AnalysisException
 
 from jochre3_ocr_spark.schema import PipelineConfig
 
@@ -651,11 +652,27 @@ def write_partition_metrics(
         "status",
         F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
     )
-    try:
-        seen = spark.read.parquet(metrics_path).select("file").distinct()
-        out = out.join(F.broadcast(seen), "file", "left_anti")
-    except Exception:  # no metrics yet
-        pass
+    # Only a genuinely ABSENT metrics table means "first run, checkpoint
+    # everything". A read failure on an EXISTING table (corrupt/partial
+    # parquet, permission error, transient IO) must propagate: swallowing
+    # it would re-append rows for ALL committed files and silently
+    # double-count totals on resume (ADVICE r2, medium).
+    fs_path = metrics_path[len("file:"):] if metrics_path.startswith("file:") else metrics_path
+    metrics_exist = (
+        os.path.isdir(fs_path) or os.path.isfile(fs_path)
+        if fs_path.startswith("/")
+        else True  # non-local FS: let the read itself decide
+    )
+    if metrics_exist:
+        try:
+            seen = spark.read.parquet(metrics_path).select("file").distinct()
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+                seen = None  # racing first run / empty dir: nothing seen yet
+            else:
+                raise
+        if seen is not None:
+            out = out.join(F.broadcast(seen), "file", "left_anti")
     new = (
         out.groupBy("file")
         .agg(

@@ -182,6 +182,21 @@ def _text_blocks(doc: Document) -> Iterator[TextBlock]:
             yield from block.blocks
 
 
+def _page_idx(page_index, doc_id) -> int:
+    """Validate a caller-supplied ``page_index`` value inside the Arrow
+    batch: a null (None/NaN from a nullable int column) would otherwise
+    raise a bare ``int(None)`` TypeError deep in the worker with an
+    opaque traceback (ADVICE r2). Fails with the offending doc named —
+    or drop the column entirely to use the derived doc_id rank."""
+    if page_index is None or page_index != page_index:  # None or NaN
+        raise ValueError(
+            f"page_index is null for doc_id={doc_id!r}: supply non-null "
+            "page_index values, or drop the column to use the derived "
+            "doc_id-rank split key"
+        )
+    return int(page_index)
+
+
 def _split_for(i: int, validation_one_every: int | None) -> str:
     if validation_one_every and (i + 1) % validation_one_every == 0:
         return "val"
@@ -695,7 +710,7 @@ def yolo_annotations(
                     tb_h_margin,
                     tb_v_margin,
                 )
-                split = _split_for(int(page_index), validation_one_every)
+                split = _split_for(_page_idx(page_index, doc_id), validation_one_every)
                 if tile_count:
                     tiles = tile_fn(
                         (0, 0, page_w, page_h),
@@ -790,7 +805,7 @@ def word_to_glyph_annotations(
                 if doc.rotation and doc.width and doc.height:
                     # rotation prelude (CorpusAnnotator.scala:26-49)
                     unrotate_doc(doc, doc.width, doc.height)
-                split = _split_for(int(page_index), validation_one_every)
+                split = _split_for(_page_idx(page_index, doc_id), validation_one_every)
                 words = []
                 for block in _text_blocks(doc):
                     for line in block.lines:
@@ -954,7 +969,7 @@ def rotation_annotations(
                     # label-only row: keep the %.2f target, no pixels
                     out["doc_id"].append(doc_id)
                     out["split"].append(
-                        _split_for(int(page_index), validation_one_every)
+                        _split_for(_page_idx(page_index, doc_id), validation_one_every)
                     )
                     out["image_file"].append(
                         f"{doc_id}.{IMAGE_EXTENSION}"
@@ -976,7 +991,7 @@ def rotation_annotations(
                 scaled = img[np.ix_(rows, cols)]
                 out["doc_id"].append(doc_id)
                 out["split"].append(
-                    _split_for(int(page_index), validation_one_every)
+                    _split_for(_page_idx(page_index, doc_id), validation_one_every)
                 )
                 out["image_file"].append(f"{doc_id}.{IMAGE_EXTENSION}")
                 out["label_file"].append(f"{doc_id}.txt")

@@ -328,6 +328,23 @@ def test_yolo_split_by_page_index(spark):
     }
 
 
+def test_yolo_null_page_index_clear_error(spark):
+    """ADVICE r2: a null in a caller-supplied page_index column must
+    fail with a clear doc-naming ValueError, not an opaque int(None)
+    TypeError inside the Arrow batch."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from jochre3_ocr_spark.sources.extractors import yolo_annotations
+
+    df = _corpus_df(spark, n_pages=2).withColumn(
+        "page_index",
+        F.when(F.col("doc_id") == "page00", F.lit(0)).cast("int"),
+    )
+    with _pytest.raises(Exception, match="page_index is null for doc_id='page01'"):
+        yolo_annotations(df, ["Word"], validation_one_every=2).collect()
+
+
 def test_yolo_dataset_yaml():
     from jochre3_ocr_spark.sources.extractors import yolo_dataset_yaml
 

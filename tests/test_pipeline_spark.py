@@ -152,6 +152,48 @@ def test_partition_metrics_and_lineage(spark, docs_df, tmp_path):
     }
 
 
+def test_partition_metrics_corrupt_table_raises(spark, docs_df, tmp_path):
+    """ADVICE r2 (medium): a read failure on an EXISTING metrics table
+    must propagate — treating it as 'no metrics yet' would re-append all
+    files and double-count totals on resume."""
+    import pytest as _pytest
+
+    inp = str(tmp_path / "docs.parquet")
+    outp = str(tmp_path / "out.parquet")
+    mp = str(tmp_path / "metrics.parquet")
+    docs_df.write.parquet(inp)
+    pipeline.extract(
+        spark.read.parquet(inp), lexicon_words()
+    ).write.mode("append").parquet(outp)
+    pipeline.write_partition_metrics(spark, outp, mp)
+    total1 = spark.read.parquet(mp).agg({"n_docs": "sum"}).collect()[0][0]
+
+    # corrupt every parquet part file in the metrics table
+    import glob as _glob
+
+    parts = _glob.glob(mp + "/part-*.parquet")
+    assert parts
+    for p in parts:
+        with open(p, "wb") as f:
+            f.write(b"not a parquet file")
+    with _pytest.raises(Exception):
+        pipeline.write_partition_metrics(spark, outp, mp)
+    # and nothing was appended by the failed attempt
+    ok = [p for p in _glob.glob(mp + "/part-*.parquet")]
+    assert set(ok) == set(parts)
+
+    # sanity: the happy path stays incremental (0 new files on re-run)
+    import shutil as _shutil
+
+    _shutil.rmtree(mp)
+    pipeline.write_partition_metrics(spark, outp, mp)
+    pipeline.write_partition_metrics(spark, outp, mp)
+    assert (
+        spark.read.parquet(mp).agg({"n_docs": "sum"}).collect()[0][0]
+        == total1
+    )
+
+
 def test_error_quarantine(spark):
     """A malformed doc must produce an error row, not fail the job."""
     rows = [("bad", [{"kind": "word", "text": None, "media_ref": None, "offset": 0}])]
