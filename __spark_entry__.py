@@ -1271,15 +1271,40 @@ def _dehyphenate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed EXTERNAL reference lexicon for word_frequency_corpus — the
+# reference's real pattern is a bounded lexicon FILE broadcast to
+# workers (YivoLexicon via TextFileLexicon, core/lexicon/
+# TextFileLexicon.scala), so broadcasting it is scale-free by
+# construction. Inert-alphabet entries (see _YID_ALEPH notes): to_yivo
+# repair edits only touch ה/ײ/פ/ע, none of which the inert alphabet
+# contains, so get_frequency is exactly set membership and to_yivo the
+# identity — closed form for the DuckDB twin.
+_REF_LEXICON_LATIN = ("table", "merge", "window", "stream", "shuffle", "spark")
+
+
 def _word_frequency_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed vocabulary build (explode → groupBy count) + the
     word-in-lexicon / standardize-words API operators
     (api/.../AnalysisApp.scala:158-176, Lexicon.getFrequency /
-    Lexicon.standardize). The lexicon is built FROM the corpus (every
-    translated word of length ≥ 5), so membership is non-trivial and
-    SQL-derivable; to_yivo's repair-candidate search provably returns
-    the identity here (candidate edits either shorten below 5 or insert
-    diacritics no entry contains)."""
+    Lexicon.standardize).
+
+    Two lexicon paths, each in its scale-correct shape (VERDICT r2
+    item 2 — the corpus vocabulary must never be collected to the
+    driver):
+
+    * ``frequency`` — membership in the CORPUS-DERIVED lexicon (every
+      translated word of length ≥ 5), computed as a distributed
+      left join of the vocabulary against its own ≥5-char projection.
+      No driver collect: at 100 TB the distinct vocab is GB-scale and
+      stays on the executors; AQE picks broadcast vs shuffle join from
+      the actual build-side size.
+    * ``ref_frequency`` / ``standardized`` — the reference's actual
+      lexicon pattern: a FIXED external lexicon (bounded artifact)
+      broadcast once and served through the worker-cached Lexicon API
+      (plans/pipeline._get_worker_lexicon). to_yivo's repair-candidate
+      search provably returns the identity on inert-alphabet words
+      (candidate edits insert diacritics no entry contains).
+    """
     import pandas as pd
 
     from pyspark.sql import functions as SF
@@ -1292,35 +1317,51 @@ def _word_frequency_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("word != ''")
         .groupBy("word")
         .agg(SF.count("*").alias("word_count"))
+        .withColumn("yid", SF.expr(f"translate(word, '{_FROM26}', '{_TO26}')"))
     )
-    long_words = [
-        r["w"]
-        for r in words.selectExpr(
-            f"translate(word, '{_FROM26}', '{_TO26}') AS w"
-        )
-        .filter(SF.length("w") >= 5)
+    lex_entries = (
+        words.filter(SF.length("yid") >= 5)
+        .select(SF.col("yid").alias("entry"))
         .distinct()
-        .collect()
-    ]
-    bc = spark.sparkContext.broadcast(long_words)
+    )
+    joined = words.join(
+        lex_entries, words["yid"] == lex_entries["entry"], "left"
+    ).select(
+        "word",
+        "word_count",
+        "yid",
+        SF.when(SF.col("entry").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("frequency"),
+    )
+
     trans = str.maketrans(_FROM26, _TO26)
+    bc = spark.sparkContext.broadcast(
+        [w.translate(trans) for w in _REF_LEXICON_LATIN]
+    )
 
     def run(batches):
         lex = _get_worker_lexicon(bc)
         for b in batches:
-            yid = [w.translate(trans) for w in b["word"]]
             yield pd.DataFrame(
                 {
                     "word": b["word"],
                     "word_count": b["word_count"],
-                    "frequency": [lex.get_frequency(w) for w in yid],
-                    "standardized": [lex.to_yivo(w) for w in yid],
+                    "frequency": b["frequency"],
+                    "ref_frequency": [
+                        lex.get_frequency(w) for w in b["yid"]
+                    ],
+                    "standardized": [lex.to_yivo(w) for w in b["yid"]],
                 }
             )
 
-    return words.mapInPandas(
+    return joined.mapInPandas(
         run,
-        schema="word string, word_count long, frequency int, standardized string",
+        schema=(
+            "word string, word_count long, frequency int, "
+            "ref_frequency int, standardized string"
+        ),
     )
 
 
@@ -1339,6 +1380,14 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
 FROM documents
 """
 
+# ref_frequency's closed form: the fixed external lexicon is the
+# translated _REF_LEXICON_LATIN set; membership is compared on the
+# TRANSLATED form (translate is non-injective over a-z, raw-word
+# membership would differ).
+_REF_LEXICON_YID = tuple(
+    w.translate(str.maketrans(_FROM26, _TO26)) for w in _REF_LEXICON_LATIN
+)
+
 _Q_WORDFREQ_DUCK = f"""
 WITH t AS (
   SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
@@ -1347,6 +1396,9 @@ WITH t AS (
 SELECT word,
        count(*) AS word_count,
        CAST(CASE WHEN length(word) >= 5 THEN 1 ELSE 0 END AS INTEGER) AS frequency,
+       CAST(CASE WHEN translate(word, '{_FROM26}', '{_TO26}') IN
+            ({", ".join("'" + w + "'" for w in _REF_LEXICON_YID)})
+            THEN 1 ELSE 0 END AS INTEGER) AS ref_frequency,
        translate(word, '{_FROM26}', '{_TO26}') AS standardized
 FROM t GROUP BY word
 """

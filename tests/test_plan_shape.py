@@ -136,6 +136,22 @@ def test_q5_broadcasts_small_dimensions(spark):
             assert "lineitem" not in line
 
 
+def test_word_frequency_vocab_stays_distributed(spark):
+    """VERDICT r2 item 2: the corpus-derived vocabulary must never be
+    collected to the driver — membership is a distributed join of the
+    vocabulary against its own ≥5-char projection. Pins (a) no .collect
+    in the query source, (b) a real join node in the physical plan."""
+    import inspect
+
+    import __spark_entry__ as em
+
+    src = inspect.getsource(em._word_frequency_corpus)
+    assert ".collect()" not in src
+    df = em._word_frequency_corpus(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Join" in plan or "BroadcastHashJoin" in plan
+
+
 def test_extractor_plan_zero_shuffle_with_page_index(spark):
     """Corpus annotators stay Exchange-free (scan → mapInPandas) when the
     caller supplies page_index — the scale path; the doc_id-rank default
