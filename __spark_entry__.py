@@ -1380,6 +1380,83 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
 FROM documents
 """
 
+def _layout_predict_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched DLA inference slot driven end to end
+    (operators/predictor.py — retry/backoff, per-batch keep-aspect
+    resize, 1/scale output rescale per YoloPredictor.scala:60-138).
+
+    Closed-form anchoring: each document renders a deterministic
+    1280×1280 page with min(n_words, 64) black 120×80 blocks on an
+    8-wide 156px grid (all-even coordinates). Through the 640px
+    'blocks' endpoint the resize scale is exactly 0.5 and INTER_AREA
+    keeps even-aligned rectangles sharp, so the recovered boxes —
+    resize → batched forward → rescale — equal the grid EXACTLY and the
+    whole path is SQL-derivable (box i at (32+(i%8)·156, 32+(i⁄8)·156),
+    confidence 1.0)."""
+    import io
+
+    import pandas as pd
+
+    from jochre3_ocr_spark.operators.predictor import (
+        NumpyLayoutModel,
+        RetryingBatchPredictor,
+        predict_layout_boxes,
+    )
+    from jochre3_ocr_spark.plans.pipeline import _spread_small_input
+
+    docs = _spread_small_input(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+    )
+
+    def render(batches):
+        import numpy as np
+
+        for b in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                n = min(len([w for w in (text or "").split(" ") if w]), 64)
+                img = np.full((1280, 1280), 255, np.uint8)
+                for i in range(n):
+                    left = 32 + (i % 8) * 156
+                    top = 32 + (i // 8) * 156
+                    img[top : top + 80, left : left + 120] = 0
+                buf = io.BytesIO()
+                np.save(buf, img)
+                ids.append(doc_id)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "image": blobs})
+
+    pages = docs.mapInPandas(render, schema="doc_id string, image binary")
+    boxes = predict_layout_boxes(
+        pages, lambda: RetryingBatchPredictor(NumpyLayoutModel())
+    )
+    return boxes.filter(F.col("status") == "ok").select(
+        "doc_id", "box_index", "label", "left", "top", "width", "height",
+        "confidence",
+    )
+
+
+_Q_LAYOUT_BOXES_DUCK = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         least(len(list_filter(string_split(text, ' '), x -> x <> '')), 64) AS nb
+  FROM documents
+),
+i AS (SELECT doc_id, unnest(range(nb)) AS bi FROM t)
+SELECT doc_id,
+       CAST(bi AS INTEGER) AS box_index,
+       'TextBlock' AS label,
+       CAST(32 + (bi % 8) * 156 AS INTEGER) AS "left",
+       CAST(32 + (bi // 8) * 156 AS INTEGER) AS "top",
+       CAST(120 AS INTEGER) AS width,
+       CAST(80 AS INTEGER) AS height,
+       CAST(1.0 AS DOUBLE) AS confidence
+FROM i
+"""
+
+
 # ref_frequency's closed form: the fixed external lexicon is the
 # translated _REF_LEXICON_LATIN set; membership is compared on the
 # TRANSLATED form (translate is non-injective over a-z, raw-word
@@ -1943,7 +2020,7 @@ def _corpus_word_crop_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _spread_small_input(
         spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            SF.col("doc_id").cast("string").alias("doc_id"), "text"
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
         )
     )
 
@@ -2078,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans_topk": _ann_ivf_kmeans_topk,
         "media_av_features": _media_av_features,
         "corpus_word_crop_labels": _corpus_word_crop_labels,
+        "layout_predict_boxes": _layout_predict_boxes,
     }
 
 
@@ -2126,5 +2204,6 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_bpe": _Q_BPE_DUCK,
         "ann_ivf_kmeans_topk": _Q_IVF_KMEANS_DUCK,
         "skew_eval_stats": _Q_SKEW_DUCK,
+        "layout_predict_boxes": _Q_LAYOUT_BOXES_DUCK,
         # every queries() entry is oracle-checked.
     }
