@@ -308,6 +308,65 @@ def kmeans_centroids(
     return centroids
 
 
+# above this many k·d floats, embedding centroids as expression-tree
+# literals bloats codegen (VERDICT r2 advisory 3) — switch to a Spark
+# broadcast variable + vectorized numpy argmin inside mapInPandas
+LITERAL_CENTROID_LIMIT = 16384
+
+
+def _assign_cells_pandas(
+    df: DataFrame,
+    centroids: list,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Large-quantizer assignment path: the centroid matrix travels as a
+    Spark broadcast VARIABLE (torrent, off the expression tree) and each
+    Arrow batch does one BLAS matmul argmin — same (vid, cell) output
+    and first-lowest-index tie-break as the literal path. Codegen stays
+    O(1) in k·d. Distances use the |x|²−2x·c+|c|² expansion (one
+    n×k matmul instead of an n×k×d intermediate); exact ties on
+    synthetic data may round differently from the sequential-sum SQL
+    path — both resolve to the lowest cell index."""
+    import numpy as np
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
+    n_probe = max(1, n_probe)
+    base = df.select(
+        F.col(id_col).alias("vid"), _unit_vec(vec_col).alias("v")
+    )
+    vid_type = base.schema["vid"].dataType.simpleString()
+
+    def run(batches):
+        import pandas as pd
+
+        c = bc.value
+        c2 = (c * c).sum(axis=1)
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in b["v"]])
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c2[None, :]
+            if n_probe == 1:
+                yield pd.DataFrame(
+                    {"vid": b["vid"], "cell": d2.argmin(axis=1).astype("int32")}
+                )
+            else:
+                order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+                yield pd.DataFrame(
+                    {
+                        "vid": b["vid"].to_numpy().repeat(order.shape[1]),
+                        "cell": order.ravel().astype("int32"),
+                    }
+                )
+
+    return base.mapInPandas(run, schema=f"vid {vid_type}, cell int")
+
+
 def assign_cells(
     df: DataFrame,
     centroids: list,
@@ -318,7 +377,12 @@ def assign_cells(
     """(vid, cell): nearest-centroid assignment against a broadcast
     literal — one narrow JVM pass, no shuffle. ``n_probe > 1`` emits one
     row per (vid, cell) for the n_probe nearest cells (multi-probe:
-    queries search several cells; candidates are indexed under one)."""
+    queries search several cells; candidates are indexed under one).
+    Quantizers above ``LITERAL_CENTROID_LIMIT`` k·d floats route through
+    the broadcast-variable + pandas-argmin path instead of expression
+    literals (codegen stays bounded)."""
+    if centroids and len(centroids) * len(centroids[0]) > LITERAL_CENTROID_LIMIT:
+        return _assign_cells_pandas(df, centroids, id_col, vec_col, n_probe)
     cent_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )

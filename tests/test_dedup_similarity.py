@@ -182,6 +182,67 @@ def test_kmeans_ivf_on_separated_clusters(spark):
     assert approx == exact  # 100% recall on separated clusters
 
 
+def test_assign_cells_pandas_path_matches_literal(spark):
+    """The broadcast-variable + numpy-argmin assignment (large-quantizer
+    guard, VERDICT r2 advisory 3) must agree with the literal-expression
+    path on separated data, for both nearest-1 and multi-probe."""
+    import math
+
+    from jochre3_ocr_spark.operators.similarity import (
+        _assign_cells_pandas,
+        assign_cells,
+    )
+
+    rows = []
+    for c in range(4):
+        for j in range(12):
+            v = [0.0] * 8
+            v[c * 2] = 1.0
+            v[c * 2 + 1] = 0.05 * ((j % 5) - 2)
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((c * 12 + j, [x / n for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = [[1.0 if i == c * 2 else 0.0 for i in range(8)] for c in range(4)]
+    for n_probe in (1, 2):
+        lit = {
+            (r.vid, r.cell)
+            for r in assign_cells(df, cents, n_probe=n_probe).collect()
+        }
+        pnd = {
+            (r.vid, r.cell)
+            for r in _assign_cells_pandas(
+                df, cents, "vec_id", "embedding", n_probe
+            ).collect()
+        }
+        assert pnd == lit
+
+
+def test_assign_cells_large_quantizer_no_codegen_blowup(spark):
+    """k·d ≈ 10⁵ (VERDICT r2 'done' bar): assignment must route through
+    mapInPandas — no 10⁵ literals in the expression tree — and still put
+    every vector in its true cell."""
+    import numpy as np
+
+    from jochre3_ocr_spark.operators.similarity import assign_cells
+
+    k, d = 800, 128  # k·d = 102,400 » LITERAL_CENTROID_LIMIT
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(k, d))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    # 40 vectors sitting exactly ON distinct centroids
+    picks = rng.choice(k, size=40, replace=False)
+    rows = [
+        (int(i), [float(x) for x in cents[c]])
+        for i, c in enumerate(picks)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = assign_cells(df, [list(map(float, c)) for c in cents])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    got = {r.vid: r.cell for r in out.collect()}
+    assert got == {int(i): int(c) for i, c in enumerate(picks)}
+
+
 def test_ivf_multiprobe_recall_monotone(spark, embeddings):
     """Multi-probe is the IVF recall knob: recall vs exact top-k is
     non-decreasing in n_probe, and probing all cells = exact."""

@@ -65,23 +65,29 @@ def test_fixture_roundtrips_through_alto_sink(page_doc):
     assert doc2.processed_content == page_doc.processed_content
 
 
-def test_full_reconstruction_of_golden_page_from_gold_layout():
-    """End-to-end on the REAL golden page (nybc201086_0022): feed the
-    gold ALTO's boxes as the DLA oracle (the reference's own
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+def _reconstruct(merge_unspaced_words: bool):
+    """Feed the gold ALTO's boxes as the DLA oracle (the reference's own
     corpus-annotation flow, corpus/YoloAnnotator.scala), classify glyphs
     by max-overlap ground truth, run the full segment → place → order →
-    space-infer → guess → transform pipeline, and compare the document
-    text against the gold ALTO's content: CER < 2%.
+    space-infer → guess → transform pipeline.
 
-    The residual is space inference at 1-px word gaps: the gold ALTO's
-    SAVED boxes (rescaled + rounded from the analysis scale) show
-    gap = 1 px where the reference decided no-space at analysis scale
-    before rounding — e.g. String "יה“ל" left=1777 vs next String ","
-    right=1776. The reference's own gap>0 rule applied to the saved
-    boxes (FullYoloSegmenter.scala:405-447) inserts the same spaces we
-    do; the original decision is irrecoverable from the artifact.
-    Block/paragraph/line/word order and all content match.
-    """
+    ``merge_unspaced_words=True`` reconstructs the ANALYSIS-time word
+    shape: the YOLO words endpoint predicts whole words with attached
+    punctuation, and the reference splits punctuation into separate
+    Strings only AFTER guessing (AltoTransformer punctuation split) —
+    without inserting SPs. So gold Strings NOT separated by an SP (incl.
+    the line-end HYP) are merged back into one word box. False feeds the
+    post-split Strings directly (the artifact shape)."""
     from jochre3_ocr_spark.functions.lexicon import Lexicon
     from jochre3_ocr_spark.functions.simplify import simplify
     from jochre3_ocr_spark.operators.kernel import process_tree
@@ -96,7 +102,10 @@ def test_full_reconstruction_of_golden_page_from_gold_layout():
     )
     from jochre3_ocr_spark.operators.spantree import (
         ComposedBlock,
+        Hyphen,
         Media,
+        Space,
+        Word,
         iter_text_blocks,
     )
     from jochre3_ocr_spark.sources.alto_xml import parse_alto
@@ -105,6 +114,25 @@ def test_full_reconstruction_of_golden_page_from_gold_layout():
 
     blocks, paras, lines, words, glyphs = [], [], [], [], []
     lookup = {}
+
+    def _emit_word(rect, glyph_items):
+        words.append(
+            PredictedBox("word", (rect.left, rect.top, rect.width,
+                                  rect.height), 0.9)
+        )
+        for box, content in glyph_items:
+            glyphs.append(PredictedBox("glyph", box, 0.9))
+            lookup[box] = content
+
+    def _word_glyphs(w):
+        out = []
+        for g in w.glyphs:
+            if g.rect:
+                out.append(
+                    ((g.rect.left, g.rect.top, g.rect.width, g.rect.height),
+                     g.content)
+                )
+        return out
 
     def add_leaf(tb):
         if tb.rect:
@@ -121,17 +149,50 @@ def test_full_reconstruction_of_golden_page_from_gold_layout():
                     PredictedBox("line", (r.left, r.top + r.height // 2,
                                           r.width, r.height), 0.9)
                 )
-            for w in line.words:
-                if w.rect:
-                    words.append(
-                        PredictedBox("word", (w.rect.left, w.rect.top,
-                                              w.rect.width, w.rect.height), 0.9)
-                    )
-                for g in w.glyphs:
-                    if g.rect:
-                        box = (g.rect.left, g.rect.top, g.rect.width, g.rect.height)
-                        glyphs.append(PredictedBox("glyph", box, 0.9))
-                        lookup[box] = g.content
+            if not merge_unspaced_words:
+                for w in line.words:
+                    if w.rect:
+                        _emit_word(w.rect, _word_glyphs(w))
+                continue
+            # merge runs of Word/Hyphen items not separated by SP — but
+            # only x-adjacent items on a SHARED row (the post-guess
+            # punctuation split produces exactly that shape). Vertically
+            # stacked marginal entries (no shared row) stay separate
+            # words; their geometry never encoded a split.
+            def _adjacent(run, nxt):
+                v_ov = min(run.bottom, nxt.bottom) - max(run.top, nxt.top)
+                if v_ov < 0.5 * min(run.height, nxt.height):
+                    return False
+                gap = run.left - nxt.right  # RTL reading order
+                return -3 <= gap <= 3
+
+            run_rect, run_glyphs = None, []
+            for item in line.items:
+                if isinstance(item, Space):
+                    if run_rect is not None:
+                        _emit_word(run_rect, run_glyphs)
+                    run_rect, run_glyphs = None, []
+                    continue
+                if isinstance(item, Word):
+                    if item.rect is None:
+                        continue
+                    gl = _word_glyphs(item)
+                elif isinstance(item, Hyphen) and item.rect is not None:
+                    box = (item.rect.left, item.rect.top,
+                           item.rect.width, item.rect.height)
+                    gl = [(box, item.content)]
+                else:
+                    continue
+                if run_rect is None:
+                    run_rect, run_glyphs = item.rect, list(gl)
+                elif _adjacent(run_rect, item.rect):
+                    run_rect = run_rect.union(item.rect)
+                    run_glyphs.extend(gl)
+                else:
+                    _emit_word(run_rect, run_glyphs)
+                    run_rect, run_glyphs = item.rect, list(gl)
+            if run_rect is not None:
+                _emit_word(run_rect, run_glyphs)
 
     for top in gold.blocks:
         if isinstance(top, Media):
@@ -159,20 +220,79 @@ def test_full_reconstruction_of_golden_page_from_gold_layout():
         for w in line.words
     ]
     out = process_tree(doc, Lexicon.from_words(vocab))
-    ours = out["text"]
-    theirs = simplify(gold.content)
+    return out["text"], simplify(gold.content)
 
-    def lev(a, b):
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i] + [0] * len(b)
-            for j, cb in enumerate(b, 1):
-                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            prev = cur
-        return prev[-1]
 
-    cer = lev(ours, theirs) / len(theirs)
-    assert cer < 0.02, f"CER {cer:.4f}"
+def test_full_reconstruction_of_golden_page_from_gold_layout():
+    """End-to-end on the REAL golden page (nybc201086_0022) with the
+    ANALYSIS-time word shape (whole words incl. punctuation, as the YOLO
+    words endpoint predicts them): CER < 0.5% (VERDICT r2 item 5).
+
+    The remaining 6 edits (CER 0.21%) sit on exactly two VERTICALLY
+    STACKED marginal entries — lines whose consecutive Strings share no
+    row — pinned by test_residual_edits_are_artifact_internal below:
+    geometric (x-based) reading order cannot recover the XML document
+    order of a vertical stack, and the gold line content applies the
+    ו+י→ױ ligature rewrite ACROSS the stacked-String boundary that
+    per-word simplification cannot see. Irrecoverable from boxes by the
+    reference's own BiDi x-ordering (FullYoloSegmenter) as well."""
+    ours, theirs = _reconstruct(merge_unspaced_words=True)
+    cer = _lev(ours, theirs) / len(theirs)
+    assert cer < 0.005, f"CER {cer:.4f}"
     # the first line reproduces exactly; line COUNT and block structure match
     assert ours.split("\n")[0] == theirs.split("\n")[0]
     assert len(ours.split("\n")) == len(theirs.split("\n"))
+
+
+def test_reconstruction_from_post_split_strings_bounded():
+    """The artifact-shape feed (post-split Strings as word boxes) stays
+    under the old 2% bound: the extra edits are spaces the gap>0 rule
+    (FullYoloSegmenter.scala:405-447) must insert at saved-box gaps of
+    1 px, where the reference decided no-space at ANALYSIS scale before
+    rescale+round — e.g. String "יה“ל" left=1777 vs next String ","
+    right=1776. Irrecoverable from the artifact; the production feed
+    (merged words, test above) does not face the ambiguity."""
+    ours, theirs = _reconstruct(merge_unspaced_words=False)
+    cer = _lev(ours, theirs) / len(theirs)
+    assert cer < 0.02, f"CER {cer:.4f}"
+
+
+def test_residual_edits_are_artifact_internal():
+    """Pin the irreducibility of the sub-0.5% residual: every line that
+    still differs is a VERTICAL STACK — consecutive gold Strings with no
+    shared row (vertical overlap < 50% of the smaller height). For such
+    a line (a) x-based reading order — ours AND the reference's BiDi
+    ordering — cannot recover the XML document order, and (b) the gold
+    content applies simplify's ligature rewrite across the stacked
+    String boundary, which no per-String classification can see. Any
+    box-driven reconstruction hits the same edits."""
+    from jochre3_ocr_spark.operators.spantree import iter_text_blocks
+    from jochre3_ocr_spark.sources.alto_xml import parse_alto
+
+    gold = parse_alto(open(FIXTURE).read())
+    vertical_stack_lines = set()
+    for tb in iter_text_blocks(gold):
+        for line in tb.lines:
+            ws = [w for w in line.words if w.rect]
+            for a, b in zip(ws, ws[1:]):
+                v_ov = min(a.rect.bottom, b.rect.bottom) - max(
+                    a.rect.top, b.rect.top
+                )
+                if v_ov < 0.5 * min(a.rect.height, b.rect.height):
+                    vertical_stack_lines.add(
+                        "".join(
+                            getattr(i, "content", " ") for i in line.items
+                        )
+                    )
+                    break
+    # the golden page carries such lines (marginal column entries)
+    assert vertical_stack_lines, "artifact became flat — tighten CER"
+    ours, theirs = _reconstruct(merge_unspaced_words=True)
+    from jochre3_ocr_spark.functions.simplify import simplify
+
+    stacked_simplified = {simplify(s) for s in vertical_stack_lines}
+    for a, b in zip(ours.split("\n"), theirs.split("\n")):
+        if a != b:
+            assert b in stacked_simplified, (
+                f"unexplained diff line: {a!r} vs {b!r}"
+            )
