@@ -1392,15 +1392,22 @@ def _layout_predict_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps even-aligned rectangles sharp, so the recovered boxes —
     resize → batched forward → rescale — equal the grid EXACTLY and the
     whole path is SQL-derivable (box i at (32+(i%8)·156, 32+(i⁄8)·156),
-    confidence 1.0)."""
-    import io
+    confidence 1.0).
 
+    Scale shape: rendering and prediction are FUSED in one mapInPandas
+    — a 1280² uint8 page is 1.6 MB, so an image column crossing the
+    JVM↔Python Arrow boundary costs records-per-batch × 1.6 MB of
+    direct memory PER TASK (measured: Arrow OutOfMemoryException at
+    sf0.1/local[32] with the default 256-record batches when staged as
+    render → predict). Real page-image TABLES go through
+    operators/predictor.predict_layout_boxes with
+    spark.sql.execution.arrow.maxRecordsPerBatch sized to the image
+    payload (~16-32 for MB-scale pages)."""
     import pandas as pd
 
     from jochre3_ocr_spark.operators.predictor import (
         NumpyLayoutModel,
         RetryingBatchPredictor,
-        predict_layout_boxes,
     )
     from jochre3_ocr_spark.plans.pipeline import _spread_small_input
 
@@ -1410,11 +1417,14 @@ def _layout_predict_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def render(batches):
+    def render_and_predict(batches):
         import numpy as np
 
+        predictor = RetryingBatchPredictor(NumpyLayoutModel())
+        from jochre3_ocr_spark.operators.predictor import BLOCKS
+
         for b in batches:
-            ids, blobs = [], []
+            ids, imgs = [], []
             for doc_id, text in zip(b["doc_id"], b["text"]):
                 n = min(len([w for w in (text or "").split(" ") if w]), 64)
                 img = np.full((1280, 1280), 255, np.uint8)
@@ -1422,19 +1432,33 @@ def _layout_predict_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     left = 32 + (i % 8) * 156
                     top = 32 + (i // 8) * 156
                     img[top : top + 80, left : left + 120] = 0
-                buf = io.BytesIO()
-                np.save(buf, img)
                 ids.append(doc_id)
-                blobs.append(buf.getvalue())
-            yield pd.DataFrame({"doc_id": ids, "image": blobs})
+                imgs.append(img)
+            rows = {k: [] for k in (
+                "doc_id", "box_index", "label", "left", "top", "width",
+                "height", "confidence",
+            )}
+            if ids:
+                for doc_id, boxes in zip(
+                    ids, predictor.predict_batch(imgs, BLOCKS)
+                ):
+                    for i, box in enumerate(boxes):
+                        rows["doc_id"].append(doc_id)
+                        rows["box_index"].append(i)
+                        rows["label"].append(box.label)
+                        rows["left"].append(box.left)
+                        rows["top"].append(box.top)
+                        rows["width"].append(box.width)
+                        rows["height"].append(box.height)
+                        rows["confidence"].append(box.confidence)
+            yield pd.DataFrame(rows)
 
-    pages = docs.mapInPandas(render, schema="doc_id string, image binary")
-    boxes = predict_layout_boxes(
-        pages, lambda: RetryingBatchPredictor(NumpyLayoutModel())
-    )
-    return boxes.filter(F.col("status") == "ok").select(
-        "doc_id", "box_index", "label", "left", "top", "width", "height",
-        "confidence",
+    return docs.mapInPandas(
+        render_and_predict,
+        schema=(
+            "doc_id string, box_index int, label string, left int, "
+            "top int, width int, height int, confidence double"
+        ),
     )
 
 

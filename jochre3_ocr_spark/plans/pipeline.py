@@ -107,6 +107,18 @@ def get_spark(
         # wide span rows (measured: 100k-doc job OOMs an 8 GB driver).
         # 32 MB keeps scan parallelism fine at these file sizes.
         .config("spark.hadoop.parquet.block.size", str(32 * 1024 * 1024))
+        # ...but the writer only CHECKS the block size every
+        # min(100, adaptive) records (InternalParquetRecordWriter
+        # .checkBlockSizeReached, floor = parquet.page.size.row.check.min)
+        # — with multi-MB giant-doc rows the buffer overshoots 32 MB by
+        # 100×+ before the first check. Measured at 1M docs / local[32]:
+        # 228 MB direct-buffer reservations in the snappy compressor ×
+        # 32 writer tasks exhausted a 12 GB MaxDirectMemorySize and
+        # killed the job (TASK_WRITE_FAILED). Checking every row bounds
+        # writer memory to ~block.size per task; the check is O(columns)
+        # and unmeasurable against the per-row kernel cost.
+        .config("spark.hadoop.parquet.page.size.row.check.min", "1")
+        .config("spark.hadoop.parquet.page.size.row.check.max", "32")
         # the vectorized reader materializes 4096 rows per batch by
         # default; span rows average ~200 struct elements (giants 40k+),
         # so a batch can hit tens of MB PER TASK — the measured OOM site
