@@ -1464,8 +1464,12 @@ def _layout_predict_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_LAYOUT_BOXES_DUCK = """
 WITH t AS (
+  -- coalesce: DuckDB least() IGNORES NULLs (least(NULL,64)=64), so a
+  -- NULL text would mint 64 phantom boxes vs the Spark side's 0
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         least(len(list_filter(string_split(text, ' '), x -> x <> '')), 64) AS nb
+         least(coalesce(
+           len(list_filter(string_split(text, ' '), x -> x <> '')), 0
+         ), 64) AS nb
   FROM documents
 ),
 i AS (SELECT doc_id, unnest(range(nb)) AS bi FROM t)
@@ -1571,6 +1575,40 @@ SELECT node AS doc_id,
        node = cid AS is_canonical
 FROM comp
 """
+
+# singleton-inclusive variant (ADVICE r2): every corpus doc gets a row;
+# docs in no LSH pair are their own canonical cluster of size 1 — the
+# domain a consumer filtering is_canonical directly needs.
+_Q_DEDUP_CLUSTERS_FULL_DUCK = _Q_DEDUP_CLUSTERS_DUCK.replace(
+    """SELECT node AS doc_id,
+       cid AS cluster_id,
+       count(*) OVER (PARTITION BY cid) AS cluster_size,
+       node = cid AS is_canonical
+FROM comp""",
+    """SELECT node AS doc_id,
+       cid AS cluster_id,
+       count(*) OVER (PARTITION BY cid) AS cluster_size,
+       node = cid AS is_canonical
+FROM comp
+UNION ALL
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       CAST(d.doc_id AS VARCHAR) AS cluster_id,
+       CAST(1 AS BIGINT) AS cluster_size,
+       TRUE AS is_canonical
+FROM documents d
+WHERE CAST(d.doc_id AS VARCHAR) NOT IN (SELECT node FROM comp)""",
+)
+
+
+def _dedup_clusters_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_clusters over the FULL corpus domain
+    (include_singletons=True, operators/dedup.py): unpaired docs appear
+    as their own canonical size-1 cluster, so downstream keep/drop
+    filters on is_canonical are safe without a corpus left-join."""
+    from jochre3_ocr_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_clusters(docs, include_singletons=True)
 
 
 def _corpus_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2172,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_frequency_corpus": _word_frequency_corpus,
         "dedup_minhash_lsh": _sql(_Q_LSH_SPARK),
         "dedup_duplicate_clusters": _dedup_clusters,
+        "dedup_clusters_full": _dedup_clusters_full,
         "corpus_filter_verdicts": _corpus_filter_verdicts,
         "dedup_simhash_neardup": _sql(_Q_SIMHASH_ND_SPARK),
         "pdf_page_scan": _pdf_page_scan,
@@ -2223,6 +2262,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_neardup": _Q_EMB_NEARDUP_DUCK,
         "dedup_minhash_lsh": _Q_LSH_DUCK,
         "dedup_duplicate_clusters": _Q_DEDUP_CLUSTERS_DUCK,
+        "dedup_clusters_full": _Q_DEDUP_CLUSTERS_FULL_DUCK,
         "corpus_filter_verdicts": _Q_FILTER_VERDICTS_DUCK,
         "dedup_simhash_neardup": _Q_SIMHASH_ND_DUCK,
         "token_counts_bpe": _Q_BPE_DUCK,

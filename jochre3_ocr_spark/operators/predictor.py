@@ -141,10 +141,18 @@ class RetryingBatchPredictor:
         resized: list[np.ndarray] = []
         scales: list[float] = []
         for img in images:
-            r = resize_area_keep_aspect(img, max_w=size, max_h=size)
-            resized.append(r)
-            # ResizeImageAndKeepAspectRatio returns scale = resized/original
-            scales.append(r.shape[1] / img.shape[1] if img.shape[1] else 1.0)
+            resized.append(resize_area_keep_aspect(img, max_w=size, max_h=size))
+            # ResizeImageAndKeepAspectRatio returns EXACTLY
+            # Scale(1 / max(heightRatio, widthRatio)) (ResizeImageAnd
+            # KeepAspectRatio.scala:17,43) — NOT rounded-resized/original,
+            # which drifts boxes by up to ~5px at page edges on
+            # height-bound pages (int-truncated resized width)
+            ratio = (
+                max(img.shape[0] / size, img.shape[1] / size)
+                if img.shape[0] and img.shape[1]
+                else 1.0
+            )
+            scales.append(1.0 if ratio <= 1.0 else 1.0 / ratio)
 
         last_err: Exception | None = None
         for attempt in range(self.max_retries + 1):

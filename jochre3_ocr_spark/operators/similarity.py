@@ -328,7 +328,9 @@ def _assign_cells_pandas(
     O(1) in k·d. Distances use the |x|²−2x·c+|c|² expansion (one
     n×k matmul instead of an n×k×d intermediate); exact ties on
     synthetic data may round differently from the sequential-sum SQL
-    path — both resolve to the lowest cell index."""
+    path — both resolve to the lowest cell index, including an EXACT
+    distance tie straddling the n_probe boundary (tie rows are detected
+    and re-ranked with a full (d, cell) lexsort)."""
     import numpy as np
 
     spark = df.sparkSession
@@ -356,7 +358,31 @@ def _assign_cells_pandas(
                     {"vid": b["vid"], "cell": d2.argmin(axis=1).astype("int32")}
                 )
             else:
-                order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+                # O(k) argpartition, then a stable sort of just the
+                # n_probe survivors — this path exists precisely for
+                # large k, where a full O(k log k) row sort wastes the
+                # batch loop; (d, cell) sort keeps the lowest-index
+                # tie-break among survivors
+                p = min(n_probe, d2.shape[1])
+                part = np.argpartition(d2, p - 1, axis=1)[:, :p]
+                pd2 = np.take_along_axis(d2, part, axis=1)
+                inner = np.lexsort((part, pd2), axis=1)
+                order = np.take_along_axis(part, inner, axis=1)
+                # argpartition picks arbitrarily on an EXACT tie at the
+                # boundary; detect those rows (more than p distances ≤
+                # the kept max) and re-rank them with a full (d, cell)
+                # lexsort — deterministic lowest-index, identical to the
+                # SQL path's ORDER BY d, cell. One cheap O(k) pass; the
+                # full sort runs only on tie rows (rare for real
+                # embeddings)
+                kth = pd2.max(axis=1)
+                ties = (d2 <= kth[:, None]).sum(axis=1) > p
+                if ties.any():
+                    sub = d2[ties]
+                    idx = np.broadcast_to(
+                        np.arange(sub.shape[1]), sub.shape
+                    )
+                    order[ties] = np.lexsort((idx, sub), axis=1)[:, :p]
                 yield pd.DataFrame(
                     {
                         "vid": b["vid"].to_numpy().repeat(order.shape[1]),

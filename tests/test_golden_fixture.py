@@ -291,7 +291,11 @@ def test_residual_edits_are_artifact_internal():
     from jochre3_ocr_spark.functions.simplify import simplify
 
     stacked_simplified = {simplify(s) for s in vertical_stack_lines}
-    for a, b in zip(ours.split("\n"), theirs.split("\n")):
+    import itertools
+
+    la, lb = ours.split("\n"), theirs.split("\n")
+    assert len(la) == len(lb)  # zip must not truncate a differing tail
+    for a, b in itertools.zip_longest(la, lb, fillvalue=""):
         if a != b:
             assert b in stacked_simplified, (
                 f"unexplained diff line: {a!r} vs {b!r}"

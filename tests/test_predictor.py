@@ -93,6 +93,33 @@ def test_resize_and_rescale_roundtrip_exact():
     assert all(b.confidence == 1.0 for b in out[0])
 
 
+def test_rescale_uses_exact_ratio_not_rounded_dims():
+    """Session review: the rescale factor must be the reference's exact
+    1/max(heightRatio, widthRatio) (ResizeImageAndKeepAspectRatio
+    .scala:17,43), NOT rounded-resized-width/original-width — on a
+    height-bound portrait page the int-truncated resized width drifts
+    boxes by several px at the page edge."""
+    h, w = 1280, 500  # height-bound: resized to 640x250, ratio exactly 2
+    img = np.full((h, w), 255, np.uint8)
+    img[1000:1100, 300:400] = 0  # even coords, survive exact /2
+    pred = RetryingBatchPredictor(NumpyLayoutModel())
+    out = pred.predict_batch([img], BLOCKS)[0]
+    assert [(b.left, b.top, b.width, b.height) for b in out] == [
+        (300, 1000, 100, 100)
+    ]
+    # non-even ratio page: scale must equal 1/ratio exactly
+    h2, w2 = 1281, 500
+    img2 = np.full((h2, w2), 255, np.uint8)
+    img2[0:1281, 0:500] = 255
+    img2[100:200, 100:200] = 0
+    out2 = pred.predict_batch([img2], BLOCKS)[0]
+    ratio = h2 / 640
+    b = out2[0]
+    # recovered box = detected-resized-box * ratio (int-truncated), and
+    # the detected box is within 1px of 100/ratio..200/ratio
+    assert abs(b.left - 100) <= ratio and abs(b.top - 100) <= ratio
+
+
 def test_no_upscale_when_page_fits():
     """Pages already inside the request size pass through unresized
     (ResizeImageAndKeepAspectRatio never upscales)."""
