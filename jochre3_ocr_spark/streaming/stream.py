@@ -61,6 +61,59 @@ def stream_extract(
     return query
 
 
+def stream_predict_layout(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    make_predictor=None,
+    prediction_type_name: str = "blocks",
+    max_files_per_trigger: int = 16,
+    await_termination: bool = True,
+):
+    """Continuous-ingest DLA inference: readStream over a page-image
+    parquet directory → the batched predictor slot
+    (operators/predictor.predict_layout_boxes — same retry/backoff,
+    resize/rescale, quarantine semantics as batch) → writeStream with
+    ``Trigger.AvailableNow`` and exactly-once file-sink semantics.
+
+    The production shape for a scanner feed: new page files land in the
+    ingest directory, each micro-batch runs ONE batched forward per
+    Arrow batch, and re-running picks up only unprocessed files from
+    the checkpoint's file log. Keep ``maxFilesPerTrigger`` small for
+    MB-scale page images — micro-batch memory is files × pages ×
+    image-bytes across the Arrow boundary (see BENCH.md round-3 OOM
+    site #2)."""
+    from jochre3_ocr_spark.operators.predictor import (
+        NumpyLayoutModel,
+        RetryingBatchPredictor,
+        predict_layout_boxes,
+    )
+
+    if make_predictor is None:
+        def make_predictor():
+            return RetryingBatchPredictor(NumpyLayoutModel())
+
+    pages = (
+        spark.readStream.schema("doc_id string, image binary")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    boxes = predict_layout_boxes(
+        pages, make_predictor, prediction_type_name
+    )
+    query = (
+        boxes.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
 EVENTS_DDL = (
     "event_id bigint, ts timestamp, user_id bigint, "
     "event_type string, value double, props string"

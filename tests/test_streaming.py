@@ -42,6 +42,66 @@ def test_stream_extract_incremental(spark, tmp_path):
     assert final.filter("status = 'ok'").count() == 20
 
 
+def test_stream_predict_layout_incremental(spark, tmp_path):
+    """Continuous-ingest DLA inference: the batched predictor slot
+    behind readStream/writeStream — exactly-once across re-triggers,
+    rows equal to the batch twin, decode quarantine preserved."""
+    import io
+
+    import numpy as np
+
+    from jochre3_ocr_spark.operators.predictor import (
+        NumpyLayoutModel,
+        RetryingBatchPredictor,
+        predict_layout_boxes,
+    )
+    from jochre3_ocr_spark.streaming.stream import stream_predict_layout
+
+    def _npy(rects):
+        img = np.full((640, 640), 255, np.uint8)
+        for left, top, w, h in rects:
+            img[top : top + h, left : left + w] = 0
+        buf = io.BytesIO()
+        np.save(buf, img)
+        return bytearray(buf.getvalue())
+
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "boxes")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [
+        ("p0", _npy([(10, 10, 50, 40)])),
+        ("bad", bytearray(b"not npy")),
+    ]
+    batch2 = [("p1", _npy([(100, 100, 80, 30), (300, 200, 40, 40)]))]
+    schema = "doc_id string, image binary"
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    stream_predict_layout(spark, inp, out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.filter("status = 'ok'").count() == 1
+    assert first.filter("status = 'error'").count() == 1
+
+    # new pages arrive; re-trigger processes ONLY them
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    stream_predict_layout(spark, inp, out, ckpt)
+    final = spark.read.parquet(out)
+    assert final.filter("status = 'ok'").count() == 3  # no reprocessing
+
+    # row-equality with the batch twin over the same input
+    batch_rows = {
+        tuple(r)
+        for r in predict_layout_boxes(
+            spark.read.parquet(inp),
+            lambda: RetryingBatchPredictor(NumpyLayoutModel()),
+        ).collect()
+    }
+    assert {tuple(r) for r in final.collect()} == batch_rows
+
+
 def test_stream_events_hourly_watermark(spark, tmp_path):
     """Watermarked tumbling windows in append mode: closed windows match
     the batch aggregation exactly; a re-trigger with no new files emits
