@@ -1600,6 +1600,41 @@ WHERE CAST(d.doc_id AS VARCHAR) NOT IN (SELECT node FROM comp)""",
 )
 
 
+def _corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking (64-token windows, 8-token
+    overlap) over the documents table — operators/text_metrics
+    .chunk_documents. Pure codegen column expressions; chunk-count
+    arithmetic is integer-exact so the DuckDB twin matches bit-for-bit."""
+    from jochre3_ocr_spark.operators.text_metrics import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, max_tokens=64, overlap=8)
+
+
+_Q_CHUNKING_DUCK = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+nz AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+c AS (
+  SELECT doc_id, tk, n,
+         CASE WHEN n <= 64 THEN 1 ELSE 1 + ((n - 9) // 56) END AS nc
+  FROM nz
+),
+i AS (SELECT doc_id, tk, n, unnest(range(nc)) AS ci FROM c)
+SELECT doc_id,
+       CAST(ci AS INTEGER) AS chunk_index,
+       CAST(ci * 56 AS INTEGER) AS begin_token,
+       CAST(len(list_slice(tk, ci * 56 + 1, least(ci * 56 + 64, n)))
+            AS INTEGER) AS n_chunk_tokens,
+       array_to_string(list_slice(tk, ci * 56 + 1, least(ci * 56 + 64, n)),
+                       ' ') AS chunk_text
+FROM i
+"""
+
+
 def _dedup_clusters_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """duplicate_clusters over the FULL corpus domain
     (include_singletons=True, operators/dedup.py): unpaired docs appear
@@ -2211,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _sql(_Q_LSH_SPARK),
         "dedup_duplicate_clusters": _dedup_clusters,
         "dedup_clusters_full": _dedup_clusters_full,
+        "corpus_chunking": _corpus_chunking,
         "corpus_filter_verdicts": _corpus_filter_verdicts,
         "dedup_simhash_neardup": _sql(_Q_SIMHASH_ND_SPARK),
         "pdf_page_scan": _pdf_page_scan,
@@ -2263,6 +2299,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _Q_LSH_DUCK,
         "dedup_duplicate_clusters": _Q_DEDUP_CLUSTERS_DUCK,
         "dedup_clusters_full": _Q_DEDUP_CLUSTERS_FULL_DUCK,
+        "corpus_chunking": _Q_CHUNKING_DUCK,
         "corpus_filter_verdicts": _Q_FILTER_VERDICTS_DUCK,
         "dedup_simhash_neardup": _Q_SIMHASH_ND_DUCK,
         "token_counts_bpe": _Q_BPE_DUCK,

@@ -117,6 +117,63 @@ BPE_ISH_PATTERN = (
 )
 
 
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking with overlap — the
+    context-window splitter a training pipeline runs before
+    tokenization/packing. One row per chunk:
+    (doc_id, chunk_index, begin_token, n_chunk_tokens, chunk_text).
+
+    Chunk i covers tokens [i·stride, i·stride + max_tokens) with
+    stride = max_tokens − overlap; the final chunk truncates at the
+    document end; a doc of ≤ max_tokens tokens yields exactly one
+    chunk and an empty doc yields none. Chunk count uses pure integer
+    arithmetic (1 + (n − overlap − 1) div stride for n > max_tokens) so
+    the SQL twin is bit-exact.
+
+    Scale shape: pure higher-order column expressions (sequence →
+    explode → slice/array_join) — whole-stage codegen, zero shuffle,
+    fan-out proportional to output chunks only.
+    """
+    stride = max_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than max_tokens")
+    toks = (
+        _tokens(df, id_col, text_col)
+        .filter(F.size("_t") > 0)
+        .withColumn("_n", F.size("_t"))
+        .withColumn(
+            "_nc",
+            F.when(F.col("_n") <= max_tokens, F.lit(1)).otherwise(
+                F.expr(
+                    f"CAST(1 + ((_n - {max_tokens} + {stride - 1}) "
+                    f"div {stride}) AS INT)"
+                )
+            ),
+        )
+    )
+    ex = toks.select(
+        "_doc_id",
+        "_t",
+        F.explode(
+            F.sequence(F.lit(0), F.col("_nc") - F.lit(1))
+        ).alias("chunk_index"),
+    )
+    sl = F.slice("_t", F.col("chunk_index") * stride + 1, max_tokens)
+    return ex.select(
+        F.col("_doc_id").alias("doc_id"),
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        (F.col("chunk_index") * stride).cast("int").alias("begin_token"),
+        F.size(sl).alias("n_chunk_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
+
+
 def bpe_token_counts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
