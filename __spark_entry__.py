@@ -1635,6 +1635,52 @@ FROM i
 """
 
 
+def _corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing per doc_id-mod shard
+    (operators/packing.pack_sequences, capacity 256, 8 shards) — the
+    training-batch packer. The per-shard sequential fold is oracled by
+    a DuckDB recursive CTE walking the identical numeric-doc_id order."""
+    from jochre3_ocr_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, capacity=256, n_shards=8)
+
+
+_Q_PACKING_DUCK = """
+WITH RECURSIVE t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(CAST(doc_id AS BIGINT) % 8 AS INTEGER) AS shard,
+         CAST(doc_id AS BIGINT) AS ord,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS INTEGER) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY ord) AS rn
+  FROM t
+),
+rec AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         0 AS pack_id, 0 AS pack_pos, n_tokens AS cum
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN rec.cum > 0 AND rec.cum + o.n_tokens > 256
+              THEN rec.pack_id + 1 ELSE rec.pack_id END,
+         CASE WHEN rec.cum > 0 AND rec.cum + o.n_tokens > 256
+              THEN 0 ELSE rec.pack_pos + 1 END,
+         CASE WHEN rec.cum > 0 AND rec.cum + o.n_tokens > 256
+              THEN o.n_tokens ELSE rec.cum + o.n_tokens END
+  FROM rec JOIN o ON o.shard = rec.shard AND o.rn = rec.rn + 1
+)
+SELECT doc_id, shard,
+       CAST(pack_id AS INTEGER) AS pack_id,
+       CAST(pack_pos AS INTEGER) AS pack_pos,
+       n_tokens
+FROM rec
+"""
+
+
 def _dedup_clusters_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """duplicate_clusters over the FULL corpus domain
     (include_singletons=True, operators/dedup.py): unpaired docs appear
@@ -2247,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_duplicate_clusters": _dedup_clusters,
         "dedup_clusters_full": _dedup_clusters_full,
         "corpus_chunking": _corpus_chunking,
+        "corpus_packing": _corpus_packing,
         "corpus_filter_verdicts": _corpus_filter_verdicts,
         "dedup_simhash_neardup": _sql(_Q_SIMHASH_ND_SPARK),
         "pdf_page_scan": _pdf_page_scan,
@@ -2300,6 +2347,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_duplicate_clusters": _Q_DEDUP_CLUSTERS_DUCK,
         "dedup_clusters_full": _Q_DEDUP_CLUSTERS_FULL_DUCK,
         "corpus_chunking": _Q_CHUNKING_DUCK,
+        "corpus_packing": _Q_PACKING_DUCK,
         "corpus_filter_verdicts": _Q_FILTER_VERDICTS_DUCK,
         "dedup_simhash_neardup": _Q_SIMHASH_ND_DUCK,
         "token_counts_bpe": _Q_BPE_DUCK,

@@ -42,3 +42,52 @@ def test_chunk_documents_edge_cases(spark):
     long_chunks = [v for k, v in sorted(got.items()) if k[0] == "long"]
     for a, b in zip(long_chunks, long_chunks[1:]):
         assert a[2].split(" ")[stride:] == b[2].split(" ")[: overlap]
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    """Packing invariants on a deterministic corpus: (a) every pack
+    except possibly the last per shard holds ≤ capacity tokens unless a
+    single oversized doc owns it; (b) pack_pos is dense in walk order;
+    (c) greedy = a pack closes only because the next doc would not fit."""
+    from jochre3_ocr_spark.operators.packing import pack_sequences
+
+    rows = [
+        (str(i), " ".join("w" for _ in range(n)))
+        for i, n in enumerate([10, 50, 100, 200, 300, 5, 5, 5, 120, 130,
+                               60, 0, 9, 250, 17, 256])
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    cap = 256
+    out = pack_sequences(df, capacity=cap, n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == len(rows)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r.pack_id, r.pack_pos))
+        packs = {}
+        for r in rs:
+            packs.setdefault(r.pack_id, []).append(r)
+        assert sorted(packs) == list(range(len(packs)))  # dense ids
+        for pid, members in packs.items():
+            assert [m.pack_pos for m in members] == list(range(len(members)))
+            total = sum(m.n_tokens for m in members)
+            assert total <= cap or len(members) == 1  # oversized solo
+            # greedy: the first doc of the NEXT pack would overflow
+            if pid + 1 in packs and total > 0:
+                nxt = packs[pid + 1][0].n_tokens
+                assert total + nxt > cap
+
+
+def test_pack_sequences_independent_of_partitioning(spark):
+    """Determinism invariant: output equal under any input partitioning
+    (the shard fold sorts by numeric doc_id internally)."""
+    from jochre3_ocr_spark.operators.packing import pack_sequences
+
+    rows = [(str(i), " ".join("w" for _ in range(17 + (i * 37) % 90)))
+            for i in range(60)]
+    df1 = spark.createDataFrame(rows, "doc_id string, text string")
+    df2 = df1.repartition(7)
+    a = {tuple(r) for r in pack_sequences(df1).collect()}
+    b = {tuple(r) for r in pack_sequences(df2).collect()}
+    assert a == b
