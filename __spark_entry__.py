@@ -1635,6 +1635,45 @@ FROM i
 """
 
 
+def _corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate): the
+    docs with doc_id % 97 == 0 act as the held-out eval suite; flag
+    every OTHER training doc sharing >= 1 distinct 4-gram with any of
+    them. Broadcast of the small exploded benchmark shingle set; the
+    corpus side stays one narrow scan + broadcast join."""
+    from jochre3_ocr_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter("CAST(doc_id AS BIGINT) % 97 = 0")
+    return decontaminate(docs, bench, n=4).filter("doc_id <> bench_id")
+
+
+_Q_DECONTAM_DUCK = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, len(tk) - 2),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                  || tk[i+3])
+         )) AS shingle
+  FROM t WHERE len(tk) >= 4
+)
+SELECT a.doc_id,
+       b.doc_id AS bench_id,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM sh a
+JOIN sh b ON a.shingle = b.shingle
+WHERE CAST(b.doc_id AS BIGINT) % 97 = 0 AND a.doc_id <> b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 1
+"""
+
+
 def _corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy first-fit-in-order sequence packing per doc_id-mod shard
     (operators/packing.pack_sequences, capacity 256, 8 shards) — the
@@ -2294,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_full": _dedup_clusters_full,
         "corpus_chunking": _corpus_chunking,
         "corpus_packing": _corpus_packing,
+        "corpus_decontaminate": _corpus_decontaminate,
         "corpus_filter_verdicts": _corpus_filter_verdicts,
         "dedup_simhash_neardup": _sql(_Q_SIMHASH_ND_SPARK),
         "pdf_page_scan": _pdf_page_scan,
@@ -2348,6 +2388,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_full": _Q_DEDUP_CLUSTERS_FULL_DUCK,
         "corpus_chunking": _Q_CHUNKING_DUCK,
         "corpus_packing": _Q_PACKING_DUCK,
+        "corpus_decontaminate": _Q_DECONTAM_DUCK,
         "corpus_filter_verdicts": _Q_FILTER_VERDICTS_DUCK,
         "dedup_simhash_neardup": _Q_SIMHASH_ND_DUCK,
         "token_counts_bpe": _Q_BPE_DUCK,

@@ -71,6 +71,44 @@ def exact_dedup(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least ``min_hits`` distinct word ``n``-grams with any document in the
+    ``benchmark`` (eval-set) table. Returns one row per contaminated
+    (doc_id, bench_id) pair: (doc_id, bench_id, n_hits) — the standard
+    pre-training hygiene pass (the 13-gram-overlap family of filters;
+    GPT-3/PaLM-style decontamination is this op with n=8..13).
+
+    Scale shape: the benchmark side is SMALL (an eval suite, thousands
+    of docs) — its exploded shingle set broadcasts, so the corpus side
+    is one narrow scan + broadcast-hash semi-join + partial-aggregated
+    count; no corpus-side self-join and no shuffle of corpus text.
+    Shingles are distinct per doc on BOTH sides, so n_hits counts
+    distinct shared n-grams exactly.
+    """
+    doc_sh = _shingles(_tokens(df, id_col, text_col), n)
+    bench_sh = _shingles(
+        _tokens(benchmark, bench_id_col, bench_text_col), n
+    ).withColumnRenamed("doc_id", "bench_id")
+    return (
+        doc_sh.join(
+            F.broadcast(bench_sh), "shingle"
+        )
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -301,6 +301,34 @@ def test_simhash_neardup_pigeonhole_complete(spark):
     assert banded == brute
 
 
+def test_decontaminate_flags_ngram_overlap(spark):
+    """Benchmark decontamination: exact distinct-n-gram hit counts, no
+    self-pairs unless the doc IS in the benchmark, and the benchmark
+    side broadcast (no corpus-side shuffle join)."""
+    from jochre3_ocr_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [("b1", "alpha beta gamma delta epsilon")],
+        "doc_id string, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares two distinct 3-grams with b1
+            ("d1", "x alpha beta gamma delta y"),
+            # shares none (order differs)
+            ("d2", "beta alpha gamma epsilon delta"),
+            # repeated shared 3-gram still counts ONCE (distinct)
+            ("d3", "alpha beta gamma z alpha beta gamma"),
+        ],
+        "doc_id string, text string",
+    )
+    out = decontaminate(docs, bench, n=3)
+    got = {(r.doc_id, r.bench_id): r.n_hits for r in out.collect()}
+    assert got == {("d1", "b1"): 2, ("d3", "b1"): 1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_connected_components_chain_triangle_pair(spark):
     """Min-label propagation must close transitive chains (multi-
     iteration), triangles (cycles), and isolated pairs; cluster_id is
