@@ -74,6 +74,30 @@ def main(argv=None) -> int:
         "(OutputFormat.scala parity; extra formats write to "
         "<output>_<format>)",
     )
+    p.add_argument(
+        "--corpus-op",
+        default=None,
+        choices=[
+            "chunk", "pack", "dedup-verdicts", "decontaminate",
+            "quality", "exact-dedup",
+        ],
+        help="training-data corpus operation over a (doc_id, text[, "
+        "lang, source]) parquet at --input: chunk = sliding token "
+        "windows; pack = greedy sequence packing; dedup-verdicts = "
+        "MinHash-LSH clusters incl. singletons; decontaminate = "
+        "n-gram overlap vs --benchmark; quality = scoring features; "
+        "exact-dedup = identical-text groups",
+    )
+    p.add_argument("--benchmark", default=None,
+                   help="eval-set parquet for --corpus-op decontaminate")
+    p.add_argument("--max-tokens", type=int, default=128,
+                   help="chunk window (--corpus-op chunk)")
+    p.add_argument("--overlap", type=int, default=16,
+                   help="chunk overlap (--corpus-op chunk)")
+    p.add_argument("--capacity", type=int, default=256,
+                   help="pack token capacity (--corpus-op pack)")
+    p.add_argument("--ngram", type=int, default=8,
+                   help="n-gram size (--corpus-op decontaminate)")
     args = p.parse_args(argv)
 
     from jochre3_ocr_spark.plans.pipeline import get_spark, run_job
@@ -128,6 +152,47 @@ def main(argv=None) -> int:
         n = spark.read.parquet(args.output).count()
         print(json.dumps({
             "annotate": args.annotate,
+            "rows": n,
+            "sec": round(time.time() - t0, 2),
+            "output": args.output,
+        }))
+        spark.stop()
+        return 0
+
+    if args.corpus_op:
+        docs = spark.read.parquet(args.input)
+        if args.corpus_op == "chunk":
+            from jochre3_ocr_spark.operators.text_metrics import chunk_documents
+
+            out = chunk_documents(docs, args.max_tokens, args.overlap)
+        elif args.corpus_op == "pack":
+            from jochre3_ocr_spark.operators.packing import pack_sequences
+
+            out = pack_sequences(docs, capacity=args.capacity)
+        elif args.corpus_op == "dedup-verdicts":
+            from jochre3_ocr_spark.operators.dedup import duplicate_clusters
+
+            out = duplicate_clusters(docs, include_singletons=True)
+        elif args.corpus_op == "decontaminate":
+            if not args.benchmark:
+                p.error("--corpus-op decontaminate requires --benchmark")
+            from jochre3_ocr_spark.operators.dedup import decontaminate
+
+            bench = spark.read.parquet(args.benchmark)
+            out = decontaminate(docs, bench, n=args.ngram)
+        elif args.corpus_op == "quality":
+            from jochre3_ocr_spark.operators.text_metrics import quality_features
+
+            out = quality_features(docs)
+        else:
+            from jochre3_ocr_spark.operators.dedup import exact_dedup
+
+            out = exact_dedup(docs)
+        t0 = time.time()
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "corpus_op": args.corpus_op,
             "rows": n,
             "sec": round(time.time() - t0, 2),
             "output": args.output,
