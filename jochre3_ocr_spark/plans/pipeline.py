@@ -406,8 +406,19 @@ def extract_with_salting(
     )
 
     chunks = giant.mapInPandas(_split_chunks, schema=_CHUNK_DDL)
-    # spread chunks of the same giant doc across executors (the salt)
-    chunks = chunks.repartition(F.col("doc_id"), F.col("chunk_id"))
+    # spread chunks of the same giant doc across executors (the salt).
+    # The partition COUNT must be explicit: chunk rows are ~100 KB of
+    # span JSON but cost ~40 ms of kernel each — row-cost-bound, not
+    # byte-bound — and without a user-specified count AQE's byte-based
+    # coalescing folds the whole salt shuffle into ONE partition
+    # (measured at sf0.1: 90 chunks → 1 task → the entire giant branch
+    # serialized, 3.4 s of kernel on one core). repartition(n, cols) is
+    # a user-specified shuffle AQE will not re-coalesce.
+    n_salt = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism,
+    )
+    chunks = chunks.repartition(n_salt, F.col("doc_id"), F.col("chunk_id"))
     chunk_out = chunks.mapInPandas(
         _make_chunk_extract_fn(lexicon_bc, config), schema=_CHUNK_OUT_DDL
     )
