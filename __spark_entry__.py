@@ -1674,6 +1674,35 @@ HAVING count(*) >= 1
 """
 
 
+def _corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mixture control
+    (operators/text_metrics.deterministic_sample): md5-prefix threshold
+    per source stratum — src0 keeps 80%, src1 25%, src2 100%, others
+    drop. Pure string comparison, identical expression in DuckDB."""
+    from jochre3_ocr_spark.operators.text_metrics import deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = deterministic_sample(
+        docs, fractions={"src0": 0.8, "src1": 0.25, "src2": 1.0},
+        by="source", salt="mix1",
+    )
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+
+
+_Q_SAMPLE_DUCK = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, source
+FROM documents
+WHERE (source = 'src0' AND
+       substring(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 6) < 'cccccd')
+   OR (source = 'src1' AND
+       substring(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 6) < '400000')
+   OR (source = 'src2' AND
+       substring(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 6) < 'g')
+"""
+
+
 def _corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy first-fit-in-order sequence packing per doc_id-mod shard
     (operators/packing.pack_sequences, capacity 256, 8 shards) — the
@@ -2334,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunking": _corpus_chunking,
         "corpus_packing": _corpus_packing,
         "corpus_decontaminate": _corpus_decontaminate,
+        "corpus_sample": _corpus_sample,
         "corpus_filter_verdicts": _corpus_filter_verdicts,
         "dedup_simhash_neardup": _sql(_Q_SIMHASH_ND_SPARK),
         "pdf_page_scan": _pdf_page_scan,
@@ -2389,6 +2419,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_chunking": _Q_CHUNKING_DUCK,
         "corpus_packing": _Q_PACKING_DUCK,
         "corpus_decontaminate": _Q_DECONTAM_DUCK,
+        "corpus_sample": _Q_SAMPLE_DUCK,
         "corpus_filter_verdicts": _Q_FILTER_VERDICTS_DUCK,
         "dedup_simhash_neardup": _Q_SIMHASH_ND_DUCK,
         "token_counts_bpe": _Q_BPE_DUCK,

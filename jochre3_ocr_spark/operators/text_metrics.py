@@ -117,6 +117,54 @@ BPE_ISH_PATTERN = (
 )
 
 
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float | None = None,
+    fractions: dict[str, float] | None = None,
+    by: str = "source",
+    salt: str = "s1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible corpus (sub)sampling for data mixing: keep a doc iff
+    the first 6 hex chars of md5(doc_id ":" salt) sort below the
+    fraction's hex threshold. Pure string comparison — identical in any
+    engine with md5 (the DuckDB twin is the same expression), immune to
+    partitioning/order, and resumable: the same (id, salt) always makes
+    the same keep/drop decision, so incremental reprocessing never
+    flips membership (unlike rand()- or partition-based sampling).
+
+    ``fraction`` samples uniformly; ``fractions`` maps values of the
+    ``by`` column to per-stratum rates (the training-mixture knob, e.g.
+    {"web": 0.1, "books": 1.0}) — strata absent from the dict drop to
+    rate 0. Resolution 16⁻⁶ ≈ 6e-8. One narrow scan, no shuffle."""
+    if (fraction is None) == (fractions is None):
+        raise ValueError("pass exactly one of fraction / fractions")
+
+    def thresh(f: float) -> str:
+        n = max(0, round(f * 16**6))
+        if n >= 16**6:
+            # 'g' sorts above every hex string — fraction 1.0 keeps all
+            # (a 7-char numeric threshold would break the 6-char
+            # lexicographic comparison)
+            return "g"
+        return format(n, "06x")
+
+    key = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+        1,
+        6,
+    )
+    if fraction is not None:
+        cond = key < F.lit(thresh(fraction))
+    else:
+        cond = F.lit(False)
+        for value, f in sorted(fractions.items()):
+            cond = F.when(
+                F.col(by) == value, key < F.lit(thresh(f))
+            ).otherwise(cond)
+    return df.filter(cond)
+
+
 def chunk_documents(
     df: DataFrame,
     max_tokens: int = 128,

@@ -91,3 +91,33 @@ def test_pack_sequences_independent_of_partitioning(spark):
     a = {tuple(r) for r in pack_sequences(df1).collect()}
     b = {tuple(r) for r in pack_sequences(df2).collect()}
     assert a == b
+
+
+def test_deterministic_sample_properties(spark):
+    """Hash-threshold sampling: partitioning-independent membership,
+    rate within binomial tolerance, exact edges at 0.0 / 1.0, and
+    stratified rates applied per group."""
+    from jochre3_ocr_spark.operators.text_metrics import deterministic_sample
+
+    rows = [(str(i), "t", "src%d" % (i % 2)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+
+    kept = deterministic_sample(df, fraction=0.3).select("doc_id")
+    n = kept.count()
+    assert abs(n - 1200) < 120  # ±4σ of Binomial(4000, 0.3)
+    # same membership under different partitioning
+    kept2 = deterministic_sample(df.repartition(13), fraction=0.3)
+    assert {r.doc_id for r in kept2.select("doc_id").collect()} == {
+        r.doc_id for r in kept.collect()
+    }
+    assert deterministic_sample(df, fraction=1.0).count() == 4000
+    assert deterministic_sample(df, fraction=0.0).count() == 0
+    # stratified: src0 full, src1 none
+    strat = deterministic_sample(df, fractions={"src0": 1.0})
+    assert strat.count() == 2000
+    assert strat.filter("source = 'src1'").count() == 0
+    # a different salt re-draws the sample
+    other = deterministic_sample(df, fraction=0.3, salt="s2")
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in other.select("doc_id").collect()}
+    assert a != b
