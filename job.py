@@ -23,6 +23,22 @@ import sys
 import time
 
 
+def _write_and_report(spark, out, output_path: str, key: str, mode: str) -> int:
+    """Shared epilogue for the annotate / corpus-op modes: overwrite-
+    write the result, report one JSON line, stop the session."""
+    t0 = time.time()
+    out.write.mode("overwrite").parquet(output_path)
+    n = spark.read.parquet(output_path).count()
+    print(json.dumps({
+        key: mode,
+        "rows": n,
+        "sec": round(time.time() - t0, 2),
+        "output": output_path,
+    }))
+    spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True)
@@ -96,6 +112,9 @@ def main(argv=None) -> int:
                    help="chunk overlap (--corpus-op chunk)")
     p.add_argument("--capacity", type=int, default=256,
                    help="pack token capacity (--corpus-op pack)")
+    p.add_argument("--n-shards", type=int, default=None,
+                   help="pack shard count = parallelism (--corpus-op "
+                   "pack); default = 2x local threads / 200 on a cluster")
     p.add_argument("--ngram", type=int, default=8,
                    help="n-gram size (--corpus-op decontaminate)")
     args = p.parse_args(argv)
@@ -147,17 +166,7 @@ def main(argv=None) -> int:
             out = X.alto_to_text(src)
         else:
             out = X.transform_corpus(src)
-        t0 = time.time()
-        out.write.mode("overwrite").parquet(args.output)
-        n = spark.read.parquet(args.output).count()
-        print(json.dumps({
-            "annotate": args.annotate,
-            "rows": n,
-            "sec": round(time.time() - t0, 2),
-            "output": args.output,
-        }))
-        spark.stop()
-        return 0
+        return _write_and_report(spark, out, args.output, "annotate", args.annotate)
 
     if args.corpus_op:
         docs = spark.read.parquet(args.input)
@@ -168,7 +177,12 @@ def main(argv=None) -> int:
         elif args.corpus_op == "pack":
             from jochre3_ocr_spark.operators.packing import pack_sequences
 
-            out = pack_sequences(docs, capacity=args.capacity)
+            n_shards = args.n_shards or max(
+                spark.sparkContext.defaultParallelism * 2, 8
+            )
+            out = pack_sequences(
+                docs, capacity=args.capacity, n_shards=n_shards
+            )
         elif args.corpus_op == "dedup-verdicts":
             from jochre3_ocr_spark.operators.dedup import duplicate_clusters
 
@@ -188,17 +202,7 @@ def main(argv=None) -> int:
             from jochre3_ocr_spark.operators.dedup import exact_dedup
 
             out = exact_dedup(docs)
-        t0 = time.time()
-        out.write.mode("overwrite").parquet(args.output)
-        n = spark.read.parquet(args.output).count()
-        print(json.dumps({
-            "corpus_op": args.corpus_op,
-            "rows": n,
-            "sec": round(time.time() - t0, 2),
-            "output": args.output,
-        }))
-        spark.stop()
-        return 0
+        return _write_and_report(spark, out, args.output, "corpus_op", args.corpus_op)
 
     if args.lexicon:
         with open(args.lexicon, encoding="utf-8") as f:

@@ -49,8 +49,13 @@ def pack_sequences(
         F.pmod(F.col(id_col).cast("long"), F.lit(n_shards))
         .cast("int")
         .alias("shard"),
-        F.size(
-            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        # coalesce: a NULL text yields NULL size → NaN in the pandas
+        # fold → an opaque int(NaN) ValueError; treat as 0 tokens
+        F.coalesce(
+            F.size(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ),
+            F.lit(0),
         ).alias("n_tokens"),
     )
 

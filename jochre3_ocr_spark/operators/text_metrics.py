@@ -33,7 +33,11 @@ def quality_features(
     lang_col: str = "lang",
 ) -> DataFrame:
     """(doc_id, lang, n_tokens, avg_token_len, stopword_ratio,
-    distinct_ratio) — the quality-scoring feature row."""
+    distinct_ratio) — the quality-scoring feature row. ``lang`` is
+    optional in the input (documented CLI contract: doc_id, text
+    [, lang, source]); absent → null column."""
+    if lang_col not in df.columns:
+        df = df.withColumn(lang_col, F.lit(None).cast("string"))
     toks = _tokens(df, id_col, text_col)
     stop = F.size(
         F.filter(F.col("_t"), lambda x: (x == "the") | (x == "a"))
