@@ -274,3 +274,69 @@ def test_unrotate_roundtrip_identity_at_zero(pairs):
     for w, h in pairs:
         r = Rect(w * 3, h * 5, w, h)
         assert unrotate_rect(r, 100, 100, 0.0) == r
+
+
+@given(
+    st.integers(min_value=0, max_value=2000),
+    st.integers(min_value=2, max_value=64),
+    st.integers(min_value=0, max_value=32),
+)
+def test_chunk_arithmetic_covers_all_tokens(n, max_tokens, overlap):
+    """The chunk-count formula (text_metrics.chunk_documents and the
+    corpus_chunking SQL twin share it) yields windows that cover every
+    token exactly, start at stride multiples, and never emit an empty
+    or redundant final chunk."""
+    if overlap >= max_tokens:
+        return
+    stride = max_tokens - overlap
+    if n == 0:
+        return
+    nc = 1 if n <= max_tokens else 1 + (n - max_tokens + stride - 1) // stride
+    covered = set()
+    prev_end = 0
+    for ci in range(nc):
+        b = ci * stride
+        e = min(b + max_tokens, n)
+        assert b < n  # never an empty chunk
+        covered.update(range(b, e))
+        if ci:
+            # overlap (or exact contiguity when overlap=0) — no gaps
+            assert b <= prev_end
+        prev_end = e
+    assert covered == set(range(n))  # full coverage
+    if nc > 1:
+        # minimality: one fewer chunk would leave a tail uncovered
+        assert (nc - 2) * stride + max_tokens < n
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=0, max_size=60),
+    st.integers(min_value=16, max_value=300),
+)
+def test_pack_walk_matches_recursive_oracle(tokens, capacity):
+    """The greedy pack fold (packing.pack_sequences) and the recursive-
+    CTE oracle walk (corpus_packing's _Q_PACKING_DUCK) are the same
+    recurrence: replay both on one shard and compare."""
+    # python replica of the fold
+    pack_id, pack_pos, cum = 0, 0, 0
+    fold = []
+    for tok in tokens:
+        if cum > 0 and cum + tok > capacity:
+            pack_id += 1
+            pack_pos, cum = 0, 0
+        fold.append((pack_id, pack_pos))
+        pack_pos += 1
+        cum += tok
+    # python replica of the CTE recurrence
+    cte = []
+    for i, tok in enumerate(tokens):
+        if i == 0:
+            state = (0, 0, tok)
+        else:
+            pid, pos, cum_prev = state
+            if cum_prev > 0 and cum_prev + tok > capacity:
+                state = (pid + 1, 0, tok)
+            else:
+                state = (pid, pos + 1, cum_prev + tok)
+        cte.append((state[0], state[1]))
+    assert fold == cte
