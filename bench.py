@@ -51,6 +51,17 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "ann_cosine_topk",
         "text_quality",
     ]
+    # round-3 additions, measured but NOT in the headline total so
+    # BENCH_r{N}.json stays round-over-round comparable (BENCH.md
+    # "Headline comparability")
+    extras = [
+        "layout_predict_boxes",
+        "corpus_chunking",
+        "corpus_packing",
+        "corpus_decontaminate",
+        "corpus_sample",
+        "dedup_clusters_full",
+    ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can
     # read 20% slow through no fault of the engine
@@ -84,8 +95,27 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         elapsed = el if elapsed is None else min(elapsed, el)
     timings["extract_corpus_e2e"] = round(elapsed, 3)
     docs_per_sec = round(n / elapsed, 2)
+
+    extra_timings: dict[str, float] = {}
+    for name in extras:
+        if name not in queries:
+            continue
+        best = None
+        for _ in range(max(1, min(2, repeats))):
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        extra_timings[name] = round(best, 3)
     spark.stop()
-    return {"timings": timings, "n_docs": n, "docs_per_sec": docs_per_sec}
+    return {
+        "timings": timings,
+        "n_docs": n,
+        "docs_per_sec": docs_per_sec,
+        "extras": extra_timings,
+    }
 
 
 def run_scaling(sf_dir: str) -> dict:
@@ -176,6 +206,9 @@ def main() -> None:
                 "sf": _sf_from_dir(sf_dir),
                 "n_docs": r["n_docs"],
                 "extract_docs_per_sec": r["docs_per_sec"],
+                # round-3 operators, measured OUTSIDE the headline total
+                # (comparability note in BENCH.md)
+                "extras": r["extras"],
             }
         )
     )
