@@ -1703,6 +1703,60 @@ WHERE (source = 'src0' AND
 """
 
 
+def _interleaved_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sample construction over the interleaved payload shape
+    (operators/text_metrics.interleaved_chunk_documents, 64/8 windows,
+    media anchored before every 10th word): each chunk carries the
+    media items its window covers — pure codegen, zero shuffle, and the
+    whole construction is integer arithmetic the DuckDB twin repeats."""
+    from jochre3_ocr_spark.operators.text_metrics import (
+        interleaved_chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return interleaved_chunk_documents(
+        docs, max_tokens=64, overlap=8, media_every=10
+    )
+
+
+_Q_INTERLEAVED_DUCK = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+nz AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+c AS (
+  SELECT doc_id, tk, n,
+         CASE WHEN n <= 64 THEN 1 ELSE 1 + ((n - 9) // 56) END AS nc,
+         CASE WHEN n > 10 THEN range(10, n, 10)
+              ELSE CAST([] AS BIGINT[]) END AS media
+  FROM nz
+),
+i AS (SELECT doc_id, tk, n, media, unnest(range(nc)) AS ci FROM c),
+w AS (
+  SELECT doc_id, tk, n, ci,
+         ci * 56 AS b,
+         least(ci * 56 + 64, n) - ci * 56 AS wlen,
+         list_filter(media,
+                     p -> p >= ci * 56
+                          AND p < ci * 56 + (least(ci * 56 + 64, n) - ci * 56))
+           AS mwin
+  FROM i
+)
+SELECT doc_id,
+       CAST(ci AS INTEGER) AS chunk_index,
+       CAST(b AS INTEGER) AS begin_token,
+       CAST(wlen AS INTEGER) AS n_chunk_tokens,
+       CAST(len(mwin) AS INTEGER) AS n_media,
+       coalesce(array_to_string(
+         list_transform(mwin, p -> doc_id || ':m' || CAST(p AS VARCHAR)),
+         ','), '') AS media_refs,
+       array_to_string(list_slice(tk, b + 1, b + wlen), ' ') AS chunk_text
+FROM w
+"""
+
+
 def _corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy first-fit-in-order sequence packing per doc_id-mod shard
     (operators/packing.pack_sequences, capacity 256, 8 shards) — the
@@ -2364,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_packing": _corpus_packing,
         "corpus_decontaminate": _corpus_decontaminate,
         "corpus_sample": _corpus_sample,
+        "interleaved_chunks": _interleaved_chunks,
         "corpus_filter_verdicts": _corpus_filter_verdicts,
         "dedup_simhash_neardup": _sql(_Q_SIMHASH_ND_SPARK),
         "pdf_page_scan": _pdf_page_scan,
@@ -2420,6 +2475,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_packing": _Q_PACKING_DUCK,
         "corpus_decontaminate": _Q_DECONTAM_DUCK,
         "corpus_sample": _Q_SAMPLE_DUCK,
+        "interleaved_chunks": _Q_INTERLEAVED_DUCK,
         "corpus_filter_verdicts": _Q_FILTER_VERDICTS_DUCK,
         "dedup_simhash_neardup": _Q_SIMHASH_ND_DUCK,
         "token_counts_bpe": _Q_BPE_DUCK,

@@ -61,6 +61,7 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "corpus_decontaminate",
         "corpus_sample",
         "dedup_clusters_full",
+        "interleaved_chunks",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can

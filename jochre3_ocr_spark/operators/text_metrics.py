@@ -226,6 +226,85 @@ def chunk_documents(
     )
 
 
+def interleaved_chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    media_every: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multimodal training-sample construction over INTERLEAVED
+    text+media documents (the input_hint's payload shape): words are
+    chunked exactly like :func:`chunk_documents`, and each media item —
+    one sits before every ``media_every``-th word — travels with every
+    chunk whose window covers its anchor word, so a sample never loses
+    the image its surrounding text refers to (and overlapping windows
+    legitimately duplicate boundary media, as multimodal packers do).
+
+    Output: (doc_id, chunk_index, begin_token, n_chunk_tokens,
+    n_media, media_refs, chunk_text) — media_refs is the
+    comma-joined ``{doc_id}:m{anchor}`` list in anchor order.
+
+    Scale shape: identical to chunk_documents — pure codegen
+    sequence/explode/slice/filter, zero shuffle."""
+    stride = max_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than max_tokens")
+    toks = (
+        _tokens(df, id_col, text_col)
+        .filter(F.size("_t") > 0)
+        .withColumn("_n", F.size("_t"))
+        .withColumn(
+            "_nc",
+            F.when(F.col("_n") <= max_tokens, F.lit(1)).otherwise(
+                F.expr(
+                    f"CAST(1 + ((_n - {max_tokens} + {stride - 1}) "
+                    f"div {stride}) AS INT)"
+                )
+            ),
+        )
+        .withColumn(
+            "_media",
+            F.when(
+                F.col("_n") > media_every,
+                F.sequence(
+                    F.lit(media_every),
+                    F.col("_n") - 1,
+                    F.lit(media_every),
+                ),
+            ).otherwise(F.expr("array()")),
+        )
+    )
+    ex = toks.select(
+        "_doc_id",
+        "_t",
+        "_media",
+        F.explode(
+            F.sequence(F.lit(0), F.col("_nc") - F.lit(1))
+        ).alias("chunk_index"),
+    )
+    b = F.col("chunk_index") * stride
+    sl = F.slice("_t", b + 1, max_tokens)
+    in_win = F.filter(
+        F.col("_media"),
+        lambda p: (p >= b) & (p < b + F.size(sl)),
+    )
+    refs = F.transform(
+        in_win,
+        lambda p: F.concat(F.col("_doc_id"), F.lit(":m"), p.cast("string")),
+    )
+    return ex.select(
+        F.col("_doc_id").alias("doc_id"),
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        b.cast("int").alias("begin_token"),
+        F.size(sl).alias("n_chunk_tokens"),
+        F.size(in_win).alias("n_media"),
+        F.array_join(refs, ",").alias("media_refs"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
+
+
 def bpe_token_counts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -121,3 +121,49 @@ def test_deterministic_sample_properties(spark):
     a = {r.doc_id for r in kept.collect()}
     b = {r.doc_id for r in other.select("doc_id").collect()}
     assert a != b
+
+
+def test_interleaved_chunks_media_attachment(spark):
+    """Interleaved multimodal chunking: media anchored before every
+    k-th word travels with every chunk whose window covers the anchor;
+    boundary media duplicate into overlapping windows; chunks with no
+    media get an empty (not null) ref string."""
+    from jochre3_ocr_spark.operators.text_metrics import (
+        interleaved_chunk_documents,
+    )
+
+    # 20 words, windows of 8 with overlap 2 (stride 6), media every 5:
+    # anchors at 5, 10, 15
+    df = spark.createDataFrame(
+        [("d", " ".join(f"w{i}" for i in range(20)))],
+        "doc_id string, text string",
+    )
+    rows = {
+        r.chunk_index: r
+        for r in interleaved_chunk_documents(
+            df, max_tokens=8, overlap=2, media_every=5
+        ).collect()
+    }
+    # chunks: [0,8) [6,14) [12,20)
+    assert sorted(rows) == [0, 1, 2]
+    assert rows[0].media_refs == "d:m5"          # anchor 5 in [0,8)
+    assert rows[1].media_refs == "d:m10"         # anchors 6..13 → 10
+    assert rows[2].media_refs == "d:m15"         # anchor 15 in [12,20)
+    assert all(rows[i].n_media == 1 for i in rows)
+    # boundary duplication: media at a shared position lands in BOTH
+    rows2 = {
+        r.chunk_index: r
+        for r in interleaved_chunk_documents(
+            df, max_tokens=8, overlap=2, media_every=7
+        ).collect()
+    }
+    # anchors 7, 14: 7 ∈ [0,8) AND [6,14); 14 ∈ [12,20)
+    assert rows2[0].media_refs == "d:m7"
+    assert rows2[1].media_refs == "d:m7"
+    assert rows2[2].media_refs == "d:m14"
+    # short doc: no media, empty string refs
+    short = spark.createDataFrame(
+        [("s", "a b c")], "doc_id string, text string"
+    )
+    r = interleaved_chunk_documents(short, 8, 2, 5).collect()[0]
+    assert r.n_media == 0 and r.media_refs == ""
