@@ -95,14 +95,15 @@ def main(argv=None) -> int:
         default=None,
         choices=[
             "chunk", "pack", "dedup-verdicts", "decontaminate",
-            "quality", "exact-dedup",
+            "quality", "exact-dedup", "sample",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
         "lang, source]) parquet at --input: chunk = sliding token "
         "windows; pack = greedy sequence packing; dedup-verdicts = "
         "MinHash-LSH clusters incl. singletons; decontaminate = "
         "n-gram overlap vs --benchmark; quality = scoring features; "
-        "exact-dedup = identical-text groups",
+        "exact-dedup = identical-text groups; sample = deterministic "
+        "--fraction subsample",
     )
     p.add_argument("--benchmark", default=None,
                    help="eval-set parquet for --corpus-op decontaminate")
@@ -117,6 +118,10 @@ def main(argv=None) -> int:
                    "pack); default = 2x local threads / 200 on a cluster")
     p.add_argument("--ngram", type=int, default=8,
                    help="n-gram size (--corpus-op decontaminate)")
+    p.add_argument("--fraction", type=float, default=0.1,
+                   help="keep rate (--corpus-op sample)")
+    p.add_argument("--salt", default="s1",
+                   help="sampling salt (--corpus-op sample)")
     args = p.parse_args(argv)
 
     from jochre3_ocr_spark.plans.pipeline import get_spark, run_job
@@ -194,6 +199,14 @@ def main(argv=None) -> int:
 
             bench = spark.read.parquet(args.benchmark)
             out = decontaminate(docs, bench, n=args.ngram)
+        elif args.corpus_op == "sample":
+            from jochre3_ocr_spark.operators.text_metrics import (
+                deterministic_sample,
+            )
+
+            out = deterministic_sample(
+                docs, fraction=args.fraction, salt=args.salt
+            )
         elif args.corpus_op == "quality":
             from jochre3_ocr_spark.operators.text_metrics import quality_features
 
