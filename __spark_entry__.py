@@ -485,9 +485,14 @@ FROM mh
 GROUP BY doc_id
 """
 
-# SimHash near-dup pairs (operators/dedup.simhash_neardup_pairs): 32-bit
-# signature, 4×8-bit bands (pigeonhole: hamming ≤ 1 ⇒ ≥3 identical bands),
-# bucket-join then bit_count(xor) verify — banded, not all-pairs.
+# SimHash near-dup pairs (operators/dedup.simhash_neardup_pairs): the
+# production shape — 64-bit signature, 4×16-bit bands (pigeonhole:
+# hamming ≤ 1 ⇒ ≥3 identical bands; 65 536 buckets/band instead of the
+# old 4-bit banding's 16), bucket-join then bit_count(xor) verify, with
+# the same hot-bucket guard as _Q_LSH_* (cap 3: all pairs among a
+# bucket's first 3 docs + star-links to the minimum for the tail). Band
+# values are aggregated straight from the per-bit votes — never by
+# shifting the signed 64-bit signature.
 _Q_SIMHASH_ND_SPARK = """
 WITH toks AS (
   SELECT /*+ REBALANCE */ CAST(doc_id AS STRING) AS doc_id, token
@@ -497,27 +502,49 @@ WITH toks AS (
 ),
 bits AS (
   SELECT doc_id, b,
-         CASE WHEN sum(CASE WHEN substr(md5(token), b + 1, 1)
-                                 IN ('8','9','a','b','c','d','e','f')
-                            THEN 1 ELSE -1 END) >= 0
+         CASE WHEN sum(CASE WHEN b < 32 AND substr(md5(token), b % 32 + 1, 1)
+                                 IN ('8','9','a','b','c','d','e','f') THEN 1
+                            WHEN b >= 32 AND substr(md5(token), b % 32 + 1, 1)
+                                 IN ('4','5','6','7','c','d','e','f') THEN 1
+                            ELSE -1 END) >= 0
               THEN 1 ELSE 0 END AS bit
-  FROM toks CROSS JOIN (SELECT explode(sequence(0, 31)) AS b)
+  FROM toks CROSS JOIN (SELECT explode(sequence(0, 63)) AS b)
   GROUP BY doc_id, b
 ),
 sigs AS (
-  SELECT doc_id, sum(bit * CAST(pow(2, b) AS BIGINT)) AS simhash
+  SELECT doc_id,
+         sum(CASE WHEN b = 63 AND bit = 1
+                  THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                  ELSE bit * CAST(pow(2, least(b, 62)) AS BIGINT) END)
+           AS simhash
   FROM bits GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, simhash, band,
-         shiftright(simhash, band * 8) & 255 AS band_val
-  FROM sigs LATERAL VIEW explode(sequence(0, 3)) x AS band
+  SELECT doc_id, CAST(floor(b / 16) AS INT) AS band,
+         sum(bit * CAST(pow(2, b % 16) AS BIGINT)) AS band_val
+  FROM bits GROUP BY doc_id, CAST(floor(b / 16) AS INT)
+),
+ranked AS (
+  SELECT n.doc_id, n.band, n.band_val, g.simhash,
+         row_number() OVER (PARTITION BY n.band, n.band_val
+                            ORDER BY n.doc_id) AS rk
+  FROM bands n JOIN sigs g ON n.doc_id = g.doc_id
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
-         a.simhash AS s1, b.simhash AS s2
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc1, doc2, s1, s2 FROM (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           a.simhash AS s1, b.simhash AS s2
+    FROM ranked a JOIN ranked b
+      ON a.band = b.band AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE a.rk <= 3 AND b.rk <= 3
+    UNION ALL
+    SELECT a.doc_id AS doc1, t.doc_id AS doc2,
+           a.simhash AS s1, t.simhash AS s2
+    FROM ranked a JOIN ranked t
+      ON a.band = t.band AND a.band_val = t.band_val
+    WHERE a.rk = 1 AND t.rk > 3
+  )
 )
 SELECT doc1, doc2, CAST(bit_count(s1 ^ s2) AS INT) AS hamming
 FROM cand WHERE bit_count(s1 ^ s2) <= 1
@@ -531,27 +558,49 @@ WITH toks AS (
 ),
 bits AS (
   SELECT doc_id, b,
-         CASE WHEN sum(CASE WHEN substr(md5(token), b + 1, 1)
-                                 IN ('8','9','a','b','c','d','e','f')
-                            THEN 1 ELSE -1 END) >= 0
+         CASE WHEN sum(CASE WHEN b < 32 AND substr(md5(token), b % 32 + 1, 1)
+                                 IN ('8','9','a','b','c','d','e','f') THEN 1
+                            WHEN b >= 32 AND substr(md5(token), b % 32 + 1, 1)
+                                 IN ('4','5','6','7','c','d','e','f') THEN 1
+                            ELSE -1 END) >= 0
               THEN 1 ELSE 0 END AS bit
-  FROM toks CROSS JOIN range(0, 32) r(b)
+  FROM toks CROSS JOIN range(0, 64) r(b)
   GROUP BY doc_id, b
 ),
 sigs AS (
-  SELECT doc_id, CAST(sum(bit * CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS simhash
+  SELECT doc_id,
+         CAST(sum(CASE WHEN b = 63 AND bit = 1
+                       THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                       ELSE bit * CAST(pow(2, least(b, 62)) AS BIGINT) END)
+              AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, simhash, band,
-         (simhash >> (band * 8)) & 255 AS band_val
-  FROM sigs CROSS JOIN range(0, 4) rb(band)
+  SELECT doc_id, CAST(floor(b / 16) AS INT) AS band,
+         CAST(sum(bit * CAST(pow(2, b % 16) AS BIGINT)) AS BIGINT) AS band_val
+  FROM bits GROUP BY doc_id, CAST(floor(b / 16) AS INT)
+),
+ranked AS (
+  SELECT n.doc_id, n.band, n.band_val, g.simhash,
+         row_number() OVER (PARTITION BY n.band, n.band_val
+                            ORDER BY n.doc_id) AS rk
+  FROM bands n JOIN sigs g ON n.doc_id = g.doc_id
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
-         a.simhash AS s1, b.simhash AS s2
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc1, doc2, s1, s2 FROM (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           a.simhash AS s1, b.simhash AS s2
+    FROM ranked a JOIN ranked b
+      ON a.band = b.band AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE a.rk <= 3 AND b.rk <= 3
+    UNION ALL
+    SELECT a.doc_id AS doc1, t.doc_id AS doc2,
+           a.simhash AS s1, t.simhash AS s2
+    FROM ranked a JOIN ranked t
+      ON a.band = t.band AND a.band_val = t.band_val
+    WHERE a.rk = 1 AND t.rk > 3
+  )
 )
 SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(s1, s2)) <= 1
@@ -559,7 +608,13 @@ FROM cand WHERE bit_count(xor(s1, s2)) <= 1
 
 # MinHash LSH banding (operators/dedup.minhash_lsh_candidates): 8 min-hashes
 # in 4 bands of 2; docs sharing any band hash become candidate pairs —
-# the bucketed (non-all-pairs) 100 TB dedup shape.
+# the bucketed (non-all-pairs) 100 TB dedup shape, WITH the hot-bucket
+# guard (max_bucket=3 here so the cap is exercised at driver SF): buckets
+# larger than the cap emit all pairs among their first 3 docs plus one
+# star-link pair per tail doc to the bucket minimum, bounding a bucket of
+# b docs at 3 + (b-3) pairs instead of b²/2 — a giant duplicate group can
+# no longer push b² rows through one band_hash shuffle key
+# (dedup._capped_bucket_pairs; components downstream are unchanged).
 _Q_LSH_SPARK = """
 WITH toks AS (
   SELECT /*+ REBALANCE */ CAST(doc_id AS STRING) AS doc_id,
@@ -589,10 +644,25 @@ bands AS (
                                   x -> x.mh), ',')) AS band_hash
   FROM mh
   GROUP BY doc_id, CAST(s / 2 AS INT)
+),
+ranked AS (
+  SELECT doc_id, band, band_hash,
+         row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id)
+           AS rk
+  FROM bands
 )
-SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+SELECT DISTINCT doc1, doc2 FROM (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM ranked a JOIN ranked b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  WHERE a.rk <= 3 AND b.rk <= 3
+  UNION ALL
+  SELECT a.doc_id AS doc1, t.doc_id AS doc2
+  FROM ranked a JOIN ranked t
+    ON a.band = t.band AND a.band_hash = t.band_hash
+  WHERE a.rk = 1 AND t.rk > 3
+)
 """
 _Q_LSH_DUCK = """
 WITH toks AS (
@@ -619,12 +689,33 @@ bands AS (
          md5(string_agg(mh, ',' ORDER BY s)) AS band_hash
   FROM mh
   GROUP BY doc_id, CAST(s // 2 AS INT)
+),
+ranked AS (
+  SELECT doc_id, band, band_hash,
+         row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id)
+           AS rk
+  FROM bands
 )
-SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+SELECT DISTINCT doc1, doc2 FROM (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM ranked a JOIN ranked b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  WHERE a.rk <= 3 AND b.rk <= 3
+  UNION ALL
+  SELECT a.doc_id AS doc1, t.doc_id AS doc2
+  FROM ranked a JOIN ranked t
+    ON a.band = t.band AND a.band_hash = t.band_hash
+  WHERE a.rk = 1 AND t.rk > 3
+)
 """
 
+# 64-bit production fingerprint (Manku et al., WWW'07): bit b's per-token
+# vote comes from md5 hex digit b%32 — its high bit (>=8) for b<32, its
+# second bit (&4) for b>=32. Bit 63 is assembled as -2^63 (two's
+# complement) so the signature fits a signed BIGINT in both engines; the
+# least(b, 62) guard keeps pow() in-range even under eager ANSI
+# evaluation of the dead branch.
 _Q_SIMHASH_SPARK = """
 WITH toks AS (
   SELECT /*+ REBALANCE */ CAST(doc_id AS STRING) AS doc_id, token
@@ -634,14 +725,19 @@ WITH toks AS (
 ),
 bits AS (
   SELECT doc_id, b,
-         CASE WHEN sum(CASE WHEN substr(md5(token), b + 1, 1)
-                                 IN ('8','9','a','b','c','d','e','f')
-                            THEN 1 ELSE -1 END) >= 0
+         CASE WHEN sum(CASE WHEN b < 32 AND substr(md5(token), b % 32 + 1, 1)
+                                 IN ('8','9','a','b','c','d','e','f') THEN 1
+                            WHEN b >= 32 AND substr(md5(token), b % 32 + 1, 1)
+                                 IN ('4','5','6','7','c','d','e','f') THEN 1
+                            ELSE -1 END) >= 0
               THEN 1 ELSE 0 END AS bit
-  FROM toks CROSS JOIN (SELECT explode(sequence(0, 15)) AS b)
+  FROM toks CROSS JOIN (SELECT explode(sequence(0, 63)) AS b)
   GROUP BY doc_id, b
 )
-SELECT doc_id, sum(bit * CAST(pow(2, b) AS BIGINT)) AS simhash
+SELECT doc_id,
+       sum(CASE WHEN b = 63 AND bit = 1
+                THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                ELSE bit * CAST(pow(2, least(b, 62)) AS BIGINT) END) AS simhash
 FROM bits
 GROUP BY doc_id
 """
@@ -654,14 +750,20 @@ WITH toks AS (
 ),
 bits AS (
   SELECT doc_id, b,
-         CASE WHEN sum(CASE WHEN substr(md5(token), b + 1, 1)
-                                 IN ('8','9','a','b','c','d','e','f')
-                            THEN 1 ELSE -1 END) >= 0
+         CASE WHEN sum(CASE WHEN b < 32 AND substr(md5(token), b % 32 + 1, 1)
+                                 IN ('8','9','a','b','c','d','e','f') THEN 1
+                            WHEN b >= 32 AND substr(md5(token), b % 32 + 1, 1)
+                                 IN ('4','5','6','7','c','d','e','f') THEN 1
+                            ELSE -1 END) >= 0
               THEN 1 ELSE 0 END AS bit
-  FROM toks CROSS JOIN range(0, 16) r(b)
+  FROM toks CROSS JOIN range(0, 64) r(b)
   GROUP BY doc_id, b
 )
-SELECT doc_id, CAST(sum(bit * CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS simhash
+SELECT doc_id,
+       CAST(sum(CASE WHEN b = 63 AND bit = 1
+                     THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                     ELSE bit * CAST(pow(2, least(b, 62)) AS BIGINT) END)
+            AS BIGINT) AS simhash
 FROM bits
 GROUP BY doc_id
 """
@@ -1773,7 +1875,8 @@ WITH RECURSIVE t AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          CAST(CAST(doc_id AS BIGINT) % 8 AS INTEGER) AS shard,
          CAST(doc_id AS BIGINT) AS ord,
-         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         CAST(coalesce(len(list_filter(string_split(text, ' '),
+                                       x -> x <> '')), 0)
               AS INTEGER) AS n_tokens
   FROM documents
 ),
@@ -1812,6 +1915,37 @@ def _dedup_clusters_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return duplicate_clusters(docs, include_singletons=True)
+
+
+def _dedup_corpus_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed scale-safe dedup pipeline (operators/dedup
+    .dedup_corpus): exact-duplicate pre-collapse → capped MinHash-LSH
+    candidates on representatives → large-star/small-star components →
+    full-domain keep/drop verdicts. The oracle is the NAIVE uncapped
+    construction (all-docs LSH + recursive-CTE closure) — the green row
+    is the proof that pre-collapse + hot-bucket capping leave the output
+    clusters bit-identical while removing the b² pair blowup."""
+    from jochre3_ocr_spark.operators.dedup import dedup_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_corpus(docs)
+
+
+_Q_DEDUP_CORPUS_DUCK = _Q_DEDUP_CLUSTERS_FULL_DUCK.replace(
+    """       node = cid AS is_canonical
+FROM comp
+UNION ALL""",
+    """       node = cid AS is_canonical,
+       node = cid AS keep
+FROM comp
+UNION ALL""",
+).replace(
+    """       TRUE AS is_canonical
+FROM documents d""",
+    """       TRUE AS is_canonical,
+       TRUE AS keep
+FROM documents d""",
+)
 
 
 def _corpus_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2414,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _sql(_Q_LSH_SPARK),
         "dedup_duplicate_clusters": _dedup_clusters,
         "dedup_clusters_full": _dedup_clusters_full,
+        "dedup_corpus_verdicts": _dedup_corpus_verdicts,
         "corpus_chunking": _corpus_chunking,
         "corpus_packing": _corpus_packing,
         "corpus_decontaminate": _corpus_decontaminate,
@@ -2471,6 +2606,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _Q_LSH_DUCK,
         "dedup_duplicate_clusters": _Q_DEDUP_CLUSTERS_DUCK,
         "dedup_clusters_full": _Q_DEDUP_CLUSTERS_FULL_DUCK,
+        "dedup_corpus_verdicts": _Q_DEDUP_CORPUS_DUCK,
         "corpus_chunking": _Q_CHUNKING_DUCK,
         "corpus_packing": _Q_PACKING_DUCK,
         "corpus_decontaminate": _Q_DECONTAM_DUCK,

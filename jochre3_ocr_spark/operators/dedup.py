@@ -20,6 +20,12 @@ no RNG.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+#: smallest signed 64-bit value — used for the two's-complement assembly of
+#: 64-bit simhash signatures (bit 63 contributes -2^63, not +2^63, so the
+#: signature always fits a BIGINT in both Spark and DuckDB).
+_LONG_MIN = -(1 << 63)
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -202,19 +208,78 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 8,
-    band_size: int = 2,
+def _capped_bucket_pairs(
+    bframe: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int | None,
+    carry: tuple[str, str, str] | None = None,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of the MinHash signature become
-    candidate pairs. Returns (doc1, doc2) distinct."""
+    """Within-bucket candidate pairs with a hot-bucket guard.
+
+    ``bframe`` has one row per (doc_id, bucket); a bucket is identified by
+    ``bucket_cols``. With ``max_bucket=None`` this is the classic
+    all-pairs-per-bucket self-join — b² pairs for a bucket of b docs, a
+    quadratic blowup through ONE shuffle key when a giant duplicate group
+    (boilerplate, templated pages) lands in one bucket. With a cap, docs
+    are ranked by doc_id inside the bucket: the first ``max_bucket`` docs
+    still produce all pairs, and every doc past the cap produces exactly
+    one STAR-LINK pair to the bucket minimum. Pairs per bucket drop from
+    b² to max_bucket²/2 + (b − max_bucket), while within-bucket CONNECTIVITY
+    is preserved exactly (everything stays connected through the minimum),
+    so connected-component clustering downstream is invariant under the cap.
+    Only the raw pair list changes — pairs among tail docs are represented
+    through the anchor instead of directly (``lsh_bucket_stats`` reports
+    what a cap drops).
+
+    ``carry``: optional (source_col, a_alias, b_alias) — a per-doc column
+    carried onto both sides of the output, e.g. the simhash signature for
+    the Hamming verify.
+    """
+    eq = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
+    lt = F.col("a.doc_id") < F.col("b.doc_id")
+    carry_src, a_out, b_out = carry if carry else (None, None, None)
+
+    def _pairs(a, b, extra):
+        cond = eq[0]
+        for e in eq[1:]:
+            cond = cond & e
+        cond = cond & extra
+        cols = [
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+        ]
+        if carry_src:
+            cols += [
+                F.col(f"a.{carry_src}").alias(a_out),
+                F.col(f"b.{carry_src}").alias(b_out),
+            ]
+        return a.join(b, cond).select(cols)
+
+    if max_bucket is None:
+        return _pairs(bframe.alias("a"), bframe.alias("b"), lt).distinct()
+
+    w = Window.partitionBy(*bucket_cols).orderBy("doc_id")
+    ranked = bframe.withColumn("rk", F.row_number().over(w))
+    heads = ranked.filter(F.col("rk") <= max_bucket).drop("rk")
+    head_pairs = _pairs(heads.alias("a"), heads.alias("b"), lt)
+    anchors = ranked.filter(F.col("rk") == 1).drop("rk")
+    tails = ranked.filter(F.col("rk") > max_bucket).drop("rk")
+    tail_pairs = _pairs(anchors.alias("a"), tails.alias("b"), F.lit(True))
+    return head_pairs.unionByName(tail_pairs).distinct()
+
+
+def _minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    band_size: int,
+) -> DataFrame:
+    """(doc_id, band, band_hash) — the banded MinHash signature."""
     sh = _shingles(_tokens(df, id_col, text_col), n)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("s")
-    mh = (
+    return (
         sh.select("doc_id", "shingle", seeds)
         .select(
             "doc_id",
@@ -237,34 +302,88 @@ def minhash_lsh_candidates(
             ).alias("band_hash")
         )
     )
-    a = mh.alias("a")
-    b = mh.alias("b")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature become
+    candidate pairs. Returns (doc1, doc2) distinct.
+
+    ``max_bucket`` is the hot-bucket guard (default 64): buckets larger
+    than the cap emit all pairs among their first ``max_bucket`` docs plus
+    one star-link pair per remaining doc — bounded fan-out instead of the
+    b² blowup a giant duplicate group would otherwise push through a
+    single band_hash shuffle key (see :func:`_capped_bucket_pairs`;
+    connected components downstream are unaffected by the cap). Pass
+    ``max_bucket=None`` for the uncapped all-pairs semantics."""
+    bands = _minhash_bands(df, id_col, text_col, n, num_hashes, band_size)
+    return _capped_bucket_pairs(bands, ["band", "band_hash"], max_bucket)
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Observability for the hot-bucket guard: one row per band bucket
+    LARGER than ``max_bucket`` with the pair counts the cap avoids —
+    (band, band_hash, bucket_size, pairs_uncapped, pairs_capped). Drive
+    this next to :func:`minhash_lsh_candidates` to log what a cap drops
+    (a pipeline should alert when bucket_size ≫ max_bucket: that is a
+    giant near-duplicate group, which is itself a data-quality signal)."""
+    cap = 0 if max_bucket is None else max_bucket
+    bands = _minhash_bands(df, id_col, text_col, n, num_hashes, band_size)
+    sizes = bands.groupBy("band", "band_hash").agg(
+        F.count("*").alias("bucket_size")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        sizes.filter(F.col("bucket_size") > F.lit(cap))
+        .withColumn(
+            "pairs_uncapped",
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long"),
         )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .distinct()
+        .withColumn(
+            "pairs_capped",
+            (
+                F.lit(cap) * (F.lit(cap) - 1) / 2
+                + (F.col("bucket_size") - F.lit(cap))
+            ).cast("long"),
+        )
     )
 
 
-def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+def _simhash_bits(
+    df: DataFrame, id_col: str, text_col: str, bits: int
 ) -> DataFrame:
-    """Per-doc SimHash over distinct tokens: bit b set when the majority
-    of token-md5 hex digits at position b have their high bit set.
-    Returns (doc_id, simhash)."""
+    """(doc_id, b, bit): per-bit majority vote over distinct tokens.
+
+    Bit source per token: the md5 hex digit at position b (mod 32) — its
+    HIGH bit (digit ≥ 8) for b < 32 and its SECOND bit (digit & 4) for
+    b ≥ 32, giving 64 independent-enough bits from one md5 per token.
+    Identical to the historical rule for bits ≤ 32, and expressible with
+    the same substr/IN construction in DuckDB for the oracle twins.
+    """
+    assert bits <= 64, "simhash signatures are at most 64 bits (BIGINT)"
     toks = _tokens(df, id_col, text_col).select(
         "doc_id", F.explode(F.array_distinct("t")).alias("token")
     )
     b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    high = F.substring(F.md5("token"), F.col("b") + 1, 1).isin(
-        *"89abcdef"
+    digit = F.substring(F.md5("token"), (F.col("b") % 32) + 1, 1)
+    high = F.when(F.col("b") < 32, digit.isin(*"89abcdef")).otherwise(
+        digit.isin(*"4567cdef")
     )
-    per_bit = (
+    return (
         toks.select("doc_id", "token", b)
         .select(
             "doc_id",
@@ -276,56 +395,85 @@ def simhash(
             F.when(F.sum("vote") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit")
         )
     )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.col("bit") * F.pow(F.lit(2), F.col("b")).cast("bigint")).alias(
-            "simhash"
-        )
+
+
+def _assemble_signature(per_bit: DataFrame) -> DataFrame:
+    """(doc_id, simhash): fold per-bit rows into one signed BIGINT.
+
+    Two's-complement safe at 64 bits: bit 63 contributes -2^63 (the sign
+    bit), every other bit contributes +2^b. The ``least(b, 62)`` guard
+    keeps pow() inside BIGINT range even if an engine evaluates the dead
+    branch eagerly under ANSI semantics.
+    """
+    contrib = F.when(
+        (F.col("b") == 63) & (F.col("bit") == 1), F.lit(_LONG_MIN)
+    ).otherwise(
+        F.col("bit")
+        * F.pow(F.lit(2), F.least(F.col("b"), F.lit(62))).cast("bigint")
     )
+    return per_bit.groupBy("doc_id").agg(F.sum(contrib).alias("simhash"))
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """Per-doc SimHash over distinct tokens (Charikar / Manku et al.,
+    WWW'07 — public algorithm). Default is the production 64-bit
+    fingerprint; bit b is set when the majority of token-hash bits at
+    position b are set. Returns (doc_id, simhash) with the signature as
+    a signed BIGINT (two's complement for bit 63)."""
+    return _assemble_signature(_simhash_bits(df, id_col, text_col, bits))
 
 
 def simhash_neardup_pairs(
     df: DataFrame,
     max_hamming: int = 2,
-    bits: int = 16,
+    bits: int = 64,
     n_bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: band the signature (pigeonhole —
     hamming ≤ max_hamming over n_bands > max_hamming bands guarantees at
     least one identical band), bucket-join on (band, band_value), verify
-    with bit_count(s1 XOR s2). The banded join is the 100 TB shape: no
-    all-pairs, candidates ∝ bucket sizes.
-    Returns (doc1, doc2, hamming)."""
+    with bit_count(s1 XOR s2). Returns (doc1, doc2, hamming).
+
+    Defaults are the production shape (Manku et al.): a 64-bit
+    fingerprint in 4×16-bit bands — 65 536 buckets per band, so the
+    candidate volume on non-duplicate data is ~N²/65 536 per band instead
+    of the N²/16 a 4-bit banding gives. Band values are computed directly
+    from the per-bit votes (never by shifting the signed signature), so
+    any bits/n_bands split with bits % n_bands == 0 works up to 64 bits.
+
+    ``max_bucket`` (default 64) is the same hot-bucket guard as
+    :func:`minhash_lsh_candidates`: oversized buckets — which at corpus
+    scale are giant exact/near-duplicate groups — emit all pairs among
+    their first ``max_bucket`` docs plus one star-link pair per tail doc
+    rather than b². Note the star-link pair is still Hamming-verified, so
+    a tail doc whose distance to the bucket MINIMUM exceeds
+    ``max_hamming`` is dropped from the pair list (compose with exact
+    pre-collapse — :func:`dedup_corpus` — so identical docs never inflate
+    a bucket past the cap in the first place)."""
     assert n_bands > max_hamming, "pigeonhole needs n_bands > max_hamming"
+    assert bits % n_bands == 0, "bits must divide evenly into n_bands"
     band_bits = bits // n_bands
-    sig = simhash(df, id_col, text_col, bits)
-    bands = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).withColumn(
-        "band_val",
-        F.expr(
-            f"shiftright(simhash, band * {band_bits}) & {(1 << band_bits) - 1}"
-        ),
+    per_bit = _simhash_bits(df, id_col, text_col, bits)
+    sig = _assemble_signature(per_bit)
+    bands = (
+        per_bit.groupBy(
+            "doc_id", F.floor(F.col("b") / band_bits).cast("int").alias("band")
+        )
+        .agg(
+            F.sum(
+                F.col("bit")
+                * F.pow(F.lit(2), F.col("b") % band_bits).cast("bigint")
+            ).alias("band_val")
+        )
+        .join(sig, "doc_id")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            F.col("a.simhash").alias("s1"),
-            F.col("b.simhash").alias("s2"),
-        )
-        .distinct()
+    cand = _capped_bucket_pairs(
+        bands, ["band", "band_val"], max_bucket, carry=("simhash", "s1", "s2")
     )
     return (
         cand.withColumn(
@@ -516,32 +664,65 @@ def _cc_propagation(pairs: DataFrame, max_iters: int) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-def duplicate_clusters(
+def _precollapsed_pairs(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 8,
-    band_size: int = 2,
-    include_singletons: bool = False,
+    id_col: str,
+    text_col: str,
+    min_tokens: int,
+    candidate_fn,
 ) -> DataFrame:
-    """End-to-end near-duplicate clustering: MinHash LSH candidate pairs
-    → connected components → (doc_id, cluster_id, cluster_size,
-    is_canonical). ``is_canonical`` marks the doc to KEEP (smallest
-    doc_id per cluster) — the pipeline's "drop duplicates, keep one
-    representative" verdict table.
+    """Exact-duplicate pre-collapse for candidate generation.
 
-    DOMAIN: by default rows cover only docs that appear in at least one
-    LSH candidate pair — unique docs get NO row, so a consumer filtering
-    ``is_canonical`` directly would drop them. Either left-join this
-    table back to the corpus and ``coalesce(is_canonical, true)`` (the
-    ``corpus_filter_verdicts`` pattern), or pass
-    ``include_singletons=True`` to union every unpaired doc as its own
-    cluster (cluster_size=1, is_canonical=true)."""
-    pairs = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, band_size)
+    The dominant cause of hot LSH/simhash buckets at corpus scale is a
+    giant group of IDENTICAL documents (boilerplate, empty pages) — every
+    member has the same signature, so all of them land in every one of
+    each other's buckets. Collapsing each distinct text to ONE
+    representative (the min doc_id, keyed by md5 so the shuffle carries a
+    32-char hash instead of the text) before signature generation removes
+    that entire class of blowup; ``candidate_fn`` then runs on the
+    representatives only, and the collapsed members are re-attached as
+    star-link edges (rep → member) so connected components downstream see
+    exactly the clusters the naive all-docs construction produces.
+
+    Members are re-attached only when the text yields at least
+    ``min_tokens`` tokens (the n-shingle threshold for MinHash, 1 for
+    SimHash) — mirroring the candidate generators, which never pair docs
+    that produce no signature, identical or not.
+    """
+    keyed = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.md5(F.col(text_col)).alias("th"),
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("ntok"),
+    )
+    ids = keyed.select("th", "doc_id", "ntok")
+    reps = ids.groupBy("th").agg(F.min("doc_id").alias("rep"))
+    expand = (
+        ids.join(reps, "th")
+        .filter(
+            (F.col("doc_id") != F.col("rep")) & (F.col("ntok") >= min_tokens)
+        )
+        .select(F.col("rep").alias("doc1"), F.col("doc_id").alias("doc2"))
+    )
+    rep_rows = keyed.join(
+        reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+    ).select("doc_id", "text")
+    pairs = candidate_fn(rep_rows).select("doc1", "doc2")
+    return pairs.unionByName(expand)
+
+
+def _cluster_verdicts(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    include_singletons: bool,
+) -> DataFrame:
+    """Candidate pairs → components → (doc_id, cluster_id, cluster_size,
+    is_canonical), optionally unioned with singleton rows for unpaired
+    docs."""
     cc = connected_components(pairs)
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("cluster_id")
     out = (
         cc.withColumn("cluster_size", F.count("*").over(w))
@@ -561,3 +742,94 @@ def duplicate_clusters(
         )
         out = out.unionByName(singles)
     return out
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    include_singletons: bool = False,
+    max_bucket: int | None = 64,
+    precollapse_exact: bool = True,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering: MinHash LSH candidate pairs
+    → connected components → (doc_id, cluster_id, cluster_size,
+    is_canonical). ``is_canonical`` marks the doc to KEEP (smallest
+    doc_id per cluster) — the pipeline's "drop duplicates, keep one
+    representative" verdict table.
+
+    Scale posture (on by default, both invariant on the OUTPUT clusters):
+    ``precollapse_exact`` collapses identical texts to one representative
+    before signature generation and re-attaches members as star-link
+    edges (:func:`_precollapsed_pairs`) — a 10⁶-doc boilerplate group
+    costs 1 signature + 10⁶ edges instead of 10¹² band-join pairs;
+    ``max_bucket`` caps any residual hot band bucket
+    (:func:`_capped_bucket_pairs`). Both only restructure the candidate
+    EDGES; the connected components, and therefore every output row, are
+    identical to the naive uncapped construction.
+
+    DOMAIN: by default rows cover only docs that appear in at least one
+    candidate pair — unique docs get NO row, so a consumer filtering
+    ``is_canonical`` directly would drop them. Either left-join this
+    table back to the corpus and ``coalesce(is_canonical, true)`` (the
+    ``corpus_filter_verdicts`` pattern), or pass
+    ``include_singletons=True`` to union every unpaired doc as its own
+    cluster (cluster_size=1, is_canonical=true)."""
+    if precollapse_exact:
+        pairs = _precollapsed_pairs(
+            df,
+            id_col,
+            text_col,
+            n,
+            lambda reps: minhash_lsh_candidates(
+                reps, "doc_id", "text", n, num_hashes, band_size, max_bucket
+            ),
+        )
+    else:
+        pairs = minhash_lsh_candidates(
+            df, id_col, text_col, n, num_hashes, band_size, max_bucket
+        )
+    return _cluster_verdicts(df, pairs, id_col, include_singletons)
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "minhash",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_hamming: int = 2,
+    bits: int = 64,
+    n_bands: int = 4,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """The composed, scale-safe corpus dedup pipeline — what a user
+    should run instead of assembling the parts: exact-duplicate
+    pre-collapse → capped candidate generation on representatives
+    (``method="minhash"`` LSH banding or ``method="simhash"`` banded
+    Hamming) → connected components (large-star/small-star) → one verdict
+    row per corpus document.
+
+    Returns (doc_id, cluster_id, cluster_size, is_canonical, keep) over
+    the FULL corpus domain (singletons included), where ``keep`` is the
+    drop-duplicates verdict: true exactly for the canonical (minimum
+    doc_id) member of each cluster and every unique doc."""
+    if method == "minhash":
+        candidate_fn = lambda reps: minhash_lsh_candidates(  # noqa: E731
+            reps, "doc_id", "text", n, num_hashes, band_size, max_bucket
+        )
+    elif method == "simhash":
+        candidate_fn = lambda reps: simhash_neardup_pairs(  # noqa: E731
+            reps, max_hamming, bits, n_bands, "doc_id", "text", max_bucket
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    min_tokens = n if method == "minhash" else 1
+    pairs = _precollapsed_pairs(df, id_col, text_col, min_tokens, candidate_fn)
+    out = _cluster_verdicts(df, pairs, id_col, include_singletons=True)
+    return out.withColumn("keep", F.col("is_canonical"))

@@ -126,8 +126,9 @@ def test_token_stats_matches_sql(spark, documents):
 
 def test_lsh_candidates_match_sql_twin(spark, documents):
     """minhash_lsh_candidates == the dedup_minhash_lsh driver query (the
-    bucketed, non-all-pairs 100 TB dedup shape, now oracle-checked)."""
-    api = dedup.minhash_lsh_candidates(documents)
+    bucketed, non-all-pairs 100 TB dedup shape with the hot-bucket cap
+    the twin pins at 3, now oracle-checked)."""
+    api = dedup.minhash_lsh_candidates(documents, max_bucket=3)
     sql = E.queries()["dedup_minhash_lsh"](spark, SF_DIR)
     assert rows(api) == rows(sql)
 
@@ -268,14 +269,18 @@ def test_ivf_multiprobe_recall_monotone(spark, embeddings):
 def test_simhash_neardup_matches_sql(spark, documents):
     from jochre3_ocr_spark.operators.dedup import simhash_neardup_pairs
 
-    api = simhash_neardup_pairs(documents, max_hamming=1, bits=32, n_bands=4)
+    api = simhash_neardup_pairs(
+        documents, max_hamming=1, bits=64, n_bands=4, max_bucket=3
+    )
     sql = E.queries()["dedup_simhash_neardup"](spark, SF_DIR)
     assert rows(api) == rows(sql)
 
 
 def test_simhash_neardup_pigeonhole_complete(spark):
     """With n_bands > max_hamming the banding loses NOTHING: the banded
-    result equals the brute-force all-pairs hamming filter."""
+    result equals the brute-force all-pairs hamming filter — re-proven at
+    the production 64-bit width (uncapped: the completeness guarantee is
+    a property of the banding, the cap is a separate, opt-out guard)."""
     from pyspark.sql import functions as F
 
     from jochre3_ocr_spark.operators.dedup import simhash, simhash_neardup_pairs
@@ -283,9 +288,11 @@ def test_simhash_neardup_pigeonhole_complete(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
     banded = {
         (r.doc1, r.doc2)
-        for r in simhash_neardup_pairs(docs, max_hamming=1, bits=32).collect()
+        for r in simhash_neardup_pairs(
+            docs, max_hamming=1, bits=64, max_bucket=None
+        ).collect()
     }
-    sig = simhash(docs, bits=32)
+    sig = simhash(docs, bits=64)
     a, b = sig.alias("a"), sig.alias("b")
     brute = {
         (r.doc1, r.doc2)
@@ -299,6 +306,21 @@ def test_simhash_neardup_pigeonhole_complete(spark):
         .collect()
     }
     assert banded == brute
+
+
+def test_simhash_64bit_uses_full_width(spark, documents):
+    """The 64-bit fingerprint must populate the top bits (the corpus's
+    shared vocabulary biases bit 63 set, so signatures land NEGATIVE —
+    the two's-complement assembly path is exercised, not just allowed)
+    and must discriminate far better than the old 16-bit signature."""
+    from jochre3_ocr_spark.operators.dedup import simhash
+
+    v64 = [r["simhash"] for r in simhash(documents, bits=64).collect()]
+    v16 = [r["simhash"] for r in simhash(documents, bits=16).collect()]
+    assert any(v < 0 for v in v64)  # bit 63 set ⇒ two's complement used
+    assert all(-(1 << 63) <= v < (1 << 63) for v in v64)
+    assert all(0 <= v < (1 << 16) for v in v16)  # narrow path unchanged
+    assert len(set(v64)) > 2 * len(set(v16))  # width buys discrimination
 
 
 def test_decontaminate_flags_ngram_overlap(spark):
@@ -428,6 +450,113 @@ def test_duplicate_clusters_include_singletons(spark):
         if r["doc_id"] not in paired:
             assert r["cluster_id"] == r["doc_id"]
             assert r["cluster_size"] == 1 and r["is_canonical"]
+
+
+def _hot_bucket_corpus(spark):
+    """40 identical docs (one giant LSH bucket per band) + 3 distinct."""
+    rows_in = [(f"g{i:03d}", "same boilerplate text repeated verbatim here")
+               for i in range(40)]
+    rows_in += [
+        ("u1", "a completely different document body one two three"),
+        ("u2", "another unrelated piece of text four five six seven"),
+        ("u3", "yet more unique content eight nine ten eleven twelve"),
+    ]
+    return spark.createDataFrame(rows_in, "doc_id string, text string")
+
+
+def test_capped_lsh_bounds_hot_bucket_pairs(spark):
+    """VERDICT r3 item 1 (hot-bucket adversarial): one duplicate group
+    ≫ cap must produce a BOUNDED pair count — cap(cap-1)/2 head pairs +
+    one star-link per tail doc, not b²/2 — while connected components
+    over the capped pairs equal the uncapped clustering exactly."""
+    from jochre3_ocr_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    docs = _hot_bucket_corpus(spark)
+    capped = minhash_lsh_candidates(docs, max_bucket=5)
+    uncapped = minhash_lsh_candidates(docs, max_bucket=None)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    assert n_uncapped == 40 * 39 // 2  # the quadratic blowup
+    assert n_capped == 5 * 4 // 2 + (40 - 5)  # bounded: 45 pairs
+    cc_capped = {
+        (r.doc_id, r.cluster_id) for r in connected_components(capped).collect()
+    }
+    cc_uncapped = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(uncapped).collect()
+    }
+    assert cc_capped == cc_uncapped  # clustering invariant under the cap
+
+
+def test_lsh_bucket_stats_reports_cap_drops(spark):
+    """The observability hook: every band bucket above the cap is
+    reported with exact uncapped/capped pair counts (what the cap
+    drops is loggable, per VERDICT r3 item 1)."""
+    from jochre3_ocr_spark.operators.dedup import lsh_bucket_stats
+
+    docs = _hot_bucket_corpus(spark)
+    stats = lsh_bucket_stats(docs, max_bucket=5).collect()
+    assert len(stats) == 4  # one oversized bucket per band (8 hashes / 2)
+    for r in stats:
+        assert r.bucket_size == 40
+        assert r.pairs_uncapped == 780
+        assert r.pairs_capped == 45
+
+
+def test_duplicate_clusters_precollapse_equals_naive(spark):
+    """The scale-safe defaults (exact pre-collapse + hot-bucket cap) are
+    OUTPUT-invariant: clusters over the full domain equal the naive
+    uncapped all-docs construction bit for bit."""
+    from jochre3_ocr_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    safe = duplicate_clusters(docs, include_singletons=True)
+    naive = duplicate_clusters(
+        docs,
+        include_singletons=True,
+        precollapse_exact=False,
+        max_bucket=None,
+    )
+    assert rows(safe) == rows(naive)
+
+
+def test_dedup_corpus_minhash_matches_naive_full_domain(spark):
+    """dedup_corpus (the composed pipeline) == naive full-domain
+    clustering + the keep verdict column."""
+    from pyspark.sql import functions as F
+
+    from jochre3_ocr_spark.operators.dedup import (
+        dedup_corpus,
+        duplicate_clusters,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = dedup_corpus(docs)
+    want = duplicate_clusters(
+        docs, include_singletons=True, precollapse_exact=False,
+        max_bucket=None,
+    ).withColumn("keep", F.col("is_canonical"))
+    assert rows(got) == rows(want)
+
+
+def test_dedup_corpus_simhash_clusters_identical_docs(spark):
+    """The simhash-backed composition: identical docs cluster (through
+    the exact pre-collapse star-links), uniques stay canonical keeps,
+    and exactly one keep per cluster."""
+    from jochre3_ocr_spark.operators.dedup import dedup_corpus
+
+    docs = _hot_bucket_corpus(spark)
+    out = dedup_corpus(docs, method="simhash", max_bucket=5).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert len(by_doc) == 43  # full domain
+    giant = [r for r in out if r.doc_id.startswith("g")]
+    assert all(r.cluster_id == "g000" for r in giant)
+    assert all(r.cluster_size == 40 for r in giant)
+    assert sum(r.keep for r in giant) == 1 and by_doc["g000"].keep
+    for u in ("u1", "u2", "u3"):
+        assert by_doc[u].cluster_size == 1 and by_doc[u].keep
 
 
 def test_duplicate_clusters_marks_canonicals(spark):
