@@ -115,7 +115,7 @@ def main(argv=None) -> int:
                    help="pack token capacity (--corpus-op pack)")
     p.add_argument("--n-shards", type=int, default=None,
                    help="pack shard count = parallelism (--corpus-op "
-                   "pack); default = 2x local threads / 200 on a cluster")
+                   "pack); default = 2x defaultParallelism, floor 8")
     p.add_argument("--ngram", type=int, default=8,
                    help="n-gram size (--corpus-op decontaminate)")
     p.add_argument("--fraction", type=float, default=0.1,

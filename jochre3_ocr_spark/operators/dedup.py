@@ -600,7 +600,11 @@ def _cc_star(pairs: DataFrame, max_iters: int) -> DataFrame:
     prev = _probe(edges)
     converged = False
     for _ in range(max_iters):
-        new_edges = _star_round(edges).localCheckpoint(eager=True)
+        # LAZY checkpoint: the probe's agg is the action that materializes
+        # it, so each round costs ONE job (round-3 profiling: the eager
+        # checkpoint + separate probe paid ~2 fixed-cost jobs/round,
+        # 4.45 s vs propagation's 2.85 s on the sf0.1 graph)
+        new_edges = _star_round(edges).localCheckpoint(eager=False)
         cur = _probe(new_edges)
         edges = new_edges
         if cur == prev:
@@ -650,7 +654,9 @@ def _cc_propagation(pairs: DataFrame, max_iters: int) -> DataFrame:
                 "changed"
             ),
         )
-        stepped = stepped.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence agg below materializes it —
+        # one job per round instead of two (same merge as the star path)
+        stepped = stepped.localCheckpoint(eager=False)
         labels = stepped
         if stepped.agg(F.max("changed")).collect()[0][0] is not True:
             converged = True

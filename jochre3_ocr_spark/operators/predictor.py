@@ -113,6 +113,17 @@ class RetryingBatchPredictor:
     * Output rescale: boxes come back in resized coordinates and are
       mapped to original page coordinates via 1/scale
       (YoloPredictor.scala:133-138).
+    * Per-attempt timeout: the reference bounds every request at 30 s
+      (``zio.http.Client...timeout``, reference.conf:27, wired in
+      YoloPredictor.scala:58) — a hung model call is indistinguishable
+      from a dead server and must become a retryable failure, not a
+      stalled Spark task. ``request_timeout`` (seconds, default 30,
+      ``None`` disables) bounds each ``forward`` attempt; on expiry the
+      attempt counts as a :class:`TransientPredictionError` and the
+      retry schedule proceeds. The timed-out call runs on an abandoned
+      daemon thread (Python cannot cancel a running call) — acceptable
+      for a transport hang, and exactly the client-timeout semantics of
+      the reference.
     * ``sleep`` is injectable so tests pin the exact backoff sequence
       without wall-clock waits.
     """
@@ -123,11 +134,32 @@ class RetryingBatchPredictor:
         max_retries: int = 5,
         initial_delay: float = 1.0,
         sleep: Callable[[float], None] = time.sleep,
+        request_timeout: float | None = 30.0,
     ):
         self.model = model
         self.max_retries = max_retries
         self.initial_delay = initial_delay
         self.sleep = sleep
+        self.request_timeout = request_timeout
+
+    def _forward_with_deadline(self, resized, min_confidence):
+        if self.request_timeout is None:
+            return self.model.forward(resized, min_confidence)
+        import concurrent.futures
+
+        ex = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="predictor-request"
+        )
+        fut = ex.submit(self.model.forward, resized, min_confidence)
+        try:
+            return fut.result(timeout=self.request_timeout)
+        except concurrent.futures.TimeoutError:
+            raise TransientPredictionError(
+                f"request exceeded {self.request_timeout}s timeout"
+            ) from None
+        finally:
+            # never block on a hung worker; completed workers exit at once
+            ex.shutdown(wait=False)
 
     def predict_batch(
         self,
@@ -159,7 +191,7 @@ class RetryingBatchPredictor:
             if attempt > 0:
                 self.sleep(self.initial_delay * (2 ** (attempt - 1)))
             try:
-                raw = self.model.forward(resized, min_confidence)
+                raw = self._forward_with_deadline(resized, min_confidence)
                 break
             except TransientPredictionError as exc:
                 last_err = exc
@@ -169,6 +201,15 @@ class RetryingBatchPredictor:
                 f"{last_err}"
             ) from last_err
 
+        if len(raw) != len(resized):
+            # a model returning the wrong number of per-image box lists is
+            # a broken contract, not a transport blip: zip() would silently
+            # DROP the trailing pages (no boxes, no error rows). Fail the
+            # batch so the Spark op quarantines every row instead.
+            raise PredictionFailedError(
+                f"model returned {len(raw)} box lists for "
+                f"{len(resized)} images — broken forward contract"
+            )
         out: list[list[PredictedBox]] = []
         for boxes, scale in zip(raw, scales):
             inv = 1.0 / scale if scale else 1.0
@@ -230,6 +271,99 @@ class NumpyLayoutModel:
             boxes.sort(key=lambda b: (b.top, b.left))
             out.append(boxes)
         return out
+
+
+# ------------------------------------------------------- HTTP-shaped model
+class HttpLayoutModel:
+    """The production ``forward`` adapter: POST the image batch to a
+    document-layout-analysis server and parse its box response — the
+    client shape the reference runs against its YOLO server
+    (YoloPredictor.scala:60-108: multipart POST per image, JSON
+    ``YoloResult`` back; here one request carries the whole Arrow batch).
+
+    The wire format is deterministic JSON: request
+    ``{"min_confidence": f, "images": [<base64 npy>, ...]}``, response
+    ``{"predictions": [[{"label","left","top","width","height",
+    "confidence"}, ...] per image]}`` — boxes in RESIZED coordinates,
+    exactly what :class:`RetryingBatchPredictor` rescales.
+
+    ``transport`` is injectable — ``(url, body_bytes, timeout_s) ->
+    response_bytes`` — so the contract is provable without a network
+    (tests inject success / 5xx / garbage transports); the default is a
+    stdlib urllib POST. Failure mapping is the retry boundary's
+    contract: transport errors (connection refused, HTTP 5xx, socket
+    timeout) raise :class:`TransientPredictionError` → retried with
+    backoff; an unparsable or wrong-arity response is a broken server
+    contract and raises :class:`PredictionFailedError` → the batch
+    quarantines immediately.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        transport: Callable[[str, bytes, float], bytes] | None = None,
+        timeout: float = 30.0,
+    ):
+        self.url = url
+        self.transport = transport or _urllib_post
+        self.timeout = timeout
+
+    def forward(
+        self, images: Sequence[np.ndarray], min_confidence: float
+    ) -> list[list[PredictedBox]]:
+        import base64
+        import io
+        import json
+
+        blobs = []
+        for img in images:
+            buf = io.BytesIO()
+            np.save(buf, img, allow_pickle=False)
+            blobs.append(base64.b64encode(buf.getvalue()).decode("ascii"))
+        body = json.dumps(
+            {"min_confidence": min_confidence, "images": blobs}
+        ).encode("utf-8")
+        try:
+            resp = self.transport(self.url, body, self.timeout)
+        except TransientPredictionError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — transport layer = retryable
+            raise TransientPredictionError(
+                f"{type(exc).__name__}: {exc}"
+            ) from exc
+        try:
+            parsed = json.loads(resp.decode("utf-8"))
+            preds = parsed["predictions"]
+            return [
+                [
+                    PredictedBox(
+                        str(b["label"]),
+                        int(b["left"]),
+                        int(b["top"]),
+                        int(b["width"]),
+                        int(b["height"]),
+                        float(b["confidence"]),
+                    )
+                    for b in per_img
+                ]
+                for per_img in preds
+            ]
+        except (KeyError, TypeError, ValueError) as exc:
+            raise PredictionFailedError(
+                f"malformed prediction response: {type(exc).__name__}: {exc}"
+            ) from exc
+
+
+def _urllib_post(url: str, body: bytes, timeout: float) -> bytes:
+    """Default stdlib transport: one POST, HTTP errors surface as
+    exceptions (mapped to TransientPredictionError by the caller)."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.read()
 
 
 # ------------------------------------------------------------ spark plan

@@ -212,3 +212,147 @@ def test_predicted_boxes_drive_block_only_segmenter(spark):
     got = {(b.rect.left, b.rect.top, b.rect.width, b.rect.height)
            for b in doc.blocks}
     assert got == set(rects)
+
+
+# ---- per-attempt timeout (reference.conf:27 / YoloPredictor.scala:58) ----
+class HangingModel:
+    """forward blocks far past the request timeout — the hung-server case."""
+
+    def __init__(self, hang_s=30.0):
+        self.hang_s = hang_s
+        self.calls = 0
+
+    def forward(self, images, min_confidence):
+        import time as _t
+
+        self.calls += 1
+        _t.sleep(self.hang_s)
+        return [[] for _ in images]
+
+
+def test_hung_forward_times_out_retries_then_fails():
+    """VERDICT r3 item 3: a hung model call must become a per-attempt
+    timeout -> TransientPredictionError -> the exact exponential backoff
+    schedule -> PredictionFailedError, never a stalled task."""
+    # 1 s hang ≫ the 0.05 s timeout, short enough that the 6 abandoned
+    # worker threads drain quickly at interpreter exit
+    model = HangingModel(hang_s=1.0)
+    sleeps = []
+    pred = RetryingBatchPredictor(
+        model, sleep=sleeps.append, request_timeout=0.05
+    )
+    img = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(PredictionFailedError) as ei:
+        pred.predict_batch([img])
+    assert "timeout" in str(ei.value)
+    assert sleeps == [1.0, 2.0, 4.0, 8.0, 16.0]  # schedule preserved
+    assert model.calls == 6  # initial + 5 retries, each attempt bounded
+
+
+def test_fast_forward_unaffected_by_timeout():
+    pred = RetryingBatchPredictor(NumpyLayoutModel(), request_timeout=30.0)
+    img = np.full((20, 20), 255, dtype=np.uint8)
+    img[5:10, 5:10] = 0
+    out = pred.predict_batch([img])
+    assert len(out) == 1 and len(out[0]) == 1
+
+
+class ShortOutputModel:
+    """Returns fewer per-image box lists than inputs (broken contract)."""
+
+    def forward(self, images, min_confidence):
+        return [[] for _ in images[:-1]]
+
+
+def test_short_model_output_fails_batch_not_silent_drop():
+    """ADVICE r3: a model returning fewer box lists than images used to
+    silently drop the trailing pages through zip(); it must raise so the
+    Spark op quarantines every row of the batch."""
+    pred = RetryingBatchPredictor(ShortOutputModel(), request_timeout=None)
+    imgs = [np.zeros((8, 8), dtype=np.uint8)] * 3
+    with pytest.raises(PredictionFailedError) as ei:
+        pred.predict_batch(imgs)
+    assert "2 box lists for 3 images" in str(ei.value)
+
+
+# ---------------- HTTP-shaped adapter (injected transport) ----------------
+def _http_roundtrip_transport(url, body, timeout):
+    """A fake DLA server: decodes the request, emits one full-image box
+    per image — proves the wire contract end to end without a network."""
+    import base64
+    import io
+    import json
+
+    req = json.loads(body.decode("utf-8"))
+    preds = []
+    for blob in req["images"]:
+        img = np.load(io.BytesIO(base64.b64decode(blob)), allow_pickle=False)
+        preds.append(
+            [
+                {
+                    "label": "TextBlock",
+                    "left": 0,
+                    "top": 0,
+                    "width": int(img.shape[1]),
+                    "height": int(img.shape[0]),
+                    "confidence": 0.9,
+                }
+            ]
+        )
+    return json.dumps({"predictions": preds}).encode("utf-8")
+
+
+def test_http_model_roundtrip_with_rescale():
+    """HttpLayoutModel behind RetryingBatchPredictor: request encodes the
+    RESIZED batch, response boxes come back in resized coordinates and
+    are rescaled to the original page exactly like the reference client
+    (YoloPredictor.scala:133-138)."""
+    from jochre3_ocr_spark.operators.predictor import BLOCKS, HttpLayoutModel
+
+    model = HttpLayoutModel("http://dla.test/predict",
+                            transport=_http_roundtrip_transport)
+    pred = RetryingBatchPredictor(model)
+    img = np.zeros((1280, 960), dtype=np.uint8)  # 2x the 640 request size
+    (boxes,) = pred.predict_batch([img], BLOCKS)
+    assert len(boxes) == 1
+    b = boxes[0]
+    # resized 640x480 full-image box, rescaled by 2 -> original dims
+    assert (b.width, b.height) == (960, 1280)
+
+
+def test_http_transport_error_is_transient_and_retried():
+    calls = []
+
+    def flaky_transport(url, body, timeout):
+        calls.append(url)
+        if len(calls) < 3:
+            raise ConnectionRefusedError("server down")
+        return _http_roundtrip_transport(url, body, timeout)
+
+    from jochre3_ocr_spark.operators.predictor import HttpLayoutModel
+
+    model = HttpLayoutModel("http://dla.test/predict", transport=flaky_transport)
+    sleeps = []
+    pred = RetryingBatchPredictor(model, sleep=sleeps.append)
+    img = np.zeros((16, 16), dtype=np.uint8)
+    out = pred.predict_batch([img])
+    assert len(out) == 1
+    assert sleeps == [1.0, 2.0]  # two transient failures, then success
+
+
+def test_http_malformed_response_fails_immediately():
+    """Garbage from the server is a broken contract, not a retryable
+    transport blip: no retries, immediate PredictionFailedError."""
+    from jochre3_ocr_spark.operators.predictor import HttpLayoutModel
+
+    calls = []
+
+    def garbage_transport(url, body, timeout):
+        calls.append(url)
+        return b"not json at all"
+
+    model = HttpLayoutModel("http://dla.test/predict", transport=garbage_transport)
+    pred = RetryingBatchPredictor(model, sleep=lambda s: None)
+    with pytest.raises(PredictionFailedError):
+        pred.predict_batch([np.zeros((8, 8), dtype=np.uint8)])
+    assert len(calls) == 1
