@@ -63,9 +63,27 @@ def remove_overlaps(rects: list[PredictedBox]) -> list[PredictedBox]:
 
 
 # -------------------------------------------------- unordered NMS + merge
+#: above this box count the pairwise overlap map switches from the
+#: literal O(n²) scan to the x-sweep candidate generator (identical
+#: output; the crossover keeps tiny pages on the allocation-free path)
+_SWEEP_THRESHOLD = 256
+
+
 def _overlap_map(rects: list[PredictedBox]) -> dict[int, set[int]]:
     """Pairs overlapping >20% in either direction
-    (FullYoloSegmenter.scala:1058-1084)."""
+    (FullYoloSegmenter.scala:1058-1084). Dispatches to the sweep-line
+    candidate generator past :data:`_SWEEP_THRESHOLD` boxes — the O(n²)
+    all-pairs scan was the last superlinear per-page kernel (SCALE.md
+    §7): fine to 10⁴ boxes, a stalled task at a 10⁵-box dense glyph
+    tiling."""
+    if len(rects) <= _SWEEP_THRESHOLD:
+        return _overlap_map_quadratic(rects)
+    return _overlap_map_sweep(rects)
+
+
+def _overlap_map_quadratic(rects: list[PredictedBox]) -> dict[int, set[int]]:
+    """The literal reference scan — also the property-test oracle for
+    the sweep path."""
     overlaps: dict[int, set[int]] = {i: set() for i in range(len(rects))}
     for i, a in enumerate(rects):
         for j, b in enumerate(rects):
@@ -76,6 +94,85 @@ def _overlap_map(rects: list[PredictedBox]) -> dict[int, set[int]]:
                 continue
             if inter / G.area(b.box) > 0.2 or inter / G.area(a.box) > 0.2:
                 overlaps[i].add(j)
+    return overlaps
+
+
+def _overlap_map_sweep(rects: list[PredictedBox]) -> dict[int, set[int]]:
+    """Sweep-line overlap map: sort by left edge; a pair can only overlap
+    if the later box STARTS before the earlier one ENDS in x, so each
+    box's candidates are one searchsorted slice instead of the whole
+    page. Candidate pairs are evaluated vectorized in bounded numpy
+    chunks (intersection + the exact >20% either-direction ratio test of
+    the quadratic path — integer geometry, float64 division, identical
+    results). On a real page layout the x-slab of a box holds ~one box
+    per text line, so work is ~n·lines rather than n²; the worst case
+    (every box sharing an x-range AND >20%-overlapping) is output-bound
+    for any algorithm, since the map itself is then O(n²)."""
+    import numpy as np
+
+    n = len(rects)
+    x0 = np.fromiter((r.box[0] for r in rects), dtype=np.int64, count=n)
+    y0 = np.fromiter((r.box[1] for r in rects), dtype=np.int64, count=n)
+    w = np.fromiter((r.box[2] for r in rects), dtype=np.int64, count=n)
+    h = np.fromiter((r.box[3] for r in rects), dtype=np.int64, count=n)
+    x1, y1, area = x0 + w, y0 + h, w * h
+    order = np.argsort(x0, kind="stable")
+    sx0, sx1 = x0[order], x1[order]
+    sy0, sy1, sarea = y0[order], y1[order], area[order]
+
+    starts = np.arange(1, n + 1, dtype=np.int64)
+    ends = np.searchsorted(sx0, sx1, side="left")
+    cnt = np.maximum(ends - starts, 0)
+    offsets = np.concatenate(([0], np.cumsum(cnt)))
+    total = int(offsets[-1])
+
+    overlaps: dict[int, set[int]] = {i: set() for i in range(n)}
+    chunk = 2_000_000
+    pos = 0
+    while pos < total:
+        hi = min(pos + chunk, total)
+        # positions p whose candidate ranges intersect [pos, hi)
+        p_lo = int(np.searchsorted(offsets, pos, side="right") - 1)
+        p_hi = int(np.searchsorted(offsets, hi, side="left"))
+        p_cnt = cnt[p_lo:p_hi].copy()
+        # trim the first/last partially-covered ranges
+        p_cnt[0] -= pos - int(offsets[p_lo])
+        over = int(offsets[p_hi]) - hi
+        if over > 0:
+            p_cnt[-1] -= over
+        first_q = starts[p_lo:p_hi].copy()
+        first_q[0] += cnt[p_lo] - p_cnt[0]
+        p_idx = np.repeat(np.arange(p_lo, p_hi), p_cnt)
+        base = np.concatenate(([0], np.cumsum(p_cnt)))[:-1]
+        q_idx = (
+            np.arange(hi - pos, dtype=np.int64)
+            - np.repeat(base, p_cnt)
+            + np.repeat(first_q, p_cnt)
+        )
+        iw = np.minimum(sx1[p_idx], sx1[q_idx]) - np.maximum(
+            sx0[p_idx], sx0[q_idx]
+        )
+        ih = np.minimum(sy1[p_idx], sy1[q_idx]) - np.maximum(
+            sy0[p_idx], sy0[q_idx]
+        )
+        inter = iw * ih
+        # a zero-area box can never satisfy iw>0/ih>0, so the divisions
+        # are masked out — silence the vectorized div-by-zero warning the
+        # scalar path never reaches either
+        with np.errstate(divide="ignore", invalid="ignore"):
+            hit = (
+                (iw > 0)
+                & (ih > 0)
+                & (
+                    (inter / sarea[q_idx] > 0.2)
+                    | (inter / sarea[p_idx] > 0.2)
+                )
+            )
+        for p, q in zip(p_idx[hit], q_idx[hit]):
+            i, j = int(order[p]), int(order[q])
+            overlaps[i].add(j)
+            overlaps[j].add(i)
+        pos = hi
     return overlaps
 
 

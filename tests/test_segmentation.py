@@ -338,3 +338,86 @@ def test_segment_page_test_rectangle_filter():
     filtered = segment_page(layout, test_rectangle=(0, 0, 50, 50))
     assert len(filtered["blocks"]) == 1
     assert filtered["blocks"][0]["box"][1] == 0  # the intersecting block
+
+
+# ------------- sweep-line overlap map (VERDICT r3 item 6) -------------
+def _rand_rects(n, W=2000, H=3000, maxw=120, maxh=60, seed=1):
+    import random
+
+    from jochre3_ocr_spark.functions.geometry import PredictedBox
+
+    rng = random.Random(seed)
+    return [
+        PredictedBox(
+            "b",
+            (
+                rng.randrange(0, W),
+                rng.randrange(0, H),
+                rng.randrange(1, maxw),
+                rng.randrange(1, maxh),
+            ),
+            round(rng.random(), 3),
+        )
+        for _ in range(n)
+    ]
+
+
+def test_overlap_map_sweep_equals_quadratic():
+    """The sweep-line candidate generator must reproduce the literal
+    O(n²) reference scan exactly — random layouts plus the adversarial
+    shapes (same-column stacks, identical boxes, exact edge-touching
+    where intersection is zero-width)."""
+    from jochre3_ocr_spark.functions.geometry import PredictedBox
+    from jochre3_ocr_spark.operators.segmentation import (
+        _overlap_map_quadratic,
+        _overlap_map_sweep,
+    )
+
+    fixtures = {
+        "random": _rand_rects(400),
+        "dense": _rand_rects(500, W=300, H=300, seed=7),
+        "vstack": [
+            PredictedBox("b", (100, 30 * i, 200, 40), 0.5 + 0.001 * i)
+            for i in range(300)
+        ],
+        "identical": [
+            PredictedBox("b", (10, 10, 50, 50), 0.9) for _ in range(80)
+        ],
+        "touching": [
+            PredictedBox("b", (50 * i, 10, 50, 50), 0.7) for i in range(300)
+        ],
+    }
+    for name, rects in fixtures.items():
+        assert _overlap_map_sweep(rects) == _overlap_map_quadratic(rects), name
+
+
+def test_remove_overlaps_unordered_identical_across_paths(monkeypatch):
+    """remove_overlaps_unordered output must not depend on which overlap
+    map implementation the size dispatch picks."""
+    from jochre3_ocr_spark.operators import segmentation as S
+
+    rects = _rand_rects(350, W=600, H=600, seed=3)
+    monkeypatch.setattr(S, "_SWEEP_THRESHOLD", 10**9)
+    via_quadratic = S.remove_overlaps_unordered(rects)
+    monkeypatch.setattr(S, "_SWEEP_THRESHOLD", 0)
+    via_sweep = S.remove_overlaps_unordered(rects)
+    assert [
+        (r.label, r.box, r.confidence) for r in via_quadratic
+    ] == [(r.label, r.box, r.confidence) for r in via_sweep]
+
+
+def test_overlap_map_sweep_scales_to_dense_tiling():
+    """A 20k-box glyph tiling (the 10⁵-box stall case scaled for CI —
+    the full 10⁵ micro-bench is recorded in SCALE.md §7) through the
+    sweep path: correct sparse result, no quadratic blowup."""
+    from jochre3_ocr_spark.functions.geometry import PredictedBox
+    from jochre3_ocr_spark.operators.segmentation import _overlap_map_sweep
+
+    rects = [
+        PredictedBox("g", (g * 18, line * 24, 20, 22), 0.8)
+        for line in range(50)
+        for g in range(400)
+    ]
+    # neighbors overlap 2px of 20 → 10% < 20% threshold: map is empty
+    m = _overlap_map_sweep(rects)
+    assert sum(len(v) for v in m.values()) == 0
