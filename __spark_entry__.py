@@ -1859,6 +1859,73 @@ FROM w
 """
 
 
+def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (operators/html_extract): the north
+    rule's "HTML boilerplate strip + DOM heuristics" axis, driven over
+    deterministically synthesized pages (each doc's tokens in <p>
+    paragraphs with inline <img> media inside realistic chrome —
+    header/nav/aside/footer/script/link-farms). The REAL parser +
+    Kohlschütter-style link-density classifier run in one narrow
+    mapInPandas; the oracle recomputes the exact interleaved span
+    sequence (kind, text, media_ref, offset) — the north rule's per-row
+    invariant — in closed form from the raw text column: title heading
+    at offset 0, 12-token paragraphs at offset 1+i+i//3, media refs
+    doc:mK at offset 4K, all 5 chrome/link-farm blocks stripped."""
+    from jochre3_ocr_spark.operators.html_extract import (
+        html_extract,
+        synthesize_html_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = synthesize_html_corpus(docs)
+    # permissive threshold: ANY link-sparse non-chrome text block is
+    # content, so the closed-form oracle covers 1-char tail paragraphs;
+    # the production defaults (25 chars / 0.33) are unit-tested
+    out = html_extract(pages, min_content_chars=1)
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+_Q_HTML_MAIN_DUCK = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) = 0 THEN 0
+              ELSE ((len(tk) - 1) // 12) + 1 END AS np
+  FROM t
+),
+p AS (SELECT doc_id, tk, n, unnest(range(np)) AS pi FROM c),
+m AS (
+  SELECT doc_id, unnest(range(1, (np - 1) // 3 + 1)) AS k
+  FROM c WHERE np >= 4
+)
+SELECT doc_id, 'heading' AS kind, 'Doc ' || doc_id AS text,
+       '' AS media_ref, CAST(0 AS INT) AS "offset"
+FROM t
+UNION ALL
+SELECT doc_id, 'text' AS kind,
+       array_to_string(list_slice(tk, pi * 12 + 1, least(pi * 12 + 12, n)),
+                       ' ') AS text,
+       '' AS media_ref,
+       CAST(1 + pi + pi // 3 AS INT) AS "offset"
+FROM p
+UNION ALL
+SELECT doc_id, 'media' AS kind, '' AS text,
+       doc_id || ':m' || CAST(k AS VARCHAR) AS media_ref,
+       CAST(4 * k AS INT) AS "offset"
+FROM m
+"""
+
+
 def _corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy first-fit-in-order sequence packing per doc_id-mod shard
     (operators/packing.pack_sequences, capacity 256, 8 shards) — the
@@ -2549,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_duplicate_clusters": _dedup_clusters,
         "dedup_clusters_full": _dedup_clusters_full,
         "dedup_corpus_verdicts": _dedup_corpus_verdicts,
+        "html_main_content": _html_main_content,
         "corpus_chunking": _corpus_chunking,
         "corpus_packing": _corpus_packing,
         "corpus_decontaminate": _corpus_decontaminate,
@@ -2607,6 +2675,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_duplicate_clusters": _Q_DEDUP_CLUSTERS_DUCK,
         "dedup_clusters_full": _Q_DEDUP_CLUSTERS_FULL_DUCK,
         "dedup_corpus_verdicts": _Q_DEDUP_CORPUS_DUCK,
+        "html_main_content": _Q_HTML_MAIN_DUCK,
         "corpus_chunking": _Q_CHUNKING_DUCK,
         "corpus_packing": _Q_PACKING_DUCK,
         "corpus_decontaminate": _Q_DECONTAM_DUCK,

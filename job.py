@@ -95,15 +95,18 @@ def main(argv=None) -> int:
         default=None,
         choices=[
             "chunk", "pack", "dedup-verdicts", "decontaminate",
-            "quality", "exact-dedup", "sample",
+            "quality", "exact-dedup", "sample", "html-extract",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
         "lang, source]) parquet at --input: chunk = sliding token "
         "windows; pack = greedy sequence packing; dedup-verdicts = "
-        "MinHash-LSH clusters incl. singletons; decontaminate = "
-        "n-gram overlap vs --benchmark; quality = scoring features; "
+        "the composed scale-safe dedup pipeline (exact pre-collapse + "
+        "capped MinHash-LSH + components, full domain); decontaminate "
+        "= n-gram overlap vs --benchmark; quality = scoring features; "
         "exact-dedup = identical-text groups; sample = deterministic "
-        "--fraction subsample",
+        "--fraction subsample; html-extract = main-content spans from "
+        "an (doc_id, html) table (or synthesized pages over a docs "
+        "table)",
     )
     p.add_argument("--benchmark", default=None,
                    help="eval-set parquet for --corpus-op decontaminate")
@@ -189,9 +192,21 @@ def main(argv=None) -> int:
                 docs, capacity=args.capacity, n_shards=n_shards
             )
         elif args.corpus_op == "dedup-verdicts":
-            from jochre3_ocr_spark.operators.dedup import duplicate_clusters
+            from jochre3_ocr_spark.operators.dedup import dedup_corpus
 
-            out = duplicate_clusters(docs, include_singletons=True)
+            out = dedup_corpus(docs)
+        elif args.corpus_op == "html-extract":
+            from jochre3_ocr_spark.operators.html_extract import (
+                html_extract,
+                synthesize_html_corpus,
+            )
+
+            # (doc_id, html) input runs the extractor directly; a plain
+            # docs table (no html column) drives it through the
+            # deterministic synthetic-page builder
+            if "html" not in docs.columns:
+                docs = synthesize_html_corpus(docs)
+            out = html_extract(docs)
         elif args.corpus_op == "decontaminate":
             if not args.benchmark:
                 p.error("--corpus-op decontaminate requires --benchmark")
