@@ -62,6 +62,10 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "corpus_sample",
         "dedup_clusters_full",
         "interleaved_chunks",
+        # round-4 additions
+        "dedup_simhash_neardup",
+        "dedup_corpus_verdicts",
+        "html_main_content",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can

@@ -192,8 +192,28 @@ def main(argv=None) -> int:
                 docs, capacity=args.capacity, n_shards=n_shards
             )
         elif args.corpus_op == "dedup-verdicts":
-            from jochre3_ocr_spark.operators.dedup import dedup_corpus
+            from jochre3_ocr_spark.operators.dedup import (
+                dedup_corpus,
+                lsh_bucket_stats,
+            )
 
+            # observability contract: a bucket past the cap is a giant
+            # near-dup group whose tail pairs were star-linked — report
+            # what the cap touched instead of dropping it silently
+            from pyspark.sql import functions as F
+
+            hot = lsh_bucket_stats(docs, max_bucket=64).agg(
+                F.max("bucket_size").alias("mx"),
+                F.sum("pairs_uncapped").alias("pu"),
+                F.sum("pairs_capped").alias("pc"),
+            ).collect()[0]
+            if hot["mx"] is not None:
+                print(json.dumps({
+                    "dedup_hot_buckets": True,
+                    "max_bucket_size": int(hot["mx"]),
+                    "pairs_uncapped": int(hot["pu"] or 0),
+                    "pairs_after_cap": int(hot["pc"] or 0),
+                }), file=sys.stderr)
             out = dedup_corpus(docs)
         elif args.corpus_op == "html-extract":
             from jochre3_ocr_spark.operators.html_extract import (
