@@ -490,7 +490,8 @@ GROUP BY doc_id
 # hamming ≤ 1 ⇒ ≥3 identical bands; 65 536 buckets/band instead of the
 # old 4-bit banding's 16), bucket-join then bit_count(xor) verify, with
 # the same hot-bucket guard as _Q_LSH_* (cap 3: all pairs among a
-# bucket's first 3 docs + star-links to the minimum for the tail). Band
+# bucket's first 3 docs; tail docs link to ALL 3 heads so the Hamming
+# verify gets 3 chances per tail doc, not 1). Band
 # values are aggregated straight from the per-bit votes — never by
 # shifting the signed 64-bit signature.
 _Q_SIMHASH_ND_SPARK = """
@@ -543,7 +544,7 @@ cand AS (
            a.simhash AS s1, t.simhash AS s2
     FROM ranked a JOIN ranked t
       ON a.band = t.band AND a.band_val = t.band_val
-    WHERE a.rk = 1 AND t.rk > 3
+    WHERE a.rk <= 3 AND t.rk > 3
   )
 )
 SELECT doc1, doc2, CAST(bit_count(s1 ^ s2) AS INT) AS hamming
@@ -599,7 +600,7 @@ cand AS (
            a.simhash AS s1, t.simhash AS s2
     FROM ranked a JOIN ranked t
       ON a.band = t.band AND a.band_val = t.band_val
-    WHERE a.rk = 1 AND t.rk > 3
+    WHERE a.rk <= 3 AND t.rk > 3
   )
 )
 SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming

@@ -110,6 +110,11 @@ def main(argv=None) -> int:
     )
     p.add_argument("--benchmark", default=None,
                    help="eval-set parquet for --corpus-op decontaminate")
+    p.add_argument("--report-hot-buckets", action="store_true",
+                   help="dedup-verdicts: print a stderr JSON line when "
+                   "any LSH band bucket (over the pre-collapsed "
+                   "representatives) exceeds the cap — costs one extra "
+                   "banding pass")
     p.add_argument("--max-tokens", type=int, default=128,
                    help="chunk window (--corpus-op chunk)")
     p.add_argument("--overlap", type=int, default=16,
@@ -192,28 +197,44 @@ def main(argv=None) -> int:
                 docs, capacity=args.capacity, n_shards=n_shards
             )
         elif args.corpus_op == "dedup-verdicts":
-            from jochre3_ocr_spark.operators.dedup import (
-                dedup_corpus,
-                lsh_bucket_stats,
-            )
+            from jochre3_ocr_spark.operators.dedup import dedup_corpus
 
-            # observability contract: a bucket past the cap is a giant
-            # near-dup group whose tail pairs were star-linked — report
-            # what the cap touched instead of dropping it silently
-            from pyspark.sql import functions as F
+            if args.report_hot_buckets:
+                # observability (opt-in: costs one extra LSH banding
+                # pass): report cap activity over the PRE-COLLAPSED
+                # representatives — the table the pipeline actually
+                # bands, so a report means a real residual hot bucket,
+                # not an exact-dup group the collapse already absorbed
+                from pyspark.sql import functions as F
 
-            hot = lsh_bucket_stats(docs, max_bucket=64).agg(
-                F.max("bucket_size").alias("mx"),
-                F.sum("pairs_uncapped").alias("pu"),
-                F.sum("pairs_capped").alias("pc"),
-            ).collect()[0]
-            if hot["mx"] is not None:
-                print(json.dumps({
-                    "dedup_hot_buckets": True,
-                    "max_bucket_size": int(hot["mx"]),
-                    "pairs_uncapped": int(hot["pu"] or 0),
-                    "pairs_after_cap": int(hot["pc"] or 0),
-                }), file=sys.stderr)
+                from jochre3_ocr_spark.operators.dedup import (
+                    lsh_bucket_stats,
+                )
+
+                keyed = docs.select(
+                    F.col("doc_id").cast("string").alias("doc_id"),
+                    "text",
+                    F.md5("text").alias("th"),
+                )
+                reps = keyed.join(
+                    keyed.groupBy("th").agg(
+                        F.min("doc_id").alias("doc_id")
+                    ).select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                )
+                hot = lsh_bucket_stats(reps, max_bucket=64).agg(
+                    F.max("bucket_size").alias("mx"),
+                    F.sum("pairs_uncapped").alias("pu"),
+                    F.sum("pairs_capped").alias("pc"),
+                ).collect()[0]
+                if hot["mx"] is not None:
+                    print(json.dumps({
+                        "dedup_hot_buckets": True,
+                        "max_bucket_size": int(hot["mx"]),
+                        "pairs_uncapped": int(hot["pu"] or 0),
+                        "pairs_after_cap": int(hot["pc"] or 0),
+                    }), file=sys.stderr)
             out = dedup_corpus(docs)
         elif args.corpus_op == "html-extract":
             from jochre3_ocr_spark.operators.html_extract import (

@@ -213,6 +213,7 @@ def _capped_bucket_pairs(
     bucket_cols: list[str],
     max_bucket: int | None,
     carry: tuple[str, str, str] | None = None,
+    tail_link_all_heads: bool = False,
 ) -> DataFrame:
     """Within-bucket candidate pairs with a hot-bucket guard.
 
@@ -222,14 +223,25 @@ def _capped_bucket_pairs(
     quadratic blowup through ONE shuffle key when a giant duplicate group
     (boilerplate, templated pages) lands in one bucket. With a cap, docs
     are ranked by doc_id inside the bucket: the first ``max_bucket`` docs
-    still produce all pairs, and every doc past the cap produces exactly
-    one STAR-LINK pair to the bucket minimum. Pairs per bucket drop from
-    b² to max_bucket²/2 + (b − max_bucket), while within-bucket CONNECTIVITY
-    is preserved exactly (everything stays connected through the minimum),
-    so connected-component clustering downstream is invariant under the cap.
-    Only the raw pair list changes — pairs among tail docs are represented
-    through the anchor instead of directly (``lsh_bucket_stats`` reports
-    what a cap drops).
+    still produce all pairs, and every doc past the cap produces STAR-LINK
+    pairs to the bucket head instead of to every member.
+
+    ``tail_link_all_heads=False`` (MinHash LSH): one link per tail doc to
+    the bucket MINIMUM — max_bucket²/2 + (b − max_bucket) pairs. Because
+    LSH pairs feed connected components with no further verification,
+    within-bucket connectivity — and therefore downstream clustering — is
+    preserved EXACTLY under this cap.
+
+    ``tail_link_all_heads=True`` (verified pipelines, e.g. SimHash
+    Hamming): each tail doc links to ALL ``max_bucket`` head docs —
+    ≤ max_bucket·b pairs, still linear in b. A post-join verify (hamming
+    ≤ k) may reject star-links, so the single-anchor form could orphan a
+    tail doc whose distance to the one anchor exceeds the threshold even
+    though it is close to another member; linking every head gives each
+    tail doc max_bucket independent chances to survive verification.
+    Residual recall loss only for a tail doc far from ALL heads —
+    disclosed in the callers' docstrings (``lsh_bucket_stats`` reports
+    what a cap touches).
 
     ``carry``: optional (source_col, a_alias, b_alias) — a per-doc column
     carried onto both sides of the output, e.g. the simhash signature for
@@ -262,7 +274,10 @@ def _capped_bucket_pairs(
     ranked = bframe.withColumn("rk", F.row_number().over(w))
     heads = ranked.filter(F.col("rk") <= max_bucket).drop("rk")
     head_pairs = _pairs(heads.alias("a"), heads.alias("b"), lt)
-    anchors = ranked.filter(F.col("rk") == 1).drop("rk")
+    if tail_link_all_heads:
+        anchors = heads
+    else:
+        anchors = ranked.filter(F.col("rk") == 1).drop("rk")
     tails = ranked.filter(F.col("rk") > max_bucket).drop("rk")
     tail_pairs = _pairs(anchors.alias("a"), tails.alias("b"), F.lit(True))
     return head_pairs.unionByName(tail_pairs).distinct()
@@ -341,23 +356,32 @@ def lsh_bucket_stats(
     (band, band_hash, bucket_size, pairs_uncapped, pairs_capped). Drive
     this next to :func:`minhash_lsh_candidates` to log what a cap drops
     (a pipeline should alert when bucket_size ≫ max_bucket: that is a
-    giant near-duplicate group, which is itself a data-quality signal)."""
-    cap = 0 if max_bucket is None else max_bucket
+    giant near-duplicate group, which is itself a data-quality signal).
+
+    With ``max_bucket=None`` (uncapped pipeline) the report covers every
+    multi-doc bucket and ``pairs_capped == pairs_uncapped`` — nothing is
+    dropped, the row is pure bucket-size telemetry."""
     bands = _minhash_bands(df, id_col, text_col, n, num_hashes, band_size)
     sizes = bands.groupBy("band", "band_hash").agg(
         F.count("*").alias("bucket_size")
     )
-    return (
-        sizes.filter(F.col("bucket_size") > F.lit(cap))
-        .withColumn(
-            "pairs_uncapped",
-            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long"),
+    uncapped = (
+        F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+    ).cast("long")
+    if max_bucket is None:
+        return (
+            sizes.filter(F.col("bucket_size") > 1)
+            .withColumn("pairs_uncapped", uncapped)
+            .withColumn("pairs_capped", F.col("pairs_uncapped"))
         )
+    return (
+        sizes.filter(F.col("bucket_size") > F.lit(max_bucket))
+        .withColumn("pairs_uncapped", uncapped)
         .withColumn(
             "pairs_capped",
             (
-                F.lit(cap) * (F.lit(cap) - 1) / 2
-                + (F.col("bucket_size") - F.lit(cap))
+                F.lit(max_bucket) * (F.lit(max_bucket) - 1) / 2
+                + (F.col("bucket_size") - F.lit(max_bucket))
             ).cast("long"),
         )
     )
@@ -447,14 +471,13 @@ def simhash_neardup_pairs(
     any bits/n_bands split with bits % n_bands == 0 works up to 64 bits.
 
     ``max_bucket`` (default 64) is the same hot-bucket guard as
-    :func:`minhash_lsh_candidates`: oversized buckets — which at corpus
-    scale are giant exact/near-duplicate groups — emit all pairs among
-    their first ``max_bucket`` docs plus one star-link pair per tail doc
-    rather than b². Note the star-link pair is still Hamming-verified, so
-    a tail doc whose distance to the bucket MINIMUM exceeds
-    ``max_hamming`` is dropped from the pair list (compose with exact
-    pre-collapse — :func:`dedup_corpus` — so identical docs never inflate
-    a bucket past the cap in the first place)."""
+    :func:`minhash_lsh_candidates`, in the verified-pipeline form: tail
+    docs link to ALL ``max_bucket`` heads (≤ max_bucket·b pairs, linear
+    in b) because every pair is still Hamming-verified — a tail doc
+    survives if it is within ``max_hamming`` of ANY head. Residual
+    recall loss only for a tail doc far from all heads; compose with
+    exact pre-collapse (:func:`dedup_corpus`) so identical docs never
+    inflate a bucket past the cap in the first place."""
     assert n_bands > max_hamming, "pigeonhole needs n_bands > max_hamming"
     assert bits % n_bands == 0, "bits must divide evenly into n_bands"
     band_bits = bits // n_bands
@@ -473,7 +496,11 @@ def simhash_neardup_pairs(
         .join(sig, "doc_id")
     )
     cand = _capped_bucket_pairs(
-        bands, ["band", "band_val"], max_bucket, carry=("simhash", "s1", "s2")
+        bands,
+        ["band", "band_val"],
+        max_bucket,
+        carry=("simhash", "s1", "s2"),
+        tail_link_all_heads=True,
     )
     return (
         cand.withColumn(

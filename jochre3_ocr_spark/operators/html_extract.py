@@ -395,6 +395,8 @@ def synthesize_html(doc_id: str, text: str, source: str = "src") -> str:
     original token stream, paragraph count ceil(ntok/12), media count
     floor((nparas-1)/3) + title heading — the driver oracle recomputes
     all of it from the raw text column in SQL."""
+    import html as _html
+
     toks = [t for t in (text or "").split(" ") if t]
     paras = [
         " ".join(toks[i : i + PARA_TOKENS])
@@ -406,7 +408,10 @@ def synthesize_html(doc_id: str, text: str, source: str = "src") -> str:
             body.append(
                 f"<img src='{doc_id}:m{i // IMG_EVERY}' alt='figure'>"
             )
-        body.append(f"<p>{p}</p>")
+        # escape so tokens containing markup chars (<, &, >) round-trip:
+        # the parser's convert_charrefs unescapes them back to the raw
+        # token stream the closed-form oracle computes
+        body.append(f"<p>{_html.escape(p)}</p>")
     return (
         _PAGE_TEMPLATE_HEAD.format(doc_id=doc_id, source=source)
         + "".join(body)
@@ -418,19 +423,22 @@ def synthesize_html_corpus(df, id_col: str = "doc_id", text_col: str = "text",
                            source_col: str = "source"):
     """(doc_id, html) over the docs table — the no-external-data input
     for tests/benchmarks, built in the same narrow batch that consumes
-    it downstream."""
+    it downstream. ``source_col`` is optional (the documented corpus
+    shape is (doc_id, text[, lang, source])): absent, pages use a
+    constant site name."""
     import pandas as pd
+
+    has_source = source_col in df.columns
 
     def run(batches):
         for b in batches:
+            sources = b[source_col] if has_source else ["src"] * len(b)
             yield pd.DataFrame(
                 {
                     "doc_id": b[id_col].astype(str),
                     "html": [
                         synthesize_html(str(d), t or "", str(s))
-                        for d, t, s in zip(
-                            b[id_col], b[text_col], b[source_col]
-                        )
+                        for d, t, s in zip(b[id_col], b[text_col], sources)
                     ],
                 }
             )

@@ -145,21 +145,35 @@ class RetryingBatchPredictor:
     def _forward_with_deadline(self, resized, min_confidence):
         if self.request_timeout is None:
             return self.model.forward(resized, min_confidence)
-        import concurrent.futures
+        # a plain DAEMON thread, not a ThreadPoolExecutor: executor
+        # threads are non-daemon and joined at interpreter exit
+        # (threading._register_atexit), so a genuinely hung forward
+        # would block the PySpark worker from ever exiting — the exact
+        # scenario this deadline exists for. A daemon thread is simply
+        # abandoned.
+        import threading
 
-        ex = concurrent.futures.ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="predictor-request"
+        result: list = []
+        err: list = []
+
+        def _call():
+            try:
+                result.append(self.model.forward(resized, min_confidence))
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                err.append(exc)
+
+        t = threading.Thread(
+            target=_call, name="predictor-request", daemon=True
         )
-        fut = ex.submit(self.model.forward, resized, min_confidence)
-        try:
-            return fut.result(timeout=self.request_timeout)
-        except concurrent.futures.TimeoutError:
+        t.start()
+        t.join(timeout=self.request_timeout)
+        if t.is_alive():
             raise TransientPredictionError(
                 f"request exceeded {self.request_timeout}s timeout"
-            ) from None
-        finally:
-            # never block on a hung worker; completed workers exit at once
-            ex.shutdown(wait=False)
+            )
+        if err:
+            raise err[0]
+        return result[0]
 
     def predict_batch(
         self,
@@ -327,7 +341,16 @@ class HttpLayoutModel:
             resp = self.transport(self.url, body, self.timeout)
         except TransientPredictionError:
             raise
-        except Exception as exc:  # noqa: BLE001 — transport layer = retryable
+        except Exception as exc:  # noqa: BLE001 — mapped below
+            # 4xx is a PERMANENT client error (bad URL, bad payload) —
+            # retrying a hopeless request costs the full backoff schedule
+            # on every batch; only server-side/transport failures (5xx,
+            # refused, timeout) are transient, per the docstring contract
+            code = getattr(exc, "code", None)
+            if code is not None and 400 <= int(code) < 500:
+                raise PredictionFailedError(
+                    f"permanent HTTP client error {code}: {exc}"
+                ) from exc
             raise TransientPredictionError(
                 f"{type(exc).__name__}: {exc}"
             ) from exc

@@ -579,3 +579,34 @@ def test_duplicate_clusters_marks_canonicals(spark):
         assert sum(r["is_canonical"] for r in rows) == 1
         assert all(r["cluster_size"] == len(rows) for r in rows)
         assert min(r["doc_id"] for r in rows) == cid
+
+
+def test_capped_bucket_pairs_tail_link_modes(spark):
+    """Verified pipelines (simhash) link tail docs to ALL heads so a
+    post-join verify gets max_bucket chances per tail doc; LSH links to
+    the minimum only (components need just connectivity)."""
+    from jochre3_ocr_spark.operators.dedup import _capped_bucket_pairs
+
+    bframe = spark.createDataFrame(
+        [(f"d{i}", 0, 7) for i in range(5)],
+        "doc_id string, band int, band_val int",
+    )
+    single = _capped_bucket_pairs(bframe, ["band", "band_val"], 2)
+    allheads = _capped_bucket_pairs(
+        bframe, ["band", "band_val"], 2, tail_link_all_heads=True
+    )
+    s = {(r.doc1, r.doc2) for r in single.collect()}
+    a = {(r.doc1, r.doc2) for r in allheads.collect()}
+    assert s == {("d0", "d1"), ("d0", "d2"), ("d0", "d3"), ("d0", "d4")}
+    assert a == s | {("d1", "d2"), ("d1", "d3"), ("d1", "d4")}
+
+
+def test_lsh_bucket_stats_uncapped_is_telemetry_only(spark):
+    """max_bucket=None: every multi-doc bucket reported, pairs_capped ==
+    pairs_uncapped (nothing dropped), no size-1 noise rows."""
+    from jochre3_ocr_spark.operators.dedup import lsh_bucket_stats
+
+    docs = _hot_bucket_corpus(spark)
+    rows_ = lsh_bucket_stats(docs, max_bucket=None).collect()
+    assert rows_ and all(r.bucket_size >= 2 for r in rows_)
+    assert all(r.pairs_capped == r.pairs_uncapped for r in rows_)

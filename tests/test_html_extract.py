@@ -183,3 +183,27 @@ def test_html_extract_quarantines_bad_rows(spark):
     assert rows["1"]["status"] == "ok"
     # None html coalesces to empty parse, not an error row
     assert rows["2"]["status"] == "ok" and rows["2"]["n_spans"] == 0
+
+
+def test_markup_tokens_roundtrip_via_escaping():
+    """Tokens containing <, >, & must survive synthesis → parse: the
+    builder escapes, convert_charrefs unescapes, the raw token stream
+    comes back exactly (the oracle compares against raw text)."""
+    text = "x<y a&b p>q plain &amp; <script> turns into text tokens"
+    spans = extract_spans(synthesize_html("5", text, "s"),
+                          min_content_chars=1)
+    assert main_text(spans) == "Doc 5 " + "x<y a&b p>q plain &amp; <script> turns into text tokens"
+
+
+def test_synthesize_corpus_without_source_column(spark):
+    """The documented corpus shape is (doc_id, text[, lang, source]) —
+    a table without source must synthesize with the default site name,
+    not die with KeyError."""
+    df = spark.createDataFrame(
+        [("1", "ten words of text in this tiny document body here")],
+        "doc_id string, text string",
+    )
+    out = html_extract(synthesize_html_corpus(df), min_content_chars=1)
+    (row,) = out.collect()
+    assert row["status"] == "ok"
+    assert "ten words of text" in row["main_text"]

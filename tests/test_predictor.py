@@ -356,3 +356,43 @@ def test_http_malformed_response_fails_immediately():
     with pytest.raises(PredictionFailedError):
         pred.predict_batch([np.zeros((8, 8), dtype=np.uint8)])
     assert len(calls) == 1
+
+
+def test_http_4xx_is_permanent_not_retried():
+    """A client error (bad URL/payload) must quarantine immediately —
+    retrying a 404 with full backoff on every batch is hopeless work."""
+    import urllib.error
+
+    from jochre3_ocr_spark.operators.predictor import HttpLayoutModel
+
+    calls = []
+
+    def notfound_transport(url, body, timeout):
+        calls.append(url)
+        raise urllib.error.HTTPError(url, 404, "Not Found", {}, None)
+
+    model = HttpLayoutModel("http://dla.test/missing",
+                            transport=notfound_transport)
+    pred = RetryingBatchPredictor(model, sleep=lambda s: None)
+    with pytest.raises(PredictionFailedError, match="404"):
+        pred.predict_batch([np.zeros((8, 8), dtype=np.uint8)])
+    assert len(calls) == 1
+
+
+def test_http_5xx_stays_transient():
+    import urllib.error
+
+    from jochre3_ocr_spark.operators.predictor import HttpLayoutModel
+
+    calls = []
+
+    def flaky_5xx(url, body, timeout):
+        calls.append(url)
+        if len(calls) < 2:
+            raise urllib.error.HTTPError(url, 503, "Unavailable", {}, None)
+        return _http_roundtrip_transport(url, body, timeout)
+
+    model = HttpLayoutModel("http://dla.test/predict", transport=flaky_5xx)
+    pred = RetryingBatchPredictor(model, sleep=lambda s: None)
+    out = pred.predict_batch([np.zeros((16, 16), dtype=np.uint8)])
+    assert len(out) == 1 and len(calls) == 2
