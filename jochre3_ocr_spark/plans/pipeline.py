@@ -44,6 +44,11 @@ from jochre3_ocr_spark.schema import PipelineConfig
 # threshold get split at top-level block boundaries
 CHUNK_TARGET_SPANS = 2_000
 GIANT_THRESHOLD_SPANS = 8_000
+#: resume: broadcast the TODO id set (payload-free semi-join) up to this
+#: many ids (~50 B each hashed ≈ 250 MB at the cap); beyond it, fall back
+#: to the payload anti-join — at that point most of the corpus is
+#: unprocessed and the shuffle is proportionate to the remaining work
+RESUME_BROADCAST_MAX_IDS = 5_000_000
 
 _OUT_FIELDS = (
     "doc_id spans_json text processed_text alternatives_json n_spans "
@@ -740,7 +745,35 @@ def run_job(
         docs = spark.read.parquet(input_path)
     try:
         done = spark.read.parquet(output_path).select("doc_id").distinct()
-        todo = docs.join(done, "doc_id", "left_anti")
+        # Resume anti-join, PAYLOAD-FREE: the naive
+        # docs.join(done, anti) sort-merge-shuffles the full document
+        # payload once `done` outgrows Spark's broadcast threshold — at
+        # the 10M-doc soak (8.2M committed) that shuffle spilled tens of
+        # GB of text to local disk and died ENOSPC (BENCH.md round 4).
+        # Whichever id set is small gets broadcast so the payload never
+        # shuffles: late resume → broadcast the TODO ids (semi-join);
+        # early resume → broadcast the DONE ids (anti-join). Both counts
+        # run on ids-only column-pruned scans. Only when BOTH sides
+        # exceed the cap (mid-backfill of a corpus ≫ 10M on one box)
+        # does the payload anti-join remain — on a real cluster that
+        # regime is served by doc_id-bucketed tables instead (co-located
+        # join, zero shuffle; sources/catalog.py, SCALE.md §5).
+        n_done = done.count()
+        if n_done <= RESUME_BROADCAST_MAX_IDS:
+            todo = docs.join(F.broadcast(done), "doc_id", "left_anti")
+        else:
+            todo_ids = docs.select("doc_id").join(
+                done, "doc_id", "left_anti"
+            )
+            n_todo = todo_ids.count()
+            if n_todo == 0:
+                todo = docs.limit(0)
+            elif n_todo <= RESUME_BROADCAST_MAX_IDS:
+                todo = docs.join(
+                    F.broadcast(todo_ids), "doc_id", "left_semi"
+                )
+            else:
+                todo = docs.join(done, "doc_id", "left_anti")
     except Exception:  # no output yet
         todo = docs
     fn = extract_with_salting if salted else extract
