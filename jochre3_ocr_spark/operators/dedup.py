@@ -387,55 +387,55 @@ def lsh_bucket_stats(
     )
 
 
-def _simhash_bits(
+def _bit_condition(b: int):
+    """Per-token vote condition for bit ``b``: the md5 hex digit at
+    position b (mod 32) — its HIGH bit (digit ≥ 8) for b < 32 and its
+    SECOND bit (digit & 4) for b ≥ 32, giving 64 independent-enough bits
+    from ONE md5 per token. Identical to the historical rule for
+    bits ≤ 32, and expressible with the same substr/IN construction in
+    DuckDB for the oracle twins."""
+    digit = F.substring(F.md5("token"), (b % 32) + 1, 1)
+    return digit.isin(*"89abcdef") if b < 32 else digit.isin(*"4567cdef")
+
+
+def _simhash_votes(
     df: DataFrame, id_col: str, text_col: str, bits: int
 ) -> DataFrame:
-    """(doc_id, b, bit): per-bit majority vote over distinct tokens.
-
-    Bit source per token: the md5 hex digit at position b (mod 32) — its
-    HIGH bit (digit ≥ 8) for b < 32 and its SECOND bit (digit & 4) for
-    b ≥ 32, giving 64 independent-enough bits from one md5 per token.
-    Identical to the historical rule for bits ≤ 32, and expressible with
-    the same substr/IN construction in DuckDB for the oracle twins.
-    """
+    """(doc_id, v0..v{bits-1}): per-bit vote SUMS over distinct tokens,
+    as ``bits`` aggregate expressions over ONE row per token — not a
+    token×bits explode. The naive per-(token, bit) form recomputes md5
+    ``bits`` times per token and pushes bits× the rows through the
+    shuffle; measured at sf0.1 the 64-bit explode cost 7.4 s vs ~2 s for
+    this wide-aggregate form (BENCH.md round 4). Bit b of the signature
+    is set iff v{b} >= 0."""
     assert bits <= 64, "simhash signatures are at most 64 bits (BIGINT)"
     toks = _tokens(df, id_col, text_col).select(
         "doc_id", F.explode(F.array_distinct("t")).alias("token")
     )
-    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    digit = F.substring(F.md5("token"), (F.col("b") % 32) + 1, 1)
-    high = F.when(F.col("b") < 32, digit.isin(*"89abcdef")).otherwise(
-        digit.isin(*"4567cdef")
-    )
-    return (
-        toks.select("doc_id", "token", b)
-        .select(
-            "doc_id",
-            "b",
-            F.when(high, F.lit(1)).otherwise(F.lit(-1)).alias("vote"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(
-            F.when(F.sum("vote") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit")
-        )
-    )
+    aggs = [
+        F.sum(
+            F.when(_bit_condition(b), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
 
 
-def _assemble_signature(per_bit: DataFrame) -> DataFrame:
-    """(doc_id, simhash): fold per-bit rows into one signed BIGINT.
-
-    Two's-complement safe at 64 bits: bit 63 contributes -2^63 (the sign
-    bit), every other bit contributes +2^b. The ``least(b, 62)`` guard
-    keeps pow() inside BIGINT range even if an engine evaluates the dead
-    branch eagerly under ANSI semantics.
-    """
-    contrib = F.when(
-        (F.col("b") == 63) & (F.col("bit") == 1), F.lit(_LONG_MIN)
-    ).otherwise(
-        F.col("bit")
-        * F.pow(F.lit(2), F.least(F.col("b"), F.lit(62))).cast("bigint")
-    )
-    return per_bit.groupBy("doc_id").agg(F.sum(contrib).alias("simhash"))
+def _signature_expr(bits: int):
+    """Signed-BIGINT signature from the vote columns v0..v{bits-1}:
+    bit b contributes 2^b (python-literal, exact) when v{b} >= 0; bit 63
+    contributes -2^63 (two's complement) so 64 bits fit a BIGINT."""
+    contrib = [
+        F.when(
+            F.col(f"v{b}") >= 0,
+            F.lit(_LONG_MIN if b == 63 else (1 << b)),
+        ).otherwise(F.lit(0))
+        for b in range(bits)
+    ]
+    expr = contrib[0]
+    for c in contrib[1:]:
+        expr = expr + c
+    return expr.cast("bigint")
 
 
 def simhash(
@@ -445,8 +445,15 @@ def simhash(
     WWW'07 — public algorithm). Default is the production 64-bit
     fingerprint; bit b is set when the majority of token-hash bits at
     position b are set. Returns (doc_id, simhash) with the signature as
-    a signed BIGINT (two's complement for bit 63)."""
-    return _assemble_signature(_simhash_bits(df, id_col, text_col, bits))
+    a signed BIGINT (two's complement for bit 63).
+
+    Plan shape: one distinct-token explode, ONE md5 per token, ``bits``
+    conditional-sum aggregates in a single groupBy(doc_id) — no
+    token×bits row explosion (see :func:`_simhash_votes`)."""
+    votes = _simhash_votes(df, id_col, text_col, bits)
+    return votes.select(
+        "doc_id", _signature_expr(bits).alias("simhash")
+    )
 
 
 def simhash_neardup_pairs(
@@ -481,20 +488,40 @@ def simhash_neardup_pairs(
     assert n_bands > max_hamming, "pigeonhole needs n_bands > max_hamming"
     assert bits % n_bands == 0, "bits must divide evenly into n_bands"
     band_bits = bits // n_bands
-    per_bit = _simhash_bits(df, id_col, text_col, bits)
-    sig = _assemble_signature(per_bit)
-    bands = (
-        per_bit.groupBy(
-            "doc_id", F.floor(F.col("b") / band_bits).cast("int").alias("band")
-        )
-        .agg(
-            F.sum(
-                F.col("bit")
-                * F.pow(F.lit(2), F.col("b") % band_bits).cast("bigint")
-            ).alias("band_val")
-        )
-        .join(sig, "doc_id")
+    votes = _simhash_votes(df, id_col, text_col, bits)
+    # band values + full signature from the SAME vote frame (no second
+    # pass): band k packs bits k·band_bits .. (k+1)·band_bits-1
+    def _band_expr(k: int):
+        contrib = [
+            F.when(
+                F.col(f"v{k * band_bits + j}") >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            for j in range(band_bits)
+        ]
+        e = contrib[0]
+        for c in contrib[1:]:
+            e = e + c
+        return e.cast("bigint")
+
+    with_sig = votes.select(
+        "doc_id",
+        _signature_expr(bits).alias("simhash"),
+        *[_band_expr(k).alias(f"bv{k}") for k in range(n_bands)],
     )
+    bands = with_sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"), F.col(f"bv{k}").alias("band_val")
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.band_val")
     cand = _capped_bucket_pairs(
         bands,
         ["band", "band_val"],
