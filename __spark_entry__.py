@@ -494,8 +494,46 @@ GROUP BY doc_id
 # verify gets 3 chances per tail doc, not 1). Band
 # values are aggregated straight from the per-bit votes — never by
 # shifting the signed 64-bit signature.
-_Q_SIMHASH_ND_SPARK = """
-WITH toks AS (
+
+def _simhash_vote_cols_sql(bits: int = 64) -> str:
+    """The per-bit vote aggregates, generated once and shared by BOTH
+    Spark simhash twins (the bit rule lives in exactly one place — a
+    single-digit typo in a hand-maintained 64-arm copy would silently
+    skew one bit of one twin; see operators/dedup._bit_condition for
+    the library form of the same rule)."""
+    lines = []
+    for b in range(bits):
+        digs = ("'8','9','a','b','c','d','e','f'" if b < 32
+                else "'4','5','6','7','c','d','e','f'")
+        lines.append(
+            f"    sum(CASE WHEN substr(md5(token), {b % 32 + 1}, 1) "
+            f"IN ({digs}) THEN 1 ELSE -1 END) AS v{b}"
+        )
+    return ",\n".join(lines)
+
+
+def _simhash_sig_sql(bits: int = 64) -> str:
+    """Signed-BIGINT signature from the vote columns (bit 63 assembled
+    as -2^63, two's complement)."""
+    terms = []
+    for b in range(bits):
+        const = ("(CAST(-9223372036854775807 AS BIGINT) - 1)"
+                 if b == 63 else str(1 << b))
+        terms.append(
+            f"CASE WHEN v{b} >= 0 THEN {const} ELSE CAST(0 AS BIGINT) END"
+        )
+    return "CAST(" + "\n     + ".join(terms) + " AS BIGINT)"
+
+
+def _simhash_band_sql(k: int, band_bits: int = 16) -> str:
+    terms = [
+        f"CASE WHEN v{k * band_bits + j} >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(band_bits)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_SIMHASH_VOTES_CTE = """WITH toks AS (
   SELECT /*+ REBALANCE */ CAST(doc_id AS STRING) AS doc_id, token
   FROM documents
   LATERAL VIEW explode(array_distinct(filter(split(text, ' '), x -> x <> '')))
@@ -503,142 +541,18 @@ WITH toks AS (
 ),
 votes AS (
   SELECT doc_id,
-    sum(CASE WHEN substr(md5(token), 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v0,
-    sum(CASE WHEN substr(md5(token), 2, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v1,
-    sum(CASE WHEN substr(md5(token), 3, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v2,
-    sum(CASE WHEN substr(md5(token), 4, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v3,
-    sum(CASE WHEN substr(md5(token), 5, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v4,
-    sum(CASE WHEN substr(md5(token), 6, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v5,
-    sum(CASE WHEN substr(md5(token), 7, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v6,
-    sum(CASE WHEN substr(md5(token), 8, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v7,
-    sum(CASE WHEN substr(md5(token), 9, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v8,
-    sum(CASE WHEN substr(md5(token), 10, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v9,
-    sum(CASE WHEN substr(md5(token), 11, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v10,
-    sum(CASE WHEN substr(md5(token), 12, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v11,
-    sum(CASE WHEN substr(md5(token), 13, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v12,
-    sum(CASE WHEN substr(md5(token), 14, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v13,
-    sum(CASE WHEN substr(md5(token), 15, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v14,
-    sum(CASE WHEN substr(md5(token), 16, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v15,
-    sum(CASE WHEN substr(md5(token), 17, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v16,
-    sum(CASE WHEN substr(md5(token), 18, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v17,
-    sum(CASE WHEN substr(md5(token), 19, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v18,
-    sum(CASE WHEN substr(md5(token), 20, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v19,
-    sum(CASE WHEN substr(md5(token), 21, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v20,
-    sum(CASE WHEN substr(md5(token), 22, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v21,
-    sum(CASE WHEN substr(md5(token), 23, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v22,
-    sum(CASE WHEN substr(md5(token), 24, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v23,
-    sum(CASE WHEN substr(md5(token), 25, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v24,
-    sum(CASE WHEN substr(md5(token), 26, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v25,
-    sum(CASE WHEN substr(md5(token), 27, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v26,
-    sum(CASE WHEN substr(md5(token), 28, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v27,
-    sum(CASE WHEN substr(md5(token), 29, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v28,
-    sum(CASE WHEN substr(md5(token), 30, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v29,
-    sum(CASE WHEN substr(md5(token), 31, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v30,
-    sum(CASE WHEN substr(md5(token), 32, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v31,
-    sum(CASE WHEN substr(md5(token), 1, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v32,
-    sum(CASE WHEN substr(md5(token), 2, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v33,
-    sum(CASE WHEN substr(md5(token), 3, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v34,
-    sum(CASE WHEN substr(md5(token), 4, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v35,
-    sum(CASE WHEN substr(md5(token), 5, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v36,
-    sum(CASE WHEN substr(md5(token), 6, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v37,
-    sum(CASE WHEN substr(md5(token), 7, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v38,
-    sum(CASE WHEN substr(md5(token), 8, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v39,
-    sum(CASE WHEN substr(md5(token), 9, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v40,
-    sum(CASE WHEN substr(md5(token), 10, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v41,
-    sum(CASE WHEN substr(md5(token), 11, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v42,
-    sum(CASE WHEN substr(md5(token), 12, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v43,
-    sum(CASE WHEN substr(md5(token), 13, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v44,
-    sum(CASE WHEN substr(md5(token), 14, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v45,
-    sum(CASE WHEN substr(md5(token), 15, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v46,
-    sum(CASE WHEN substr(md5(token), 16, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v47,
-    sum(CASE WHEN substr(md5(token), 17, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v48,
-    sum(CASE WHEN substr(md5(token), 18, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v49,
-    sum(CASE WHEN substr(md5(token), 19, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v50,
-    sum(CASE WHEN substr(md5(token), 20, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v51,
-    sum(CASE WHEN substr(md5(token), 21, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v52,
-    sum(CASE WHEN substr(md5(token), 22, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v53,
-    sum(CASE WHEN substr(md5(token), 23, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v54,
-    sum(CASE WHEN substr(md5(token), 24, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v55,
-    sum(CASE WHEN substr(md5(token), 25, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v56,
-    sum(CASE WHEN substr(md5(token), 26, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v57,
-    sum(CASE WHEN substr(md5(token), 27, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v58,
-    sum(CASE WHEN substr(md5(token), 28, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v59,
-    sum(CASE WHEN substr(md5(token), 29, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v60,
-    sum(CASE WHEN substr(md5(token), 30, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v61,
-    sum(CASE WHEN substr(md5(token), 31, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v62,
-    sum(CASE WHEN substr(md5(token), 32, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v63
+%s
   FROM toks GROUP BY doc_id
-),
+)""" % _simhash_vote_cols_sql()
+
+_Q_SIMHASH_ND_SPARK = _SIMHASH_VOTES_CTE + """,
 sigs AS (
   SELECT doc_id,
-         CAST(CASE WHEN v0 >= 0 THEN 1 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v1 >= 0 THEN 2 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v2 >= 0 THEN 4 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v3 >= 0 THEN 8 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v4 >= 0 THEN 16 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v5 >= 0 THEN 32 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v6 >= 0 THEN 64 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v7 >= 0 THEN 128 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v8 >= 0 THEN 256 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v9 >= 0 THEN 512 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v10 >= 0 THEN 1024 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v11 >= 0 THEN 2048 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v12 >= 0 THEN 4096 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v13 >= 0 THEN 8192 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v14 >= 0 THEN 16384 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v15 >= 0 THEN 32768 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v16 >= 0 THEN 65536 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v17 >= 0 THEN 131072 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v18 >= 0 THEN 262144 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v19 >= 0 THEN 524288 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v20 >= 0 THEN 1048576 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v21 >= 0 THEN 2097152 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v22 >= 0 THEN 4194304 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v23 >= 0 THEN 8388608 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v24 >= 0 THEN 16777216 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v25 >= 0 THEN 33554432 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v26 >= 0 THEN 67108864 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v27 >= 0 THEN 134217728 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v28 >= 0 THEN 268435456 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v29 >= 0 THEN 536870912 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v30 >= 0 THEN 1073741824 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v31 >= 0 THEN 2147483648 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v32 >= 0 THEN 4294967296 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v33 >= 0 THEN 8589934592 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v34 >= 0 THEN 17179869184 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v35 >= 0 THEN 34359738368 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v36 >= 0 THEN 68719476736 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v37 >= 0 THEN 137438953472 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v38 >= 0 THEN 274877906944 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v39 >= 0 THEN 549755813888 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v40 >= 0 THEN 1099511627776 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v41 >= 0 THEN 2199023255552 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v42 >= 0 THEN 4398046511104 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v43 >= 0 THEN 8796093022208 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v44 >= 0 THEN 17592186044416 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v45 >= 0 THEN 35184372088832 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v46 >= 0 THEN 70368744177664 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v47 >= 0 THEN 140737488355328 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v48 >= 0 THEN 281474976710656 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v49 >= 0 THEN 562949953421312 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v50 >= 0 THEN 1125899906842624 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v51 >= 0 THEN 2251799813685248 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v52 >= 0 THEN 4503599627370496 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v53 >= 0 THEN 9007199254740992 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v54 >= 0 THEN 18014398509481984 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v55 >= 0 THEN 36028797018963968 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v56 >= 0 THEN 72057594037927936 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v57 >= 0 THEN 144115188075855872 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v58 >= 0 THEN 288230376151711744 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v59 >= 0 THEN 576460752303423488 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v60 >= 0 THEN 1152921504606846976 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v61 >= 0 THEN 2305843009213693952 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v62 >= 0 THEN 4611686018427387904 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v63 >= 0 THEN (CAST(-9223372036854775807 AS BIGINT) - 1) ELSE CAST(0 AS BIGINT) END AS BIGINT) AS simhash,
-         CAST(CASE WHEN v0 >= 0 THEN 1 ELSE 0 END + CASE WHEN v1 >= 0 THEN 2 ELSE 0 END + CASE WHEN v2 >= 0 THEN 4 ELSE 0 END + CASE WHEN v3 >= 0 THEN 8 ELSE 0 END + CASE WHEN v4 >= 0 THEN 16 ELSE 0 END + CASE WHEN v5 >= 0 THEN 32 ELSE 0 END + CASE WHEN v6 >= 0 THEN 64 ELSE 0 END + CASE WHEN v7 >= 0 THEN 128 ELSE 0 END + CASE WHEN v8 >= 0 THEN 256 ELSE 0 END + CASE WHEN v9 >= 0 THEN 512 ELSE 0 END + CASE WHEN v10 >= 0 THEN 1024 ELSE 0 END + CASE WHEN v11 >= 0 THEN 2048 ELSE 0 END + CASE WHEN v12 >= 0 THEN 4096 ELSE 0 END + CASE WHEN v13 >= 0 THEN 8192 ELSE 0 END + CASE WHEN v14 >= 0 THEN 16384 ELSE 0 END + CASE WHEN v15 >= 0 THEN 32768 ELSE 0 END AS BIGINT) AS bv0,
-         CAST(CASE WHEN v16 >= 0 THEN 1 ELSE 0 END + CASE WHEN v17 >= 0 THEN 2 ELSE 0 END + CASE WHEN v18 >= 0 THEN 4 ELSE 0 END + CASE WHEN v19 >= 0 THEN 8 ELSE 0 END + CASE WHEN v20 >= 0 THEN 16 ELSE 0 END + CASE WHEN v21 >= 0 THEN 32 ELSE 0 END + CASE WHEN v22 >= 0 THEN 64 ELSE 0 END + CASE WHEN v23 >= 0 THEN 128 ELSE 0 END + CASE WHEN v24 >= 0 THEN 256 ELSE 0 END + CASE WHEN v25 >= 0 THEN 512 ELSE 0 END + CASE WHEN v26 >= 0 THEN 1024 ELSE 0 END + CASE WHEN v27 >= 0 THEN 2048 ELSE 0 END + CASE WHEN v28 >= 0 THEN 4096 ELSE 0 END + CASE WHEN v29 >= 0 THEN 8192 ELSE 0 END + CASE WHEN v30 >= 0 THEN 16384 ELSE 0 END + CASE WHEN v31 >= 0 THEN 32768 ELSE 0 END AS BIGINT) AS bv1,
-         CAST(CASE WHEN v32 >= 0 THEN 1 ELSE 0 END + CASE WHEN v33 >= 0 THEN 2 ELSE 0 END + CASE WHEN v34 >= 0 THEN 4 ELSE 0 END + CASE WHEN v35 >= 0 THEN 8 ELSE 0 END + CASE WHEN v36 >= 0 THEN 16 ELSE 0 END + CASE WHEN v37 >= 0 THEN 32 ELSE 0 END + CASE WHEN v38 >= 0 THEN 64 ELSE 0 END + CASE WHEN v39 >= 0 THEN 128 ELSE 0 END + CASE WHEN v40 >= 0 THEN 256 ELSE 0 END + CASE WHEN v41 >= 0 THEN 512 ELSE 0 END + CASE WHEN v42 >= 0 THEN 1024 ELSE 0 END + CASE WHEN v43 >= 0 THEN 2048 ELSE 0 END + CASE WHEN v44 >= 0 THEN 4096 ELSE 0 END + CASE WHEN v45 >= 0 THEN 8192 ELSE 0 END + CASE WHEN v46 >= 0 THEN 16384 ELSE 0 END + CASE WHEN v47 >= 0 THEN 32768 ELSE 0 END AS BIGINT) AS bv2,
-         CAST(CASE WHEN v48 >= 0 THEN 1 ELSE 0 END + CASE WHEN v49 >= 0 THEN 2 ELSE 0 END + CASE WHEN v50 >= 0 THEN 4 ELSE 0 END + CASE WHEN v51 >= 0 THEN 8 ELSE 0 END + CASE WHEN v52 >= 0 THEN 16 ELSE 0 END + CASE WHEN v53 >= 0 THEN 32 ELSE 0 END + CASE WHEN v54 >= 0 THEN 64 ELSE 0 END + CASE WHEN v55 >= 0 THEN 128 ELSE 0 END + CASE WHEN v56 >= 0 THEN 256 ELSE 0 END + CASE WHEN v57 >= 0 THEN 512 ELSE 0 END + CASE WHEN v58 >= 0 THEN 1024 ELSE 0 END + CASE WHEN v59 >= 0 THEN 2048 ELSE 0 END + CASE WHEN v60 >= 0 THEN 4096 ELSE 0 END + CASE WHEN v61 >= 0 THEN 8192 ELSE 0 END + CASE WHEN v62 >= 0 THEN 16384 ELSE 0 END + CASE WHEN v63 >= 0 THEN 32768 ELSE 0 END AS BIGINT) AS bv3
+         %s AS simhash,
+         %s AS bv0,
+         %s AS bv1,
+         %s AS bv2,
+         %s AS bv3
   FROM votes
 ),
 bands AS (
@@ -670,7 +584,8 @@ cand AS (
 )
 SELECT doc1, doc2, CAST(bit_count(s1 ^ s2) AS INT) AS hamming
 FROM cand WHERE bit_count(s1 ^ s2) <= 1
-"""
+""" % (_simhash_sig_sql(), _simhash_band_sql(0), _simhash_band_sql(1),
+       _simhash_band_sql(2), _simhash_band_sql(3))
 _Q_SIMHASH_ND_DUCK = """
 WITH toks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -842,148 +757,11 @@ SELECT DISTINCT doc1, doc2 FROM (
 # sf0.1, BENCH.md round 4). The DuckDB twin keeps the per-bit CTE —
 # same values, and the two dissimilar formulations agreeing is itself
 # oracle strength.
-_Q_SIMHASH_SPARK = """
-WITH toks AS (
-  SELECT /*+ REBALANCE */ CAST(doc_id AS STRING) AS doc_id, token
-  FROM documents
-  LATERAL VIEW explode(array_distinct(filter(split(text, ' '), x -> x <> '')))
-    x AS token
-),
-votes AS (
-  SELECT doc_id,
-    sum(CASE WHEN substr(md5(token), 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v0,
-    sum(CASE WHEN substr(md5(token), 2, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v1,
-    sum(CASE WHEN substr(md5(token), 3, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v2,
-    sum(CASE WHEN substr(md5(token), 4, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v3,
-    sum(CASE WHEN substr(md5(token), 5, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v4,
-    sum(CASE WHEN substr(md5(token), 6, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v5,
-    sum(CASE WHEN substr(md5(token), 7, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v6,
-    sum(CASE WHEN substr(md5(token), 8, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v7,
-    sum(CASE WHEN substr(md5(token), 9, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v8,
-    sum(CASE WHEN substr(md5(token), 10, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v9,
-    sum(CASE WHEN substr(md5(token), 11, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v10,
-    sum(CASE WHEN substr(md5(token), 12, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v11,
-    sum(CASE WHEN substr(md5(token), 13, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v12,
-    sum(CASE WHEN substr(md5(token), 14, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v13,
-    sum(CASE WHEN substr(md5(token), 15, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v14,
-    sum(CASE WHEN substr(md5(token), 16, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v15,
-    sum(CASE WHEN substr(md5(token), 17, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v16,
-    sum(CASE WHEN substr(md5(token), 18, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v17,
-    sum(CASE WHEN substr(md5(token), 19, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v18,
-    sum(CASE WHEN substr(md5(token), 20, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v19,
-    sum(CASE WHEN substr(md5(token), 21, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v20,
-    sum(CASE WHEN substr(md5(token), 22, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v21,
-    sum(CASE WHEN substr(md5(token), 23, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v22,
-    sum(CASE WHEN substr(md5(token), 24, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v23,
-    sum(CASE WHEN substr(md5(token), 25, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v24,
-    sum(CASE WHEN substr(md5(token), 26, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v25,
-    sum(CASE WHEN substr(md5(token), 27, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v26,
-    sum(CASE WHEN substr(md5(token), 28, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v27,
-    sum(CASE WHEN substr(md5(token), 29, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v28,
-    sum(CASE WHEN substr(md5(token), 30, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v29,
-    sum(CASE WHEN substr(md5(token), 31, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v30,
-    sum(CASE WHEN substr(md5(token), 32, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v31,
-    sum(CASE WHEN substr(md5(token), 1, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v32,
-    sum(CASE WHEN substr(md5(token), 2, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v33,
-    sum(CASE WHEN substr(md5(token), 3, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v34,
-    sum(CASE WHEN substr(md5(token), 4, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v35,
-    sum(CASE WHEN substr(md5(token), 5, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v36,
-    sum(CASE WHEN substr(md5(token), 6, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v37,
-    sum(CASE WHEN substr(md5(token), 7, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v38,
-    sum(CASE WHEN substr(md5(token), 8, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v39,
-    sum(CASE WHEN substr(md5(token), 9, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v40,
-    sum(CASE WHEN substr(md5(token), 10, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v41,
-    sum(CASE WHEN substr(md5(token), 11, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v42,
-    sum(CASE WHEN substr(md5(token), 12, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v43,
-    sum(CASE WHEN substr(md5(token), 13, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v44,
-    sum(CASE WHEN substr(md5(token), 14, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v45,
-    sum(CASE WHEN substr(md5(token), 15, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v46,
-    sum(CASE WHEN substr(md5(token), 16, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v47,
-    sum(CASE WHEN substr(md5(token), 17, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v48,
-    sum(CASE WHEN substr(md5(token), 18, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v49,
-    sum(CASE WHEN substr(md5(token), 19, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v50,
-    sum(CASE WHEN substr(md5(token), 20, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v51,
-    sum(CASE WHEN substr(md5(token), 21, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v52,
-    sum(CASE WHEN substr(md5(token), 22, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v53,
-    sum(CASE WHEN substr(md5(token), 23, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v54,
-    sum(CASE WHEN substr(md5(token), 24, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v55,
-    sum(CASE WHEN substr(md5(token), 25, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v56,
-    sum(CASE WHEN substr(md5(token), 26, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v57,
-    sum(CASE WHEN substr(md5(token), 27, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v58,
-    sum(CASE WHEN substr(md5(token), 28, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v59,
-    sum(CASE WHEN substr(md5(token), 29, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v60,
-    sum(CASE WHEN substr(md5(token), 30, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v61,
-    sum(CASE WHEN substr(md5(token), 31, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v62,
-    sum(CASE WHEN substr(md5(token), 32, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END) AS v63
-  FROM toks GROUP BY doc_id
-)
+_Q_SIMHASH_SPARK = _SIMHASH_VOTES_CTE + """
 SELECT doc_id,
-       CAST(CASE WHEN v0 >= 0 THEN 1 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v1 >= 0 THEN 2 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v2 >= 0 THEN 4 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v3 >= 0 THEN 8 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v4 >= 0 THEN 16 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v5 >= 0 THEN 32 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v6 >= 0 THEN 64 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v7 >= 0 THEN 128 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v8 >= 0 THEN 256 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v9 >= 0 THEN 512 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v10 >= 0 THEN 1024 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v11 >= 0 THEN 2048 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v12 >= 0 THEN 4096 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v13 >= 0 THEN 8192 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v14 >= 0 THEN 16384 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v15 >= 0 THEN 32768 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v16 >= 0 THEN 65536 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v17 >= 0 THEN 131072 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v18 >= 0 THEN 262144 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v19 >= 0 THEN 524288 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v20 >= 0 THEN 1048576 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v21 >= 0 THEN 2097152 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v22 >= 0 THEN 4194304 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v23 >= 0 THEN 8388608 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v24 >= 0 THEN 16777216 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v25 >= 0 THEN 33554432 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v26 >= 0 THEN 67108864 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v27 >= 0 THEN 134217728 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v28 >= 0 THEN 268435456 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v29 >= 0 THEN 536870912 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v30 >= 0 THEN 1073741824 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v31 >= 0 THEN 2147483648 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v32 >= 0 THEN 4294967296 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v33 >= 0 THEN 8589934592 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v34 >= 0 THEN 17179869184 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v35 >= 0 THEN 34359738368 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v36 >= 0 THEN 68719476736 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v37 >= 0 THEN 137438953472 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v38 >= 0 THEN 274877906944 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v39 >= 0 THEN 549755813888 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v40 >= 0 THEN 1099511627776 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v41 >= 0 THEN 2199023255552 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v42 >= 0 THEN 4398046511104 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v43 >= 0 THEN 8796093022208 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v44 >= 0 THEN 17592186044416 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v45 >= 0 THEN 35184372088832 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v46 >= 0 THEN 70368744177664 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v47 >= 0 THEN 140737488355328 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v48 >= 0 THEN 281474976710656 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v49 >= 0 THEN 562949953421312 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v50 >= 0 THEN 1125899906842624 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v51 >= 0 THEN 2251799813685248 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v52 >= 0 THEN 4503599627370496 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v53 >= 0 THEN 9007199254740992 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v54 >= 0 THEN 18014398509481984 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v55 >= 0 THEN 36028797018963968 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v56 >= 0 THEN 72057594037927936 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v57 >= 0 THEN 144115188075855872 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v58 >= 0 THEN 288230376151711744 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v59 >= 0 THEN 576460752303423488 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v60 >= 0 THEN 1152921504606846976 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v61 >= 0 THEN 2305843009213693952 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v62 >= 0 THEN 4611686018427387904 ELSE CAST(0 AS BIGINT) END
-     + CASE WHEN v63 >= 0 THEN (CAST(-9223372036854775807 AS BIGINT) - 1) ELSE CAST(0 AS BIGINT) END AS BIGINT) AS simhash
+       %s AS simhash
 FROM votes
-"""
+""" % _simhash_sig_sql()
 _Q_SIMHASH_DUCK = """
 WITH toks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,

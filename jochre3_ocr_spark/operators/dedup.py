@@ -492,9 +492,13 @@ def simhash_neardup_pairs(
     # band values + full signature from the SAME vote frame (no second
     # pass): band k packs bits k·band_bits .. (k+1)·band_bits-1
     def _band_expr(k: int):
+        # j == 63 only when band_bits == 64 (n_bands=1): the band IS the
+        # signature, so its top bit needs the same two's-complement
+        # treatment as _signature_expr — 1 << 63 overflows a literal
         contrib = [
             F.when(
-                F.col(f"v{k * band_bits + j}") >= 0, F.lit(1 << j)
+                F.col(f"v{k * band_bits + j}") >= 0,
+                F.lit(_LONG_MIN if j == 63 else (1 << j)),
             ).otherwise(F.lit(0))
             for j in range(band_bits)
         ]

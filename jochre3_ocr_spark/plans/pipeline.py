@@ -743,8 +743,26 @@ def run_job(
         docs = spark.table(input_path[len("table:"):])
     else:
         docs = spark.read.parquet(input_path)
+    # The missing-output probe catches ONLY the analysis-time "no output
+    # yet" errors. Everything after it runs eager Spark jobs (counts,
+    # shuffles) whose RUNTIME failures must PROPAGATE: a broad except
+    # here would turn e.g. an ENOSPC during the id count into
+    # todo = docs — a silent full reprocess APPENDING millions of
+    # duplicate rows on top of the committed output.
     try:
-        done = spark.read.parquet(output_path).select("doc_id").distinct()
+        done = (
+            spark.read.parquet(output_path).select("doc_id").distinct()
+        )
+        done.schema  # force analysis inside the guarded region
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            done = None  # first run: nothing committed yet
+        else:
+            raise
+    todo_ids = None
+    if done is None:
+        todo = docs
+    else:
         # Resume anti-join, PAYLOAD-FREE: the naive
         # docs.join(done, anti) sort-merge-shuffles the full document
         # payload once `done` outgrows Spark's broadcast threshold — at
@@ -753,18 +771,22 @@ def run_job(
         # Whichever id set is small gets broadcast so the payload never
         # shuffles: late resume → broadcast the TODO ids (semi-join);
         # early resume → broadcast the DONE ids (anti-join). Both counts
-        # run on ids-only column-pruned scans. Only when BOTH sides
-        # exceed the cap (mid-backfill of a corpus ≫ 10M on one box)
-        # does the payload anti-join remain — on a real cluster that
-        # regime is served by doc_id-bucketed tables instead (co-located
-        # join, zero shuffle; sources/catalog.py, SCALE.md §5).
+        # run on ids-only column-pruned scans; the counted frame is
+        # persisted so the broadcast reuses it instead of re-scanning
+        # the (large) output ids and re-running the anti-join. Only when
+        # BOTH sides exceed the cap (mid-backfill of a corpus ≫ 10M on
+        # one box) does the payload anti-join remain — on a real
+        # cluster that regime is served by doc_id-bucketed tables
+        # instead (co-located join, zero shuffle; sources/catalog.py,
+        # SCALE.md §5).
+        done = done.persist()
         n_done = done.count()
         if n_done <= RESUME_BROADCAST_MAX_IDS:
             todo = docs.join(F.broadcast(done), "doc_id", "left_anti")
         else:
             todo_ids = docs.select("doc_id").join(
                 done, "doc_id", "left_anti"
-            )
+            ).persist()
             n_todo = todo_ids.count()
             if n_todo == 0:
                 todo = docs.limit(0)
@@ -774,11 +796,15 @@ def run_job(
                 )
             else:
                 todo = docs.join(done, "doc_id", "left_anti")
-    except Exception:  # no output yet
-        todo = docs
     fn = extract_with_salting if salted else extract
     result = fn(todo, lexicon_words, config)
-    result.write.mode("append").parquet(output_path)
+    try:
+        result.write.mode("append").parquet(output_path)
+    finally:
+        if done is not None:
+            done.unpersist()
+        if todo_ids is not None:
+            todo_ids.unpersist()
     if metrics_path:
         write_partition_metrics(spark, output_path, metrics_path)
     return spark.read.parquet(output_path).select("doc_id").distinct().count()

@@ -610,3 +610,19 @@ def test_lsh_bucket_stats_uncapped_is_telemetry_only(spark):
     rows_ = lsh_bucket_stats(docs, max_bucket=None).collect()
     assert rows_ and all(r.bucket_size >= 2 for r in rows_)
     assert all(r.pairs_capped == r.pairs_uncapped for r in rows_)
+
+
+def test_simhash_neardup_single_band_is_exact_signature_match(spark):
+    """n_bands=1 (band == full 64-bit signature, two's-complement top
+    bit): must construct without literal overflow and pair exactly the
+    identical-signature docs."""
+    from jochre3_ocr_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _hot_bucket_corpus(spark)
+    pairs = simhash_neardup_pairs(
+        docs, max_hamming=0, bits=64, n_bands=1, max_bucket=5
+    ).collect()
+    assert pairs  # the 40 identical docs share a signature
+    assert all(r.hamming == 0 for r in pairs)
+    ids = {r.doc1 for r in pairs} | {r.doc2 for r in pairs}
+    assert ids == {f"g{i:03d}" for i in range(40)}

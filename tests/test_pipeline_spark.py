@@ -254,3 +254,23 @@ def test_output_has_page_confidence_and_language(spark, docs_df):
     ok = [r for r in rows if r.status == "ok" and r.n_words > 0]
     assert ok and all(r.mean_confidence > 0.0 for r in ok)
     assert "language" in out.columns
+
+
+def test_run_job_raises_on_incompatible_output_not_reprocess(spark, tmp_path):
+    """Second-review finding: a failure while computing the resume
+    TODO set must PROPAGATE — swallowing it (the old broad except)
+    silently reprocessed everything and appended duplicates. An output
+    dir whose schema lacks doc_id is such a failure: analysis raises,
+    run_job must not treat it as 'no output yet'."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    from jochre3_ocr_spark.plans.pipeline import run_job
+    from jochre3_ocr_spark.sources.corpus import docs_df, lexicon_words
+
+    inp = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "out.parquet")
+    docs_df(spark, 5).write.parquet(inp)
+    spark.createDataFrame([(1, "x")], "a int, b string").write.parquet(out)
+    with _pytest.raises(AnalysisException):
+        run_job(spark, inp, out, lexicon_words(), metrics_path=None)
