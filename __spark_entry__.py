@@ -1947,6 +1947,66 @@ FROM m
 """
 
 
+def _html_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full web-document path through the SAME extraction engine as
+    OCR pages (the north rule's one pipeline over interleaved docs):
+    synthesized HTML → boilerplate-strip/DOM extraction → span-vocabulary
+    bridge (operators/html_extract.html_spans_to_doc_spans: heading/text
+    spans become block/line/word/space, media passes through) → the
+    salted extraction kernel (plans/pipeline.extract_with_salting) →
+    processed text. The oracle recomputes the output in closed form from
+    the raw text column: title line 'Doc <id>' (with the engine's BiDi
+    number-reversal rule applied to the digit run — the oracle mirrors
+    it with reverse(doc_id), proving the REAL rule chain ran) then the
+    12-token paragraph lines, newline-joined; n_words counts title +
+    body tokens."""
+    from jochre3_ocr_spark.operators.html_extract import (
+        html_extract,
+        html_spans_to_doc_spans,
+        synthesize_html_corpus,
+    )
+    from jochre3_ocr_spark.plans.pipeline import extract_with_salting
+    from jochre3_ocr_spark.sources.corpus import lexicon_words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bridged = html_spans_to_doc_spans(
+        html_extract(synthesize_html_corpus(docs), min_content_chars=1)
+    )
+    out = extract_with_salting(bridged, lexicon_words())
+    return out.selectExpr(
+        "doc_id",
+        "processed_text",
+        "CAST(n_words AS INT) AS n_words",
+        "status",
+    )
+
+
+_Q_HTML_E2E_DUCK = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) = 0 THEN 0
+              ELSE ((len(tk) - 1) // 12) + 1 END AS np
+  FROM t
+)
+SELECT doc_id,
+       array_to_string(
+         list_prepend('Doc ' || reverse(doc_id),
+           list_transform(range(np),
+             i -> array_to_string(
+                    list_slice(tk, i * 12 + 1, least(i * 12 + 12, n)),
+                    ' '))),
+         chr(10)) AS processed_text,
+       CAST(2 + n AS INT) AS n_words,
+       'ok' AS status
+FROM c
+"""
+
+
 def _corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy first-fit-in-order sequence packing per doc_id-mod shard
     (operators/packing.pack_sequences, capacity 256, 8 shards) — the
@@ -2638,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_full": _dedup_clusters_full,
         "dedup_corpus_verdicts": _dedup_corpus_verdicts,
         "html_main_content": _html_main_content,
+        "html_extraction_e2e": _html_extraction_e2e,
         "corpus_chunking": _corpus_chunking,
         "corpus_packing": _corpus_packing,
         "corpus_decontaminate": _corpus_decontaminate,
@@ -2697,6 +2758,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_full": _Q_DEDUP_CLUSTERS_FULL_DUCK,
         "dedup_corpus_verdicts": _Q_DEDUP_CORPUS_DUCK,
         "html_main_content": _Q_HTML_MAIN_DUCK,
+        "html_extraction_e2e": _Q_HTML_E2E_DUCK,
         "corpus_chunking": _Q_CHUNKING_DUCK,
         "corpus_packing": _Q_PACKING_DUCK,
         "corpus_decontaminate": _Q_DECONTAM_DUCK,

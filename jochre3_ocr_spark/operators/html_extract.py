@@ -357,6 +357,77 @@ def html_extract(
     return df.mapInPandas(run, schema=SPAN_SCHEMA)
 
 
+def html_spans_to_doc_spans(df, spans_col: str = "spans",
+                            id_col: str = "doc_id"):
+    """Bridge the extracted HTML spans (heading/text/media) into the
+    engine's document span vocabulary (block/line/word/space/media) —
+    the exact input shape of the extraction pipeline
+    (plans/pipeline.extract_text_df), so a web page flows through the
+    SAME engine as an OCR page: each content span becomes a block with
+    one line of word/space spans; media spans pass through.
+
+    Pure JVM column expressions (transform/flatten over the span array,
+    whole-stage codegen) — zero Python, zero shuffle.
+    Returns (doc_id, spans) with offsets renumbered 0..n-1.
+    """
+    from pyspark.sql import functions as F
+
+    def _stru(kind, text, media_ref):
+        return F.struct(
+            kind.alias("kind"),
+            text.alias("text"),
+            media_ref.alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+
+    null_s = F.lit(None).cast("string")
+
+    def _content(s):
+        words = F.filter(
+            F.split(s["text"], " "), lambda x: x != ""
+        )
+        word_spans = F.flatten(
+            F.transform(
+                words,
+                lambda w, i: F.when(
+                    i == 0, F.array(_stru(F.lit("word"), w, null_s))
+                ).otherwise(
+                    F.array(
+                        _stru(F.lit("space"), F.lit(" "), null_s),
+                        _stru(F.lit("word"), w, null_s),
+                    )
+                ),
+            )
+        )
+        return F.concat(
+            F.array(
+                _stru(F.lit("block"), null_s, null_s),
+                _stru(F.lit("line"), null_s, null_s),
+            ),
+            word_spans,
+        )
+
+    per_span = F.transform(
+        F.col(spans_col),
+        lambda s: F.when(
+            s["kind"] == "media",
+            F.array(_stru(F.lit("media"), null_s, s["media_ref"])),
+        ).otherwise(_content(s)),
+    )
+    renumbered = F.transform(
+        F.flatten(per_span),
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), renumbered.alias("spans")
+    )
+
+
 # -------------------------------------------- deterministic page builder
 #: tokens per synthesized content paragraph
 PARA_TOKENS = 12

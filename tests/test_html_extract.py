@@ -207,3 +207,52 @@ def test_synthesize_corpus_without_source_column(spark):
     (row,) = out.collect()
     assert row["status"] == "ok"
     assert "ten words of text" in row["main_text"]
+
+
+def test_html_spans_bridge_vocabulary(spark):
+    """The bridge converts extracted HTML spans into the engine's span
+    vocabulary: each content span = block + line + word/space
+    alternation, media passes through, offsets renumber 0..n-1."""
+    from jochre3_ocr_spark.operators.html_extract import (
+        html_spans_to_doc_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(
+            "d1",
+            [
+                ("heading", "My Title", "", 0),
+                ("text", "one two", "", 1),
+                ("media", "", "d1:m1", 2),
+                ("text", "three", "", 3),
+            ],
+        )],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    (row,) = html_spans_to_doc_spans(df).collect()
+    got = [(s.kind, s.text, s.media_ref, s.offset) for s in row.spans]
+    assert got == [
+        ("block", None, None, 0), ("line", None, None, 1),
+        ("word", "My", None, 2), ("space", " ", None, 3),
+        ("word", "Title", None, 4),
+        ("block", None, None, 5), ("line", None, None, 6),
+        ("word", "one", None, 7), ("space", " ", None, 8),
+        ("word", "two", None, 9),
+        ("media", None, "d1:m1", 10),
+        ("block", None, None, 11), ("line", None, None, 12),
+        ("word", "three", None, 13),
+    ]
+
+
+def test_html_extraction_e2e_runs_real_kernel(spark):
+    """Web page → extraction engine: the driver query's output must show
+    the REAL rule chain ran (the BiDi number-reversal rule reverses the
+    title's digit run) and recover every body token."""
+    import __spark_entry__ as E
+
+    out = E.queries()["html_extraction_e2e"](spark, SF_DIR)
+    rows = {r.doc_id: r for r in out.collect()}
+    r10 = rows["10"]
+    assert r10.processed_text.startswith("Doc 01\n")  # 10 reversed
+    assert r10.status == "ok"
