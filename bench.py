@@ -66,6 +66,7 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "dedup_simhash_neardup",
         "dedup_corpus_verdicts",
         "html_main_content",
+        "html_extraction_e2e",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can

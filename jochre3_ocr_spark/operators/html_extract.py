@@ -383,8 +383,11 @@ def html_spans_to_doc_spans(df, spans_col: str = "spans",
     null_s = F.lit(None).cast("string")
 
     def _content(s):
+        # coalesce: html_extract never emits NULL text, but a NULL from
+        # another producer would otherwise propagate through split/
+        # transform/flatten and null out the ENTIRE document's span array
         words = F.filter(
-            F.split(s["text"], " "), lambda x: x != ""
+            F.split(F.coalesce(s["text"], F.lit("")), " "), lambda x: x != ""
         )
         word_spans = F.flatten(
             F.transform(
