@@ -1972,6 +1972,11 @@ def _html_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridged = html_spans_to_doc_spans(
         html_extract(synthesize_html_corpus(docs), min_content_chars=1)
     )
+    # the salted extractor evaluates its input once per branch
+    # (normal/giant) — cheap for a column-pruned parquet scan, but here
+    # the producer is two Python stages; checkpoint so synthesize+parse
+    # run ONCE (halves this query's wall-clock)
+    bridged = bridged.localCheckpoint(eager=False)
     out = extract_with_salting(bridged, lexicon_words())
     return out.selectExpr(
         "doc_id",
@@ -1988,7 +1993,15 @@ WITH t AS (
   FROM documents
 ),
 c AS (
-  SELECT doc_id, tk, len(tk) AS n,
+  -- the engine's BiDi number-reversal rule fires on every digit-run
+  -- token (>= 2 digits, optional decimal point — alto_rules
+  -- .reverse_number_rule); mirror it on BODY tokens too so the oracle
+  -- does not silently depend on the corpus being digit-free
+  SELECT doc_id,
+         list_transform(tk,
+           x -> CASE WHEN regexp_matches(x, '^[0-9]+\\.?[0-9]+$')
+                     THEN reverse(x) ELSE x END) AS tk,
+         len(tk) AS n,
          CASE WHEN len(tk) = 0 THEN 0
               ELSE ((len(tk) - 1) // 12) + 1 END AS np
   FROM t

@@ -369,8 +369,17 @@ def html_spans_to_doc_spans(df, spans_col: str = "spans",
     Pure JVM column expressions (transform/flatten over the span array,
     whole-stage codegen) — zero Python, zero shuffle.
     Returns (doc_id, spans) with offsets renumbered 0..n-1.
+
+    Quarantine rows from :func:`html_extract` (status='error') are
+    EXCLUDED — their empty span list would otherwise flow through the
+    kernel as a successfully-extracted empty document, silently erasing
+    the error signal; consumers route error rows from the extractor's
+    own output.
     """
     from pyspark.sql import functions as F
+
+    if "status" in df.columns:
+        df = df.filter(F.col("status") == "ok")
 
     def _stru(kind, text, media_ref):
         return F.struct(

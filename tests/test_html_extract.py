@@ -256,3 +256,21 @@ def test_html_extraction_e2e_runs_real_kernel(spark):
     r10 = rows["10"]
     assert r10.processed_text.startswith("Doc 01\n")  # 10 reversed
     assert r10.status == "ok"
+
+
+def test_bridge_excludes_quarantine_rows(spark):
+    """Error rows from html_extract must NOT flow through the bridge as
+    successfully-extracted empty documents — the error signal routes
+    from the extractor's own output."""
+    from jochre3_ocr_spark.operators.html_extract import (
+        html_spans_to_doc_spans,
+    )
+
+    df = spark.createDataFrame(
+        [("ok1", [("text", "fine words", "", 0)], "ok"),
+         ("bad1", [], "error")],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, status string",
+    )
+    out = html_spans_to_doc_spans(df).collect()
+    assert [r.doc_id for r in out] == ["ok1"]
