@@ -346,8 +346,11 @@ class HttpLayoutModel:
             # retrying a hopeless request costs the full backoff schedule
             # on every batch; only server-side/transport failures (5xx,
             # refused, timeout) are transient, per the docstring contract
+            # only an int .code is an HTTP status — some transports hang
+            # a string errno on .code, and letting int() raise here would
+            # escape BOTH classifications and bypass the retry contract
             code = getattr(exc, "code", None)
-            if code is not None and 400 <= int(code) < 500:
+            if isinstance(code, int) and 400 <= code < 500:
                 raise PredictionFailedError(
                     f"permanent HTTP client error {code}: {exc}"
                 ) from exc

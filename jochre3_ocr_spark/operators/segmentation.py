@@ -68,6 +68,11 @@ def remove_overlaps(rects: list[PredictedBox]) -> list[PredictedBox]:
 #: output; the crossover keeps tiny pages on the allocation-free path)
 _SWEEP_THRESHOLD = 256
 
+#: candidate-pair chunk size for the sweep-line overlap map — a module
+#: constant (not a local) so parity tests can shrink it to force
+#: multi-chunk runs, which is where the front/tail trim interaction lives
+_SWEEP_CHUNK = 2_000_000
+
 
 def _overlap_map(rects: list[PredictedBox]) -> dict[int, set[int]]:
     """Pairs overlapping >20% in either direction
@@ -127,21 +132,27 @@ def _overlap_map_sweep(rects: list[PredictedBox]) -> dict[int, set[int]]:
     total = int(offsets[-1])
 
     overlaps: dict[int, set[int]] = {i: set() for i in range(n)}
-    chunk = 2_000_000
     pos = 0
     while pos < total:
-        hi = min(pos + chunk, total)
+        hi = min(pos + _SWEEP_CHUNK, total)
         # positions p whose candidate ranges intersect [pos, hi)
         p_lo = int(np.searchsorted(offsets, pos, side="right") - 1)
         p_hi = int(np.searchsorted(offsets, hi, side="left"))
         p_cnt = cnt[p_lo:p_hi].copy()
-        # trim the first/last partially-covered ranges
-        p_cnt[0] -= pos - int(offsets[p_lo])
+        first_q = starts[p_lo:p_hi].copy()
+        # trim the first/last partially-covered ranges — the front trim
+        # must be computed BEFORE the tail trim and applied to first_q
+        # directly: when one box's range spans the whole chunk
+        # (p_hi == p_lo+1) the two trims hit the same p_cnt entry, and
+        # deriving the front shift from cnt[p_lo] - p_cnt[0] after the
+        # tail trim would shift the q-window by the tail trim too,
+        # skipping some candidate slices and re-evaluating others
+        front = pos - int(offsets[p_lo])
+        p_cnt[0] -= front
+        first_q[0] += front
         over = int(offsets[p_hi]) - hi
         if over > 0:
             p_cnt[-1] -= over
-        first_q = starts[p_lo:p_hi].copy()
-        first_q[0] += cnt[p_lo] - p_cnt[0]
         p_idx = np.repeat(np.arange(p_lo, p_hi), p_cnt)
         base = np.concatenate(([0], np.cumsum(p_cnt)))[:-1]
         q_idx = (

@@ -755,7 +755,31 @@ def run_job(
         )
         done.schema  # force analysis inside the guarded region
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+        # Prefer the structured error class (Spark ≥3.4 getCondition /
+        # 3.3 getErrorClass) over message text — vendor builds and older
+        # engines word the message differently, and a missed match here
+        # would fail a legitimate first run (ADVICE r4). Fall back to the
+        # message, then to a literal output-path existence probe.
+        cond = None
+        for getter in ("getCondition", "getErrorClass"):
+            fn_ = getattr(e, getter, None)
+            if callable(fn_):
+                try:
+                    cond = fn_()
+                except Exception:  # noqa: BLE001 — probe only
+                    cond = None
+                if cond:
+                    break
+        probe = f"{cond or ''} {e}"
+        first_run = (
+            "PATH_NOT_FOUND" in probe
+            or "UNABLE_TO_INFER_SCHEMA" in probe
+            or (
+                output_path.startswith("/")
+                and not os.path.exists(output_path)
+            )
+        )
+        if first_run:
             done = None  # first run: nothing committed yet
         else:
             raise

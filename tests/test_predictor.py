@@ -379,6 +379,30 @@ def test_http_4xx_is_permanent_not_retried():
     assert len(calls) == 1
 
 
+def test_http_non_numeric_code_attr_stays_transient():
+    """ADVICE r4: a transport exception carrying a non-numeric .code
+    (e.g. a string errno) must classify as transient, not explode inside
+    the except handler and bypass the retry contract entirely."""
+    from jochre3_ocr_spark.operators.predictor import HttpLayoutModel
+
+    calls = []
+
+    class WeirdTransportError(OSError):
+        code = "ECONNRESET"  # string, not an HTTP status
+
+    def weird_transport(url, body, timeout):
+        calls.append(url)
+        if len(calls) < 2:
+            raise WeirdTransportError("connection reset")
+        return _http_roundtrip_transport(url, body, timeout)
+
+    model = HttpLayoutModel("http://dla.test/predict",
+                            transport=weird_transport)
+    pred = RetryingBatchPredictor(model, sleep=lambda s: None)
+    out = pred.predict_batch([np.zeros((16, 16), dtype=np.uint8)])
+    assert len(out) == 1 and len(calls) == 2
+
+
 def test_http_5xx_stays_transient():
     import urllib.error
 

@@ -391,6 +391,38 @@ def test_overlap_map_sweep_equals_quadratic():
         assert _overlap_map_sweep(rects) == _overlap_map_quadratic(rects), name
 
 
+def test_overlap_map_sweep_multi_chunk_parity(monkeypatch):
+    """Force the chunked candidate evaluation to split every box's
+    candidate range across several chunks (ADVICE r4: the front trim of
+    a range spanning a whole chunk used to be derived AFTER the tail
+    trim, shifting the q-window and silently dropping pairs when
+    p_hi == p_lo + 1). Shrinking _SWEEP_CHUNK makes the production-only
+    multi-chunk path run in-test; output must equal the quadratic oracle
+    at every chunk size, including chunk=1 (one candidate per chunk,
+    maximal trim interaction) and a hot-slab layout where single boxes
+    own ranges much larger than the chunk."""
+    from jochre3_ocr_spark.functions.geometry import PredictedBox
+    from jochre3_ocr_spark.operators import segmentation as S
+
+    fixtures = {
+        "random": _rand_rects(200, seed=11),
+        "dense": _rand_rects(250, W=300, H=300, seed=13),
+        "identical": [
+            PredictedBox("b", (10, 10, 50, 50), 0.9) for _ in range(60)
+        ],
+        # every box shares one x-slab → each box's candidate range is
+        # ~the whole tail, far larger than the shrunken chunk
+        "hot_slab": [
+            PredictedBox("b", (100, 7 * i, 400, 30), 0.5) for i in range(120)
+        ],
+    }
+    for name, rects in fixtures.items():
+        want = S._overlap_map_quadratic(rects)
+        for chunk in (1, 7, 64, 1000):
+            monkeypatch.setattr(S, "_SWEEP_CHUNK", chunk)
+            assert S._overlap_map_sweep(rects) == want, (name, chunk)
+
+
 def test_remove_overlaps_unordered_identical_across_paths(monkeypatch):
     """remove_overlaps_unordered output must not depend on which overlap
     map implementation the size dispatch picks."""
