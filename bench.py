@@ -29,6 +29,29 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def _load_evidence() -> dict:
+    """Machine-load evidence embedded in the bench JSON, so a slow
+    BENCH_r{N} carries its own explanation: this box takes EXTERNAL load
+    spikes (load avg 1→17 with no local processes, BENCH.md round 2),
+    and without these fields a 10% regression on queries a round never
+    touched (r03→r04's q1 +22%) needs a separate idle-protocol re-run to
+    attribute. load_1m is sampled at call time; call once before and
+    once after the measured section."""
+    try:
+        la1, la5, la15 = os.getloadavg()
+        with open("/proc/uptime") as f:
+            up = float(f.read().split()[0])
+        return {
+            "load_1m": round(la1, 2),
+            "load_5m": round(la5, 2),
+            "load_15m": round(la15, 2),
+            "uptime_sec": round(up),
+            "ncpus": os.cpu_count(),
+        }
+    except Exception:
+        return {}
+
+
 def run_queries(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entry_mod
     from jochre3_ocr_spark.plans.pipeline import get_spark
@@ -197,9 +220,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
+        load_before = _load_evidence()
         result = run_scaling(sf_dir)
+        result["load_before"] = load_before
+        result["load_after"] = _load_evidence()
         print(json.dumps(result))
         return
+    load_before = _load_evidence()
     r = run_queries(sf_dir, cpus)
     total = round(sum(r["timings"].values()), 3)
     print(
@@ -215,6 +242,12 @@ def main() -> None:
                 # round-3 operators, measured OUTSIDE the headline total
                 # (comparability note in BENCH.md)
                 "extras": r["extras"],
+                # self-evidencing: machine load around the measurement —
+                # load_1m ≫ expected (≈ cpus busy with Spark alone) means
+                # the number is inflated by external tenants, not the
+                # engine (BENCH.md "Measurement protocol")
+                "load_before": load_before,
+                "load_after": _load_evidence(),
             }
         )
     )

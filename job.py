@@ -200,29 +200,19 @@ def main(argv=None) -> int:
             from jochre3_ocr_spark.operators.dedup import dedup_corpus
 
             if args.report_hot_buckets:
-                # observability (opt-in: costs one extra LSH banding
-                # pass): report cap activity over the PRE-COLLAPSED
-                # representatives — the table the pipeline actually
-                # bands, so a report means a real residual hot bucket,
-                # not an exact-dup group the collapse already absorbed
+                # detailed observability (opt-in: costs one extra LSH
+                # banding pass): machine-readable cap activity over the
+                # PRE-COLLAPSED representatives — the table the pipeline
+                # actually bands, so a report means a real residual hot
+                # bucket, not an exact-dup group the collapse absorbed
                 from pyspark.sql import functions as F
 
                 from jochre3_ocr_spark.operators.dedup import (
+                    _collapse_reps,
                     lsh_bucket_stats,
                 )
 
-                keyed = docs.select(
-                    F.col("doc_id").cast("string").alias("doc_id"),
-                    "text",
-                    F.md5("text").alias("th"),
-                )
-                reps = keyed.join(
-                    keyed.groupBy("th").agg(
-                        F.min("doc_id").alias("doc_id")
-                    ).select("doc_id"),
-                    "doc_id",
-                    "left_semi",
-                )
+                _, reps = _collapse_reps(docs, "doc_id", "text", 3)
                 hot = lsh_bucket_stats(reps, max_bucket=64).agg(
                     F.max("bucket_size").alias("mx"),
                     F.sum("pairs_uncapped").alias("pu"),
@@ -235,7 +225,10 @@ def main(argv=None) -> int:
                         "pairs_uncapped": int(hot["pu"] or 0),
                         "pairs_after_cap": int(hot["pc"] or 0),
                     }), file=sys.stderr)
-            out = dedup_corpus(docs)
+            # warn_hot_buckets: the operational path always gets the
+            # one-line cap warning (ADVICE r4 — the simhash cap is not
+            # output-invariant, so a silently-hot bucket must be visible)
+            out = dedup_corpus(docs, warn_hot_buckets=True)
         elif args.corpus_op == "html-extract":
             from jochre3_ocr_spark.operators.html_extract import (
                 html_extract,

@@ -456,6 +456,103 @@ def simhash(
     )
 
 
+def _simhash_bands(
+    df: DataFrame, id_col: str, text_col: str, bits: int, n_bands: int
+) -> DataFrame:
+    """(doc_id, simhash, band, band_val) — the banded SimHash signature.
+    Band values and the full signature come from the SAME vote frame (no
+    second pass): band k packs bits k·band_bits .. (k+1)·band_bits-1,
+    extracted by re-aggregating per-bit votes, never by shifting the
+    signed signature (shiftright sign-extends)."""
+    assert bits % n_bands == 0, "bits must divide evenly into n_bands"
+    band_bits = bits // n_bands
+    votes = _simhash_votes(df, id_col, text_col, bits)
+
+    def _band_expr(k: int):
+        # j == 63 only when band_bits == 64 (n_bands=1): the band IS the
+        # signature, so its top bit needs the same two's-complement
+        # treatment as _signature_expr — 1 << 63 overflows a literal
+        contrib = [
+            F.when(
+                F.col(f"v{k * band_bits + j}") >= 0,
+                F.lit(_LONG_MIN if j == 63 else (1 << j)),
+            ).otherwise(F.lit(0))
+            for j in range(band_bits)
+        ]
+        e = contrib[0]
+        for c in contrib[1:]:
+            e = e + c
+        return e.cast("bigint")
+
+    with_sig = votes.select(
+        "doc_id",
+        _signature_expr(bits).alias("simhash"),
+        *[_band_expr(k).alias(f"bv{k}") for k in range(n_bands)],
+    )
+    return with_sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"), F.col(f"bv{k}").alias("band_val")
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.band_val")
+
+
+def simhash_bucket_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    n_bands: int = 4,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Observability for the SimHash hot-bucket guard — the simhash twin
+    of :func:`lsh_bucket_stats`: one row per (band, band_val) bucket
+    larger than ``max_bucket`` with (bucket_size, pairs_uncapped,
+    pairs_capped). Unlike the MinHash cap, the simhash cap is NOT
+    output-invariant (a tail doc within max_hamming of a non-head member
+    but far from all heads loses its pair — recall curve in SCALE.md
+    §9), so a pipeline capping simhash buckets should drive this next to
+    :func:`simhash_neardup_pairs` — or pass ``warn_hot_buckets=True`` to
+    :func:`dedup_corpus` — to make the recall-affecting case observable.
+
+    ``pairs_capped`` reflects the verified-pipeline cap form
+    (tail_link_all_heads): cap·(cap−1)/2 head pairs plus cap links per
+    tail doc."""
+    bands = _simhash_bands(df, id_col, text_col, bits, n_bands)
+    sizes = bands.groupBy("band", "band_val").agg(
+        F.count("*").alias("bucket_size")
+    )
+    uncapped = (
+        F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+    ).cast("long")
+    if max_bucket is None:
+        return (
+            sizes.filter(F.col("bucket_size") > 1)
+            .withColumn("pairs_uncapped", uncapped)
+            .withColumn("pairs_capped", F.col("pairs_uncapped"))
+        )
+    return (
+        sizes.filter(F.col("bucket_size") > F.lit(max_bucket))
+        .withColumn("pairs_uncapped", uncapped)
+        .withColumn(
+            "pairs_capped",
+            (
+                F.lit(max_bucket) * (F.lit(max_bucket) - 1) / 2
+                + (F.col("bucket_size") - F.lit(max_bucket))
+                * F.lit(max_bucket)
+            ).cast("long"),
+        )
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     max_hamming: int = 2,
@@ -486,46 +583,7 @@ def simhash_neardup_pairs(
     exact pre-collapse (:func:`dedup_corpus`) so identical docs never
     inflate a bucket past the cap in the first place."""
     assert n_bands > max_hamming, "pigeonhole needs n_bands > max_hamming"
-    assert bits % n_bands == 0, "bits must divide evenly into n_bands"
-    band_bits = bits // n_bands
-    votes = _simhash_votes(df, id_col, text_col, bits)
-    # band values + full signature from the SAME vote frame (no second
-    # pass): band k packs bits k·band_bits .. (k+1)·band_bits-1
-    def _band_expr(k: int):
-        # j == 63 only when band_bits == 64 (n_bands=1): the band IS the
-        # signature, so its top bit needs the same two's-complement
-        # treatment as _signature_expr — 1 << 63 overflows a literal
-        contrib = [
-            F.when(
-                F.col(f"v{k * band_bits + j}") >= 0,
-                F.lit(_LONG_MIN if j == 63 else (1 << j)),
-            ).otherwise(F.lit(0))
-            for j in range(band_bits)
-        ]
-        e = contrib[0]
-        for c in contrib[1:]:
-            e = e + c
-        return e.cast("bigint")
-
-    with_sig = votes.select(
-        "doc_id",
-        _signature_expr(bits).alias("simhash"),
-        *[_band_expr(k).alias(f"bv{k}") for k in range(n_bands)],
-    )
-    bands = with_sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"), F.col(f"bv{k}").alias("band_val")
-                    )
-                    for k in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.band_val")
+    bands = _simhash_bands(df, id_col, text_col, bits, n_bands)
     cand = _capped_bucket_pairs(
         bands,
         ["band", "band_val"],
@@ -588,7 +646,7 @@ def connected_components(
     left: str = "doc1",
     right: str = "doc2",
     max_iters: int = 25,
-    algorithm: str = "star",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Resolve candidate pairs into duplicate CLUSTERS: connected
     components. Returns (doc_id, cluster_id) for every node appearing in
@@ -600,13 +658,22 @@ def connected_components(
     emit pairs, but keeping one doc per GROUP needs the transitive
     closure (a~b, b~c ⇒ keep one of {a,b,c}).
 
-    ``algorithm="star"`` (default) is the alternating large-star /
-    small-star algorithm (Kiveris et al., SOCC'14): O(log² n) rounds
-    worst-case — in practice ≤ ~5 — INDEPENDENT of component diameter,
-    so adversarial templated near-dup chains at 100× scale converge too.
+    ``algorithm="star"`` is the alternating large-star / small-star
+    algorithm (Kiveris et al., SOCC'14): O(log² n) rounds worst-case —
+    in practice ≤ ~5 — INDEPENDENT of component diameter, so adversarial
+    templated near-dup chains at 100× scale converge too.
     ``algorithm="propagation"`` is min-label propagation: O(diameter)
-    rounds, one shuffle each — marginally cheaper on the near-clique
-    graphs real near-dup corpora produce.
+    rounds, one shuffle each — cheaper per round on the near-clique
+    graphs real near-dup corpora produce (star 3.1 s vs propagation
+    2.1 s on the sf0.1 graph), but O(diameter) rounds on a chain.
+    ``algorithm="auto"`` (default) gets both: run propagation with a
+    small round budget (:data:`_AUTO_PROBE_ROUNDS`); the per-round
+    convergence probe tells us for free whether the graph's diameter is
+    small, and on the rare non-converged (high-diameter) graph the
+    wasted probe work is bounded — ≤ probe_rounds shuffles ∝ |edges| —
+    before star finishes diameter-independently. Labels are identical
+    on every path (min doc_id per component), so the selection never
+    changes output.
 
     Both paths probe convergence every round (one small agg piggybacked
     on the checkpointed result) and raise
@@ -621,11 +688,25 @@ def connected_components(
     pairs = pairs.select(
         F.col(left).alias("a"), F.col(right).alias("b")
     ).localCheckpoint(eager=True)
+    if algorithm == "auto":
+        labels = _cc_propagation(
+            pairs, _AUTO_PROBE_ROUNDS, raise_on_fail=False
+        )
+        if labels is not None:
+            return labels
+        return _cc_star(pairs, max_iters)
     if algorithm == "star":
         return _cc_star(pairs, max_iters)
     if algorithm == "propagation":
         return _cc_propagation(pairs, max_iters)
     raise ValueError(f"unknown algorithm: {algorithm!r}")
+
+
+#: propagation-round budget for algorithm="auto": real near-dup graphs
+#: are near-cliques that converge in 2-3 min-label rounds; a graph still
+#: changing after this many rounds has non-trivial diameter and goes to
+#: the diameter-independent star path instead
+_AUTO_PROBE_ROUNDS = 4
 
 
 def _cc_star(pairs: DataFrame, max_iters: int) -> DataFrame:
@@ -684,7 +765,9 @@ def _cc_star(pairs: DataFrame, max_iters: int) -> DataFrame:
     )
 
 
-def _cc_propagation(pairs: DataFrame, max_iters: int) -> DataFrame:
+def _cc_propagation(
+    pairs: DataFrame, max_iters: int, raise_on_fail: bool = True
+) -> DataFrame | None:
     sym = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -720,6 +803,8 @@ def _cc_propagation(pairs: DataFrame, max_iters: int) -> DataFrame:
             converged = True
             break
     if not converged:
+        if not raise_on_fail:
+            return None  # algorithm="auto" probe: caller falls back to star
         raise ConnectedComponentsDidNotConverge(
             f"min-label propagation did not converge in {max_iters} "
             f"rounds (component diameter > max_iters) — use "
@@ -753,6 +838,70 @@ def _precollapsed_pairs(
     SimHash) — mirroring the candidate generators, which never pair docs
     that produce no signature, identical or not.
     """
+    expand, rep_rows = _collapse_reps(df, id_col, text_col, min_tokens)
+    pairs = candidate_fn(rep_rows).select("doc1", "doc2")
+    return pairs.unionByName(expand)
+
+
+#: minimum estimated exact-duplicate fraction at which "auto" turns the
+#: exact pre-collapse on: below this, collapsing buys nothing (every text
+#: is its own representative) and the collapse's extra groupBy+joins are
+#: pure overhead — the +40% dedup_clusters_full tax measured at sf0.1's
+#: ~0 duplicate density (BENCH.md round 4). The probe uses
+#: approx_count_distinct at rsd=0.01, so 5% clears the estimator noise
+#: band with an order of magnitude to spare.
+_AUTO_PRECOLLAPSE_MIN_DENSITY = 0.05
+
+
+def _exact_dup_density(
+    df: DataFrame, id_col: str, text_col: str, fraction: float = 0.1
+) -> float:
+    """Estimated fraction of rows whose text is an exact duplicate of
+    another row: 1 − distinct(md5(text))/count(*), measured over a
+    deterministic ``fraction``-sized doc sample (md5(doc_id) threshold —
+    partition-independent and resume-stable, the corpus_sample
+    construction) so the probe costs a fraction of a scan, not a full
+    pass. Sampling UNDERestimates density contributed by small duplicate
+    groups (a pair survives the sample only when both members do), which
+    errs exactly the safe way: the pre-collapse this probe gates exists
+    for GIANT boilerplate groups, and a 10⁵-member group keeps ~its full
+    density under any fraction, while a missed small group is bounded by
+    ``max_bucket`` downstream regardless. One HLL agg over a narrow
+    projection; decision threshold in
+    :data:`_AUTO_PRECOLLAPSE_MIN_DENSITY`."""
+    agg = [
+        F.approx_count_distinct(F.md5(F.col(text_col)), 0.01).alias("d"),
+        F.count(F.col(text_col)).alias("n"),
+    ]
+    sampled = df.filter(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        < F.lit(int(fraction * 0xFFFFFFFF))
+    )
+    row = sampled.agg(*agg).collect()[0]
+    if row["n"] < _PROBE_MIN_ROWS:
+        # corpus too small for the sample to be meaningful — the full
+        # probe on a corpus this size is trivially cheap anyway
+        row = df.agg(*agg).collect()[0]
+    if not row["n"]:
+        return 0.0
+    return max(0.0, 1.0 - row["d"] / row["n"])
+
+
+#: below this many sampled rows the density probe re-runs on the full
+#: frame: the sampled estimate would be noise, and a corpus small enough
+#: to sample under this is small enough to probe outright. 200 rows
+#: resolves density to ~±2% against the 5% decision threshold.
+_PROBE_MIN_ROWS = 200
+
+
+def _collapse_reps(
+    df: DataFrame, id_col: str, text_col: str, min_tokens: int
+) -> tuple[DataFrame, DataFrame]:
+    """(star-link expand edges, representative rows) for the exact
+    pre-collapse — factored out so callers can also run bucket-stats
+    observability over the SAME representative frame the candidate
+    generator sees (:func:`dedup_corpus` ``warn_hot_buckets``)."""
     keyed = df.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -773,8 +922,7 @@ def _precollapsed_pairs(
     rep_rows = keyed.join(
         reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
     ).select("doc_id", "text")
-    pairs = candidate_fn(rep_rows).select("doc1", "doc2")
-    return pairs.unionByName(expand)
+    return expand, rep_rows
 
 
 def _cluster_verdicts(
@@ -817,7 +965,7 @@ def duplicate_clusters(
     band_size: int = 2,
     include_singletons: bool = False,
     max_bucket: int | None = 64,
-    precollapse_exact: bool = True,
+    precollapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """End-to-end near-duplicate clustering: MinHash LSH candidate pairs
     → connected components → (doc_id, cluster_id, cluster_size,
@@ -835,6 +983,16 @@ def duplicate_clusters(
     EDGES; the connected components, and therefore every output row, are
     identical to the naive uncapped construction.
 
+    ``precollapse_exact="auto"`` (default) runs one cheap density probe
+    (:func:`_exact_dup_density`) and collapses only when the estimated
+    exact-duplicate fraction reaches
+    :data:`_AUTO_PRECOLLAPSE_MIN_DENSITY` — at ~0 density the collapse
+    is pure overhead (the +40% ``dedup_clusters_full`` tax at sf0.1,
+    BENCH.md round 4), while the boilerplate-heavy corpora it protects
+    against sit far above the threshold. Because the collapse is
+    output-invariant, the probe's decision can never change results —
+    pass True/False to skip the probe job when the density is known.
+
     DOMAIN: by default rows cover only docs that appear in at least one
     candidate pair — unique docs get NO row, so a consumer filtering
     ``is_canonical`` directly would drop them. Either left-join this
@@ -842,6 +1000,11 @@ def duplicate_clusters(
     ``corpus_filter_verdicts`` pattern), or pass
     ``include_singletons=True`` to union every unpaired doc as its own
     cluster (cluster_size=1, is_canonical=true)."""
+    if precollapse_exact == "auto":
+        precollapse_exact = (
+            _exact_dup_density(df, id_col, text_col)
+            >= _AUTO_PRECOLLAPSE_MIN_DENSITY
+        )
     if precollapse_exact:
         pairs = _precollapsed_pairs(
             df,
@@ -871,13 +1034,30 @@ def dedup_corpus(
     bits: int = 64,
     n_bands: int = 4,
     max_bucket: int | None = 64,
+    warn_hot_buckets: bool = False,
+    precollapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """The composed, scale-safe corpus dedup pipeline — what a user
     should run instead of assembling the parts: exact-duplicate
-    pre-collapse → capped candidate generation on representatives
-    (``method="minhash"`` LSH banding or ``method="simhash"`` banded
-    Hamming) → connected components (large-star/small-star) → one verdict
-    row per corpus document.
+    pre-collapse (density-gated, see below) → capped candidate
+    generation on representatives (``method="minhash"`` LSH banding or
+    ``method="simhash"`` banded Hamming) → connected components → one
+    verdict row per corpus document.
+
+    ``precollapse_exact`` follows :func:`duplicate_clusters`: "auto"
+    (default) probes the exact-duplicate density once and collapses only
+    when ≥ :data:`_AUTO_PRECOLLAPSE_MIN_DENSITY` — output-invariant
+    either way, so the probe only moves cost, never results.
+
+    ``warn_hot_buckets=True`` additionally runs the matching bucket-stats
+    report (:func:`lsh_bucket_stats` / :func:`simhash_bucket_stats`) over
+    the SAME representative frame the candidate generator sees and emits
+    a ``warnings.warn`` when any bucket exceeds ``max_bucket`` — this
+    costs one extra Spark job, so it is opt-in for the library call, but
+    the operational entry point (``job.py --corpus-op dedup-verdicts``)
+    turns it on: for simhash the cap is NOT output-invariant (bounded
+    recall loss, SCALE.md §9), and a silently-capped hot bucket is
+    exactly the condition an operator needs to see.
 
     Returns (doc_id, cluster_id, cluster_size, is_canonical, keep) over
     the FULL corpus domain (singletons included), where ``keep`` is the
@@ -894,6 +1074,73 @@ def dedup_corpus(
     else:
         raise ValueError(f"unknown method: {method!r}")
     min_tokens = n if method == "minhash" else 1
-    pairs = _precollapsed_pairs(df, id_col, text_col, min_tokens, candidate_fn)
+    if precollapse_exact == "auto":
+        precollapse_exact = (
+            _exact_dup_density(df, id_col, text_col)
+            >= _AUTO_PRECOLLAPSE_MIN_DENSITY
+        )
+    if precollapse_exact:
+        expand, rep_rows = _collapse_reps(df, id_col, text_col, min_tokens)
+    else:
+        expand = None
+        rep_rows = df.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+    if warn_hot_buckets and max_bucket is not None:
+        _warn_hot_buckets(rep_rows, method, n, num_hashes, band_size,
+                          bits, n_bands, max_bucket)
+    pairs = candidate_fn(rep_rows).select("doc1", "doc2")
+    if expand is not None:
+        pairs = pairs.unionByName(expand)
     out = _cluster_verdicts(df, pairs, id_col, include_singletons=True)
     return out.withColumn("keep", F.col("is_canonical"))
+
+
+def _warn_hot_buckets(
+    rep_rows: DataFrame,
+    method: str,
+    n: int,
+    num_hashes: int,
+    band_size: int,
+    bits: int,
+    n_bands: int,
+    max_bucket: int,
+) -> None:
+    """One bounded agg over the bucket-stats frame → ``warnings.warn``
+    if any post-collapse bucket exceeds the cap. The summary row is a
+    3-column aggregate (never the per-bucket rows), so the driver-side
+    cost is O(1) regardless of corpus size."""
+    import warnings
+
+    if method == "minhash":
+        stats = lsh_bucket_stats(
+            rep_rows, "doc_id", "text", n, num_hashes, band_size, max_bucket
+        )
+        invariance = "cluster-invariant (star-links preserve connectivity)"
+    else:
+        stats = simhash_bucket_stats(
+            rep_rows, "doc_id", "text", bits, n_bands, max_bucket
+        )
+        invariance = (
+            "NOT output-invariant: a tail doc far from all "
+            f"{max_bucket} heads loses its pair (SCALE.md §9 recall curve)"
+        )
+    row = stats.agg(
+        F.count("*").alias("n_hot"),
+        F.max("bucket_size").alias("max_size"),
+        F.sum(F.col("pairs_uncapped") - F.col("pairs_capped")).alias(
+            "pairs_avoided"
+        ),
+    ).collect()[0]
+    if row["n_hot"]:
+        warnings.warn(
+            f"dedup_corpus[{method}]: {row['n_hot']} band bucket(s) exceed "
+            f"max_bucket={max_bucket} after exact pre-collapse (largest "
+            f"{row['max_size']} docs, {row['pairs_avoided']} candidate "
+            f"pairs avoided by the cap). The cap here is {invariance}. "
+            f"A bucket ≫ cap is a giant near-duplicate group — a "
+            f"data-quality signal worth inspecting via "
+            f"{'lsh' if method == 'minhash' else 'simhash'}_bucket_stats.",
+            stacklevel=3,
+        )
