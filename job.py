@@ -130,6 +130,20 @@ def main(argv=None) -> int:
                    help="keep rate (--corpus-op sample)")
     p.add_argument("--salt", default="s1",
                    help="sampling salt (--corpus-op sample)")
+    p.add_argument(
+        "--predict-http",
+        default=None,
+        metavar="URL",
+        help="run batched layout prediction over a page-image parquet "
+        "(doc_id, image npy bytes) at --input through the HTTP model "
+        "client (operators/predictor.HttpLayoutModel — real sockets, "
+        "retry ×5 exponential backoff, 30 s per-attempt deadline, "
+        "per-page quarantine); boxes to --output. Serve a loopback "
+        "model with python -m jochre3_ocr_spark.operators.model_server",
+    )
+    p.add_argument("--generate-pages", type=int, default=0,
+                   help="synthesize N deterministic page images into "
+                   "--input first (--predict-http smoke runs)")
     args = p.parse_args(argv)
 
     from jochre3_ocr_spark.plans.pipeline import get_spark, run_job
@@ -159,6 +173,52 @@ def main(argv=None) -> int:
         corpus.docs_df(spark, args.generate).write.mode("overwrite").parquet(
             args.input
         )
+
+    if args.predict_http:
+        from pyspark.sql import functions as F
+
+        from jochre3_ocr_spark.operators.model_server import (
+            synthesize_page_table,
+        )
+        from jochre3_ocr_spark.operators.predictor import (
+            HttpLayoutModel,
+            RetryingBatchPredictor,
+            predict_layout_boxes,
+        )
+
+        if args.generate_pages:
+            synthesize_page_table(spark, args.generate_pages).write.mode(
+                "overwrite"
+            ).parquet(args.input)
+        url = args.predict_http
+
+        def make_predictor():
+            # built ON THE WORKER (predict_layout_boxes contract): one
+            # HTTP client per task, like the reference's per-executor
+            # zio.http client (YoloPredictor.scala:58)
+            return RetryingBatchPredictor(HttpLayoutModel(url))
+
+        pages = spark.read.parquet(args.input)
+        t0 = time.time()
+        boxes = predict_layout_boxes(pages, make_predictor)
+        boxes.write.mode("overwrite").parquet(args.output)
+        got = spark.read.parquet(args.output)
+        counts = {
+            r["status"]: r["n"]
+            for r in got.groupBy("status").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        print(json.dumps({
+            "predict_http": url,
+            "pages": pages.count(),
+            "box_rows": counts.get("ok", 0),
+            "error_rows": counts.get("error", 0),
+            "sec": round(time.time() - t0, 2),
+            "output": args.output,
+        }))
+        spark.stop()
+        return 0
 
     if args.annotate:
         from jochre3_ocr_spark.sources import extractors as X

@@ -198,6 +198,108 @@ def test_spark_permanent_failure_quarantines_batch(spark):
     assert all("PredictionFailedError" in r["error"] for r in rows)
 
 
+def test_real_socket_roundtrip_with_injected_503s(spark):
+    """VERDICT r4 item 2 — the real-transport drive, in-suite form: a
+    loopback HTTP model server on a REAL TCP socket (stdlib
+    ThreadingHTTPServer), with the first two requests answering 503.
+    predict_layout_boxes over HttpLayoutModel (the default urllib
+    transport, no injection) must retry through the 503s and produce
+    the same boxes as the in-process model, with the decode-quarantine
+    row intact."""
+    from jochre3_ocr_spark.operators.model_server import serve_background
+    from jochre3_ocr_spark.operators.predictor import HttpLayoutModel
+
+    server, _ = serve_background(fail_first=2)
+    port = server.server_address[1]
+    try:
+        good = _npy_bytes(_page([(32, 32, 120, 80), (344, 32, 120, 80)]))
+        df = spark.createDataFrame(
+            [("d0", bytearray(good)), ("bad", bytearray(b"not npy"))],
+            "doc_id string, image binary",
+        ).coalesce(1)  # one task → deterministic request ordering
+        url = f"http://127.0.0.1:{port}/predict"
+
+        def make_predictor():
+            return RetryingBatchPredictor(
+                HttpLayoutModel(url), sleep=lambda s: None
+            )
+
+        rows = predict_layout_boxes(df, make_predictor).collect()
+        ok = [r for r in rows if r["status"] == "ok"]
+        err = [r for r in rows if r["status"] == "error"]
+        assert {
+            (r["left"], r["top"], r["width"], r["height"]) for r in ok
+        } == {(32, 32, 120, 80), (344, 32, 120, 80)}
+        assert len(err) == 1 and err[0]["doc_id"] == "bad"
+        assert server.jochre_state.requests >= 3  # 2 refused + 1 served
+    finally:
+        server.shutdown()
+
+
+def test_real_socket_server_restart_recovery(spark):
+    """Kill the server mid-run → connection refused (transient) → the
+    retry schedule rides through → a restarted server on the SAME port
+    serves the request. The real-socket twin of the injected-transport
+    retry tests."""
+    from jochre3_ocr_spark.operators.model_server import serve_background
+    from jochre3_ocr_spark.operators.predictor import (
+        HttpLayoutModel,
+        NumpyLayoutModel,
+    )
+
+    server, _ = serve_background()
+    port = server.server_address[1]
+    server.shutdown()
+    server.server_close()  # port free, nothing listening
+
+    url = f"http://127.0.0.1:{port}/predict"
+    restarted: list = []
+
+    def sleep_then_restart(_s):
+        # first backoff sleep: bring the server back on the same port
+        if not restarted:
+            restarted.append(serve_background(port=port))
+
+    pred = RetryingBatchPredictor(
+        HttpLayoutModel(url), sleep=sleep_then_restart
+    )
+    img = _page([(32, 32, 120, 80)])
+    try:
+        boxes = pred.predict_batch([img], BLOCKS)[0]
+        want = RetryingBatchPredictor(NumpyLayoutModel()).predict_batch(
+            [img], BLOCKS
+        )[0]
+        assert boxes == want
+        assert len(restarted) == 1  # recovery went through the restart
+    finally:
+        if restarted:
+            restarted[0][0].shutdown()
+
+
+def test_real_socket_deadline_expires_then_quarantines():
+    """A server that answers slower than the per-attempt deadline: every
+    attempt times out on a REAL socket and the predictor surfaces
+    PredictionFailedError after the retry schedule — the reference's
+    30 s client timeout semantics (YoloPredictor.scala:58,
+    reference.conf:27) at test-scale values."""
+    from jochre3_ocr_spark.operators.model_server import serve_background
+    from jochre3_ocr_spark.operators.predictor import HttpLayoutModel
+
+    server, _ = serve_background(delay=2.0)
+    port = server.server_address[1]
+    try:
+        pred = RetryingBatchPredictor(
+            HttpLayoutModel(f"http://127.0.0.1:{port}/predict"),
+            max_retries=1,
+            sleep=lambda s: None,
+            request_timeout=0.3,
+        )
+        with pytest.raises(PredictionFailedError, match="timeout"):
+            pred.predict_batch([_page([(32, 32, 120, 80)])], BLOCKS)
+    finally:
+        server.shutdown()
+
+
 def test_predicted_boxes_drive_block_only_segmenter(spark):
     """Slot-to-chain integration: predictor boxes feed the BlockOnly
     segmenter strategy and come out as the document's sorted TextBlocks
