@@ -2109,6 +2109,85 @@ FROM documents d""",
 )
 
 
+def _dedup_adversarial_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-checkable invariance row AT ELEVATED DUPLICATE DENSITY
+    (VERDICT r4 next-round item 1, gate form of the 1M soak in
+    scripts/soak_dedup.py): augment the documents table with a 300-member
+    EXACT-duplicate group (the first doc's text replicated verbatim) and
+    a 120-member NEAR-duplicate family (the second doc's text + one
+    distinct tail token each — one hot LSH bucket of ~121 > max_bucket),
+    then run the composed scale-safe pipeline. At this density the
+    density probe turns the exact pre-collapse ON (~33% duplicates) and
+    the hot-bucket cap engages on genuinely non-identical docs — while
+    the DuckDB oracle is the NAIVE uncapped all-docs construction, so
+    the green row proves BOTH scale features output-invariant exactly
+    where they activate. Reference shape being matched at corpus scale:
+    the bounded-candidate discipline of FullYoloSegmenter.scala:711-798.
+
+    The 500-row window rank used to pick the two seed texts is a
+    correctness-gate construct (sf0.01); the production-scale corpus
+    generator is sources/corpus.adversarial_corpus."""
+    from pyspark.sql import Window as W
+
+    from jochre3_ocr_spark.operators.dedup import dedup_corpus
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    ranked = base.withColumn(
+        "rn", F.row_number().over(W.orderBy("doc_id"))
+    ).filter(F.col("rn") <= 2)
+    first = ranked.filter("rn = 1").select("text")
+    second = ranked.filter("rn = 2").select("text")
+    dup = first.crossJoin(spark.range(300)).select(
+        F.concat(
+            F.lit("dup"), F.lpad(F.col("id").cast("string"), 4, "0")
+        ).alias("doc_id"),
+        "text",
+    )
+    near = second.crossJoin(spark.range(120)).select(
+        F.concat(
+            F.lit("near"), F.lpad(F.col("id").cast("string"), 4, "0")
+        ).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" zq"), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    corpus = base.unionByName(dup).unionByName(near)
+    return dedup_corpus(corpus)
+
+
+_Q_DEDUP_ADVERSARIAL_DUCK = (
+    _Q_DEDUP_CORPUS_DUCK
+    # repoint both corpus references at the augmented CTE first …
+    .replace("  FROM documents\n", "  FROM corpus\n")
+    .replace("FROM documents d", "FROM corpus d")
+    # … then prepend the augmented-corpus construction (which may
+    # itself reference the raw documents table)
+    .replace(
+        "WITH RECURSIVE toks AS (",
+        """WITH RECURSIVE ranked AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         row_number() OVER (ORDER BY CAST(doc_id AS VARCHAR)) AS rn
+  FROM documents
+),
+corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT 'dup' || lpad(CAST(r.i AS VARCHAR), 4, '0') AS doc_id, b.text
+  FROM (SELECT text FROM ranked WHERE rn = 1) b
+       CROSS JOIN range(0, 300) r(i)
+  UNION ALL
+  SELECT 'near' || lpad(CAST(r.i AS VARCHAR), 4, '0') AS doc_id,
+         b.text || ' zq' || CAST(r.i AS VARCHAR) AS text
+  FROM (SELECT text FROM ranked WHERE rn = 2) b
+       CROSS JOIN range(0, 120) r(i)
+),
+toks AS (""",
+    )
+)
+
+
 def _corpus_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone composition a training-data pipeline actually runs:
     quality metrics (length / repetition) + duplicate-cluster resolution
@@ -2710,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_duplicate_clusters": _dedup_clusters,
         "dedup_clusters_full": _dedup_clusters_full,
         "dedup_corpus_verdicts": _dedup_corpus_verdicts,
+        "dedup_adversarial_density": _dedup_adversarial_density,
         "html_main_content": _html_main_content,
         "html_extraction_e2e": _html_extraction_e2e,
         "corpus_chunking": _corpus_chunking,
@@ -2770,6 +2850,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_duplicate_clusters": _Q_DEDUP_CLUSTERS_DUCK,
         "dedup_clusters_full": _Q_DEDUP_CLUSTERS_FULL_DUCK,
         "dedup_corpus_verdicts": _Q_DEDUP_CORPUS_DUCK,
+        "dedup_adversarial_density": _Q_DEDUP_ADVERSARIAL_DUCK,
         "html_main_content": _Q_HTML_MAIN_DUCK,
         "html_extraction_e2e": _Q_HTML_E2E_DUCK,
         "corpus_chunking": _Q_CHUNKING_DUCK,

@@ -198,3 +198,83 @@ def docs_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
 
     rng = spark.range(n_docs, numPartitions=partitions)
     return rng.mapInPandas(gen, schema=DOCS_SCHEMA)
+
+
+# ----------------------------------------------- adversarial-density corpus
+#: the boilerplate text every member of the exact-duplicate group shares —
+#: the "cookie banner / empty template page" class that dominates real web
+#: crawls and inflates LSH buckets quadratically when not pre-collapsed
+_BOILER = " ".join(f"boiler{i:03d}" for i in range(110))
+
+#: vocabulary core of the NEAR-duplicate family (disjoint from _BOILER's
+#: vocabulary so the two giant groups never merge)
+_NEAR_BASE = [f"near{i:03d}" for i in range(110)]
+
+
+def adversarial_corpus(
+    spark,
+    n_total: int = 1_000_000,
+    n_exact: int = 100_000,
+    n_near: int = 10_000,
+    partitions: int | None = None,
+):
+    """The dedup soak corpus (VERDICT r4 next-round item 1): ``n_total``
+    documents of which
+
+    * docs 0..n_exact-1 share ONE identical boilerplate text — the
+      giant exact-duplicate group whose b²/2 ≈ 5×10⁹ within-bucket pairs
+      kill an uncapped LSH self-join, and which the exact pre-collapse
+      reduces to 1 signature + n_exact star edges;
+    * the next ``n_near`` docs are pairwise NEAR-duplicates — a shared
+      110-token core with 2 deterministic per-doc token mutations
+      (Jaccard ≈ 0.95 between any two members), exercising the
+      hot-bucket cap on non-identical docs where pre-collapse cannot
+      help;
+    * the remainder are unique docs of 80 hash-derived tokens — the
+      per-(doc, position) hash is xorshift-MIXED, not linear in the
+      index: a linear construction makes whole token sequences of two
+      docs align under a shift, manufacturing accidental
+      shared-shingle near-dups among the "unique" docs.
+
+    One text per index, seeded by the index alone — output independent
+    of partitioning, matching the ``docs_df`` determinism contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism * 4, 32)
+
+    vocab = np.array([f"w{v:05d}" for v in range(50_000)])
+
+    def gen(batches):
+        for batch in batches:
+            ids, texts = [], []
+            idx = batch["id"].to_numpy()
+            # vectorized unique-doc token ids for the whole Arrow batch
+            ii = idx.astype(np.uint64)
+            kk = np.arange(80, dtype=np.uint64)
+            v = (ii[:, None] * np.uint64(2654435761)
+                 + kk[None, :] * np.uint64(1013904223)) & np.uint64(0xFFFFFFFF)
+            v ^= v >> np.uint64(16)
+            v = (v * np.uint64(2246822519)) & np.uint64(0xFFFFFFFF)
+            v ^= v >> np.uint64(13)
+            tok = vocab[(v % np.uint64(50_000)).astype(np.int64)]
+            for row, i in enumerate(idx):
+                i = int(i)
+                if i < n_exact:
+                    text = _BOILER
+                elif i < n_exact + n_near:
+                    j = i - n_exact
+                    toks = list(_NEAR_BASE)
+                    toks[(j * 7) % 55] = f"m{j:05d}"
+                    toks[55 + (j * 13) % 55] = f"x{j:05d}"
+                    text = " ".join(toks)
+                else:
+                    text = " ".join(tok[row])
+                ids.append(f"d{i:07d}")
+                texts.append(text)
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    rng = spark.range(n_total, numPartitions=partitions)
+    return rng.mapInPandas(gen, schema="doc_id string, text string")
