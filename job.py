@@ -202,19 +202,22 @@ def main(argv=None) -> int:
         t0 = time.time()
         boxes = predict_layout_boxes(pages, make_predictor)
         boxes.write.mode("overwrite").parquet(args.output)
+        # "sec" covers the prediction+write job only; the verification
+        # reads below are untimed. pages comes from the input's parquet
+        # footers (row-count only, no data scan) — the output can't
+        # stand in for it because a zero-box ok page emits no row.
+        sec = round(time.time() - t0, 2)
         got = spark.read.parquet(args.output)
-        counts = {
-            r["status"]: r["n"]
-            for r in got.groupBy("status").agg(
-                F.count("*").alias("n")
-            ).collect()
-        }
+        stats = got.agg(
+            F.sum((F.col("status") == "ok").cast("long")).alias("ok"),
+            F.sum((F.col("status") == "error").cast("long")).alias("err"),
+        ).collect()[0]
         print(json.dumps({
             "predict_http": url,
             "pages": pages.count(),
-            "box_rows": counts.get("ok", 0),
-            "error_rows": counts.get("error", 0),
-            "sec": round(time.time() - t0, 2),
+            "box_rows": int(stats["ok"] or 0),
+            "error_rows": int(stats["err"] or 0),
+            "sec": sec,
             "output": args.output,
         }))
         spark.stop()
@@ -259,21 +262,34 @@ def main(argv=None) -> int:
         elif args.corpus_op == "dedup-verdicts":
             from jochre3_ocr_spark.operators.dedup import dedup_corpus
 
+            from jochre3_ocr_spark.operators.dedup import (
+                _collapse_reps,
+                _resolve_precollapse,
+            )
+
+            # resolve the density-gated collapse decision ONCE here so
+            # the detailed report below describes the SAME frame the
+            # pipeline bands (auto might leave the collapse off), and
+            # the pipeline itself skips a second probe job
+            precollapse = _resolve_precollapse(docs, "doc_id", "text", "auto")
             if args.report_hot_buckets:
                 # detailed observability (opt-in: costs one extra LSH
                 # banding pass): machine-readable cap activity over the
-                # PRE-COLLAPSED representatives — the table the pipeline
-                # actually bands, so a report means a real residual hot
-                # bucket, not an exact-dup group the collapse absorbed
+                # frame the pipeline actually bands — the pre-collapsed
+                # representatives when the collapse is on (a report then
+                # means a REAL residual hot bucket, not an exact-dup
+                # group the collapse absorbed), the raw corpus otherwise
                 from pyspark.sql import functions as F
 
                 from jochre3_ocr_spark.operators.dedup import (
-                    _collapse_reps,
                     lsh_bucket_stats,
                 )
 
-                _, reps = _collapse_reps(docs, "doc_id", "text", 3)
-                hot = lsh_bucket_stats(reps, max_bucket=64).agg(
+                if precollapse:
+                    _, banded = _collapse_reps(docs, "doc_id", "text", 3)
+                else:
+                    banded = docs
+                hot = lsh_bucket_stats(banded, max_bucket=64).agg(
                     F.max("bucket_size").alias("mx"),
                     F.sum("pairs_uncapped").alias("pu"),
                     F.sum("pairs_capped").alias("pc"),
@@ -281,6 +297,7 @@ def main(argv=None) -> int:
                 if hot["mx"] is not None:
                     print(json.dumps({
                         "dedup_hot_buckets": True,
+                        "precollapsed": precollapse,
                         "max_bucket_size": int(hot["mx"]),
                         "pairs_uncapped": int(hot["pu"] or 0),
                         "pairs_after_cap": int(hot["pc"] or 0),
@@ -288,7 +305,9 @@ def main(argv=None) -> int:
             # warn_hot_buckets: the operational path always gets the
             # one-line cap warning (ADVICE r4 — the simhash cap is not
             # output-invariant, so a silently-hot bucket must be visible)
-            out = dedup_corpus(docs, warn_hot_buckets=True)
+            out = dedup_corpus(
+                docs, warn_hot_buckets=True, precollapse_exact=precollapse
+            )
         elif args.corpus_op == "html-extract":
             from jochre3_ocr_spark.operators.html_extract import (
                 html_extract,

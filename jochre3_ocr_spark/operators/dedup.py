@@ -895,6 +895,33 @@ def _exact_dup_density(
 _PROBE_MIN_ROWS = 200
 
 
+def _resolve_precollapse(
+    df: DataFrame, id_col: str, text_col: str, value
+) -> bool:
+    """Resolve a ``precollapse_exact`` argument to a concrete bool: True
+    and False pass through; "auto" runs the sampled density probe once.
+    Any other string is a hard error (a mistyped "Auto" or a CLI-plumbed
+    "false" must not silently truthiness-coerce into forcing the
+    collapse ON).
+
+    Probe cost caveat: the md5(doc_id)-threshold filter cannot prune
+    upstream lineage, so on a DERIVED frame (anything behind a
+    mapInPandas/shuffle rather than a parquet scan) the probe evaluates
+    the full input DAG once before the pipeline evaluates it again —
+    pass an explicit True/False (or persist the frame first) when the
+    input is expensive to recompute."""
+    if value is True or value is False:
+        return value
+    if value == "auto":
+        return (
+            _exact_dup_density(df, id_col, text_col)
+            >= _AUTO_PRECOLLAPSE_MIN_DENSITY
+        )
+    raise ValueError(
+        f"precollapse_exact must be True, False or 'auto', got {value!r}"
+    )
+
+
 def _collapse_reps(
     df: DataFrame, id_col: str, text_col: str, min_tokens: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -1000,12 +1027,7 @@ def duplicate_clusters(
     ``corpus_filter_verdicts`` pattern), or pass
     ``include_singletons=True`` to union every unpaired doc as its own
     cluster (cluster_size=1, is_canonical=true)."""
-    if precollapse_exact == "auto":
-        precollapse_exact = (
-            _exact_dup_density(df, id_col, text_col)
-            >= _AUTO_PRECOLLAPSE_MIN_DENSITY
-        )
-    if precollapse_exact:
+    if _resolve_precollapse(df, id_col, text_col, precollapse_exact):
         pairs = _precollapsed_pairs(
             df,
             id_col,
@@ -1074,11 +1096,9 @@ def dedup_corpus(
     else:
         raise ValueError(f"unknown method: {method!r}")
     min_tokens = n if method == "minhash" else 1
-    if precollapse_exact == "auto":
-        precollapse_exact = (
-            _exact_dup_density(df, id_col, text_col)
-            >= _AUTO_PRECOLLAPSE_MIN_DENSITY
-        )
+    precollapse_exact = _resolve_precollapse(
+        df, id_col, text_col, precollapse_exact
+    )
     if precollapse_exact:
         expand, rep_rows = _collapse_reps(df, id_col, text_col, min_tokens)
     else:

@@ -37,24 +37,38 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORK = os.environ.get("SOAK_WORK", "/root/tmpwork/dedup_soak")
 
 
-def sample_rss_max(pids_pattern: str, stop: threading.Event, out: dict):
-    """Aggregate-RSS sampler: sums RSS of every process whose command
-    line matches ``pids_pattern`` (the spark-submit tree: JVM + Python
-    workers), once per second, keeping the max."""
+def sample_rss_max(root_pid_box: dict, stop: threading.Event, out: dict):
+    """Aggregate-RSS sampler scoped to OUR process tree: sums RSS of
+    ``root_pid_box['pid']`` and all its descendants (spark-submit →
+    JVM → Python workers) once per second, keeping the max. Tree-scoped
+    rather than name-matched so external tenants' spark processes on
+    this shared box can never inflate the evidence."""
     out["max_rss_gib"] = 0.0
     while not stop.is_set():
         try:
-            lines = subprocess.run(
-                ["ps", "-eo", "rss,args"], capture_output=True, text=True
-            ).stdout.splitlines()
-            total_kib = sum(
-                int(ln.strip().split(None, 1)[0])
-                for ln in lines[1:]
-                if pids_pattern in ln and "soak_dedup" not in ln
-            )
-            out["max_rss_gib"] = max(
-                out["max_rss_gib"], round(total_kib / 1024 / 1024, 2)
-            )
+            root = root_pid_box.get("pid")
+            if root:
+                lines = subprocess.run(
+                    ["ps", "-eo", "pid,ppid,rss"],
+                    capture_output=True, text=True,
+                ).stdout.splitlines()[1:]
+                info = {}
+                for ln in lines:
+                    parts = ln.split()
+                    if len(parts) == 3:
+                        info[int(parts[0])] = (int(parts[1]), int(parts[2]))
+                children: dict[int, list[int]] = {}
+                for pid, (ppid, _) in info.items():
+                    children.setdefault(ppid, []).append(pid)
+                total_kib, frontier = 0, [root]
+                while frontier:
+                    pid = frontier.pop()
+                    if pid in info:
+                        total_kib += info[pid][1]
+                    frontier.extend(children.get(pid, []))
+                out["max_rss_gib"] = max(
+                    out["max_rss_gib"], round(total_kib / 1024 / 1024, 2)
+                )
         except Exception:
             pass
         stop.wait(1.0)
@@ -120,27 +134,40 @@ def main() -> int:
     }), flush=True)
     spark.stop()
 
-    # ---- phase 3: packaged scale-safe pipeline end to end
+    # ---- phase 3: packaged scale-safe pipeline end to end.
+    # Fresh zip under the reap-safe workdir: `zip -qr` UPDATES an
+    # existing archive (stale deleted modules would ship), and /tmp is
+    # reaped externally on this box (CLAUDE.md).
+    engine_zip = f"{WORK}/engine.zip"
+    if os.path.exists(engine_zip):
+        os.remove(engine_zip)
     subprocess.run(
-        ["zip", "-qr", "/tmp/engine.zip", "jochre3_ocr_spark"], cwd=REPO,
+        ["zip", "-qr", engine_zip, "jochre3_ocr_spark"], cwd=REPO,
         check=True,
     )
     stop = threading.Event()
     rss: dict = {}
+    pid_box: dict = {}
     sampler = threading.Thread(
-        target=sample_rss_max, args=("spark", stop, rss), daemon=True
+        target=sample_rss_max, args=(pid_box, stop, rss), daemon=True
     )
     sampler.start()
     t0 = time.time()
-    proc = subprocess.run(
+    child = subprocess.Popen(
         [
             "spark-submit", "--master", "local[32]",
-            "--driver-memory", "8g", "--py-files", "/tmp/engine.zip",
+            "--driver-memory", "8g", "--py-files", engine_zip,
             "job.py", "--corpus-op", "dedup-verdicts",
             "--report-hot-buckets",
             "--input", corpus_path, "--output", out_path,
         ],
-        cwd=REPO, capture_output=True, text=True,
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
+    )
+    pid_box["pid"] = child.pid
+    out_s, err_s = child.communicate()
+    proc = subprocess.CompletedProcess(
+        child.args, child.returncode, out_s, err_s
     )
     wall = round(time.time() - t0, 1)
     stop.set()
@@ -209,8 +236,9 @@ def main() -> int:
     )
     stop = threading.Event()
     rss_u: dict = {}
+    pid_box_u: dict = {}
     sampler = threading.Thread(
-        target=sample_rss_max, args=("spark", stop, rss_u), daemon=True
+        target=sample_rss_max, args=(pid_box_u, stop, rss_u), daemon=True
     )
     sampler.start()
     t0 = time.time()
@@ -221,6 +249,7 @@ def main() -> int:
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         start_new_session=True,
     )
+    pid_box_u["pid"] = child.pid
     try:
         out_s, err_s = child.communicate(timeout=args.budget)
         wall = round(time.time() - t0, 1)

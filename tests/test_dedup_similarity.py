@@ -597,12 +597,17 @@ def test_dedup_corpus_warn_hot_buckets(spark):
             docs, method="simhash", max_bucket=5,
             precollapse_exact=False, warn_hot_buckets=True,
         ).collect()
-    with W.catch_warnings():
-        W.simplefilter("error")  # any warning → test failure
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
         dedup_corpus(
             docs, method="simhash", max_bucket=5,
             precollapse_exact=True, warn_hot_buckets=True,
         ).collect()
+    # assert the ABSENCE of the specific cap warning only — erroring on
+    # every warning would break on unrelated dependency deprecations
+    assert not [
+        w for w in caught if "exceed max_bucket" in str(w.message)
+    ]
 
 
 def test_exact_dup_density_probe_and_auto_decision(spark):
