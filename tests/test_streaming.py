@@ -102,6 +102,56 @@ def test_stream_predict_layout_incremental(spark, tmp_path):
     assert {tuple(r) for r in final.collect()} == batch_rows
 
 
+def test_stream_predict_layout_over_real_http(spark, tmp_path):
+    """Round 5: the streaming inference slot against the REAL-socket
+    model server — readStream micro-batches forward over live TCP with
+    an injected 503 on the first request (retried through), output
+    row-equal to the in-process-model batch twin. The full production
+    shape: scanner feed → micro-batch → per-task HTTP client →
+    exactly-once sink."""
+    from jochre3_ocr_spark.operators.model_server import (
+        serve_background,
+        synthesize_page_table,
+    )
+    from jochre3_ocr_spark.operators.predictor import (
+        HttpLayoutModel,
+        NumpyLayoutModel,
+        RetryingBatchPredictor,
+        predict_layout_boxes,
+    )
+    from jochre3_ocr_spark.streaming.stream import stream_predict_layout
+
+    server, _ = serve_background(fail_first=1)
+    url = f"http://127.0.0.1:{server.server_address[1]}/predict"
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "boxes")
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        synthesize_page_table(spark, 12, partitions=2).write.mode(
+            "append"
+        ).parquet(inp)
+
+        def make_predictor():
+            return RetryingBatchPredictor(
+                HttpLayoutModel(url), sleep=lambda s: None
+            )
+
+        stream_predict_layout(spark, inp, out, ckpt, make_predictor)
+        got = spark.read.parquet(out)
+        assert got.filter("status = 'error'").count() == 0
+        want = {
+            tuple(r)
+            for r in predict_layout_boxes(
+                spark.read.parquet(inp),
+                lambda: RetryingBatchPredictor(NumpyLayoutModel()),
+            ).collect()
+        }
+        assert {tuple(r) for r in got.collect()} == want
+        assert server.jochre_state.requests >= 2  # 503 + ≥1 served
+    finally:
+        server.shutdown()
+
+
 def test_stream_events_hourly_watermark(spark, tmp_path):
     """Watermarked tumbling windows in append mode: closed windows match
     the batch aggregation exactly; a re-trigger with no new files emits
