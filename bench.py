@@ -90,6 +90,8 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "dedup_corpus_verdicts",
         "html_main_content",
         "html_extraction_e2e",
+        # round-5 addition
+        "dedup_adversarial_density",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can

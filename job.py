@@ -130,6 +130,16 @@ def main(argv=None) -> int:
                    help="keep rate (--corpus-op sample)")
     p.add_argument("--salt", default="s1",
                    help="sampling salt (--corpus-op sample)")
+    p.add_argument("--dedup-method", default="minhash",
+                   choices=["minhash", "simhash"],
+                   help="dedup-verdicts candidate generator")
+    p.add_argument("--max-bucket", type=int, default=64,
+                   help="dedup-verdicts hot-bucket cap; 0 = uncapped "
+                   "(the b² blowup — only for small corpora / A-B runs)")
+    p.add_argument("--precollapse", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="dedup-verdicts exact pre-collapse; auto = "
+                   "density-probe gated (output-invariant either way)")
     p.add_argument(
         "--predict-http",
         default=None,
@@ -186,6 +196,17 @@ def main(argv=None) -> int:
             predict_layout_boxes,
         )
 
+        # MB-scale binary page images break BOTH batch-size defaults
+        # (BENCH.md round-3 OOM site, now measured on the read side too):
+        # the vectorized parquet reader's 4096-row column batch wants
+        # rows × image-bytes CONTIGUOUS heap (~209 MB for 640² pages —
+        # 13 executor threads OOMed a 20k-page drive), and each Arrow
+        # batch crossing to Python pins records × image-bytes of direct
+        # memory per task. Both confs are runtime-settable, so scope
+        # them to this image-table job instead of penalizing narrow
+        # analytic scans in get_spark.
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
         if args.generate_pages:
             synthesize_page_table(spark, args.generate_pages).write.mode(
                 "overwrite"
@@ -271,7 +292,10 @@ def main(argv=None) -> int:
             # the detailed report below describes the SAME frame the
             # pipeline bands (auto might leave the collapse off), and
             # the pipeline itself skips a second probe job
-            precollapse = _resolve_precollapse(docs, "doc_id", "text", "auto")
+            precollapse = _resolve_precollapse(
+                docs, "doc_id", "text",
+                {"auto": "auto", "on": True, "off": False}[args.precollapse],
+            )
             if args.report_hot_buckets:
                 # detailed observability (opt-in: costs one extra LSH
                 # banding pass): machine-readable cap activity over the
@@ -283,13 +307,22 @@ def main(argv=None) -> int:
 
                 from jochre3_ocr_spark.operators.dedup import (
                     lsh_bucket_stats,
+                    simhash_bucket_stats,
                 )
 
+                min_tokens = 3 if args.dedup_method == "minhash" else 1
                 if precollapse:
-                    _, banded = _collapse_reps(docs, "doc_id", "text", 3)
+                    _, banded = _collapse_reps(
+                        docs, "doc_id", "text", min_tokens
+                    )
                 else:
                     banded = docs
-                hot = lsh_bucket_stats(banded, max_bucket=64).agg(
+                cap = args.max_bucket or None
+                if args.dedup_method == "minhash":
+                    stats = lsh_bucket_stats(banded, max_bucket=cap)
+                else:
+                    stats = simhash_bucket_stats(banded, max_bucket=cap)
+                hot = stats.agg(
                     F.max("bucket_size").alias("mx"),
                     F.sum("pairs_uncapped").alias("pu"),
                     F.sum("pairs_capped").alias("pc"),
@@ -306,7 +339,11 @@ def main(argv=None) -> int:
             # one-line cap warning (ADVICE r4 — the simhash cap is not
             # output-invariant, so a silently-hot bucket must be visible)
             out = dedup_corpus(
-                docs, warn_hot_buckets=True, precollapse_exact=precollapse
+                docs,
+                method=args.dedup_method,
+                max_bucket=args.max_bucket or None,
+                warn_hot_buckets=True,
+                precollapse_exact=precollapse,
             )
         elif args.corpus_op == "html-extract":
             from jochre3_ocr_spark.operators.html_extract import (
