@@ -149,7 +149,10 @@ def main(argv=None) -> int:
         "client (operators/predictor.HttpLayoutModel — real sockets, "
         "retry ×5 exponential backoff, 30 s per-attempt deadline, "
         "per-page quarantine); boxes to --output. Serve a loopback "
-        "model with python -m jochre3_ocr_spark.operators.model_server",
+        "model with python -m jochre3_ocr_spark.operators.model_server. "
+        "One-shot overwrite semantics; for resumable continuous ingest "
+        "use streaming.stream_predict_layout (the checkpoint file log "
+        "resumes correctly even for zero-box pages)",
     )
     p.add_argument("--generate-pages", type=int, default=0,
                    help="synthesize N deterministic page images into "

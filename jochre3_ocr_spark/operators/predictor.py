@@ -419,6 +419,15 @@ def predict_layout_boxes(
     Plan shape: scan → single mapInPandas; narrow, zero Exchange. Images
     are npy-serialized grayscale arrays (the sandbox's codec stand-in;
     sources/png_codec + jpeg_codec decode real formats upstream).
+
+    Memory sizing for MB-scale pages — BOTH batch-size knobs, not just
+    the Arrow one: ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    bounds records × image-bytes of direct memory per task crossing to
+    Python, and ``spark.sql.parquet.columnarReaderBatchSize`` (default
+    4096 rows) bounds the CONTIGUOUS heap the vectorized reader
+    allocates per column batch — a 20k-page drive at 640² OOMed on the
+    reader side before any Python ran (BENCH.md round 5). Size both to
+    ~16-32 for image tables (``job.py --predict-http`` does).
     """
     import pandas as pd
 

@@ -80,10 +80,17 @@ def stream_predict_layout(
     The production shape for a scanner feed: new page files land in the
     ingest directory, each micro-batch runs ONE batched forward per
     Arrow batch, and re-running picks up only unprocessed files from
-    the checkpoint's file log. Keep ``maxFilesPerTrigger`` small for
-    MB-scale page images — micro-batch memory is files × pages ×
-    image-bytes across the Arrow boundary (see BENCH.md round-3 OOM
-    site #2)."""
+    the checkpoint's file log — which also makes this the RESUMABLE
+    form of page prediction (a zero-box ok page emits no output row, so
+    a batch-side resume anti-join cannot tell it from an unprocessed
+    page; the file log can). Keep ``maxFilesPerTrigger`` small for
+    MB-scale page images, and size BOTH
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` and
+    ``spark.sql.parquet.columnarReaderBatchSize`` to ~16-32 on the
+    session — micro-batch memory is rows × image-bytes on each side of
+    the Arrow boundary, and the vectorized reader's 4096-row default
+    allocates that contiguously on heap (BENCH.md rounds 3 and 5 OOM
+    sites)."""
     from jochre3_ocr_spark.operators.predictor import (
         NumpyLayoutModel,
         RetryingBatchPredictor,
