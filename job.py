@@ -284,11 +284,12 @@ def main(argv=None) -> int:
                 docs, capacity=args.capacity, n_shards=n_shards
             )
         elif args.corpus_op == "dedup-verdicts":
-            from jochre3_ocr_spark.operators.dedup import dedup_corpus
-
             from jochre3_ocr_spark.operators.dedup import (
                 _collapse_reps,
                 _resolve_precollapse,
+                dedup_corpus,
+                lsh_bucket_stats,
+                simhash_bucket_stats,
             )
 
             # resolve the density-gated collapse decision ONCE here so
@@ -307,11 +308,6 @@ def main(argv=None) -> int:
                 # means a REAL residual hot bucket, not an exact-dup
                 # group the collapse absorbed), the raw corpus otherwise
                 from pyspark.sql import functions as F
-
-                from jochre3_ocr_spark.operators.dedup import (
-                    lsh_bucket_stats,
-                    simhash_bucket_stats,
-                )
 
                 min_tokens = 3 if args.dedup_method == "minhash" else 1
                 if precollapse:
@@ -340,12 +336,14 @@ def main(argv=None) -> int:
                     }), file=sys.stderr)
             # warn_hot_buckets: the operational path always gets the
             # one-line cap warning (ADVICE r4 — the simhash cap is not
-            # output-invariant, so a silently-hot bucket must be visible)
+            # output-invariant, so a silently-hot bucket must be visible);
+            # the detailed stderr report above SUPERSEDES it, so don't
+            # pay the banding+stats pass twice when both are requested
             out = dedup_corpus(
                 docs,
                 method=args.dedup_method,
                 max_bucket=args.max_bucket or None,
-                warn_hot_buckets=True,
+                warn_hot_buckets=not args.report_hot_buckets,
                 precollapse_exact=precollapse,
             )
         elif args.corpus_op == "html-extract":

@@ -23,10 +23,8 @@ Run standalone::
 
 from __future__ import annotations
 
-import io
 import json
 import threading
-import zipfile
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -44,17 +42,19 @@ def _analyze_payload(payload: dict, lexicon: Lexicon) -> dict[str, str]:
     )
 
 
-def _alto_zip(doc_id: str, alto_xml: str) -> bytes:
-    """`<doc>_alto4.zip` containing `<doc>_alto4.xml` with the fixed
-    timestamp convention (deterministic bytes at any wall clock —
-    same rule as sources/sinks.alto_zip_bytes)."""
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-        info = zipfile.ZipInfo(
-            f"{doc_id}_alto4.xml", date_time=(1980, 1, 1, 0, 0, 0)
-        )
-        zf.writestr(info, alto_xml)
-    return buf.getvalue()
+def _header_filename(doc_id: str) -> str:
+    """Sanitized ASCII filename for the Content-Disposition header:
+    doc_id is CLIENT input — a CR/LF would inject response headers, and
+    a non-latin-1 codepoint makes ``send_header`` raise AFTER the
+    status line is buffered (mangling the response mid-write), so
+    anything outside a conservative ASCII set becomes ``_``. Only the
+    HEADER is sanitized; the zip MEMBER name keeps the real doc_id
+    (zipfile encodes it UTF-8)."""
+    safe = "".join(
+        c if (c.isascii() and (c.isalnum() or c in "._-")) else "_"
+        for c in doc_id
+    )
+    return f"{safe or 'doc'}_alto4.zip"
 
 
 def _make_handler(lexicon: Lexicon):
@@ -128,17 +128,23 @@ def _make_handler(lexicon: Lexicon):
                         200, {"outputs": _analyze_payload(payload, lexicon)}
                     )
                 elif url.path == "/analyze-zip":
+                    from jochre3_ocr_spark.sources.sinks import (
+                        make_alto_zip_bytes,
+                    )
+
                     payload["formats"] = ["Alto4"]
                     out = _analyze_payload(payload, lexicon)
                     doc_id = str(payload["doc_id"])
+                    # build body + headers fully BEFORE _send: the 400
+                    # handler below assumes nothing has hit the wire yet
+                    body = make_alto_zip_bytes(doc_id, out["Alto4"])
+                    disposition = (
+                        "attachment; "
+                        f'filename="{_header_filename(doc_id)}"'
+                    )
                     self._send(
-                        200,
-                        _alto_zip(doc_id, out["Alto4"]),
-                        "application/zip",
-                        {
-                            "Content-Disposition":
-                            f'attachment; filename="{doc_id}_alto4.zip"'
-                        },
+                        200, body, "application/zip",
+                        {"Content-Disposition": disposition},
                     )
                 else:
                     self._json(404, {"error": f"unknown path {url.path}"})

@@ -162,6 +162,25 @@ def write_alto(out_df: DataFrame, path: str) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
+def make_alto_zip_bytes(doc_id: str, alto_xml: str) -> bytes:
+    """The canonical `<doc>_alto4.zip` bytes (AnalysisLogic.scala:
+    232-245): one `<doc>_alto4.xml` member, ZIP_DEFLATED, fixed 1980
+    timestamp so the bytes are deterministic at any wall clock. The ONE
+    definition of the convention — used by the distributed sink below
+    and by the serving download (serve.py), which must stay
+    byte-identical."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        info = zipfile.ZipInfo(
+            f"{doc_id}_alto4.xml", date_time=(1980, 1, 1, 0, 0, 0)
+        )
+        zf.writestr(info, alto_xml)
+    return buf.getvalue()
+
+
 def alto_zip_bytes(out_df: DataFrame) -> DataFrame:
     """Zip sink (AnalysisLogic.scala:232-245: the API's downloadable
     `<doc>_alto4.zip` containing `<doc>_alto4.xml`): one zip per
@@ -169,9 +188,6 @@ def alto_zip_bytes(out_df: DataFrame) -> DataFrame:
     serving-download analog as a distributed column rather than a
     driver-side endpoint. Write with `.write.parquet` or feed a
     foreachPartition uploader."""
-    import io
-    import zipfile
-
     import pandas as pd
 
     def run(batches):
@@ -190,15 +206,13 @@ def alto_zip_bytes(out_df: DataFrame) -> DataFrame:
                 doc = parse_spans(doc_id, tuples)
                 doc.confidence = float(conf) if conf is not None else 0.0
                 doc.language = lang
-                buf = io.BytesIO()
-                # fixed date_time: deterministic bytes at any wall clock
-                with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-                    info = zipfile.ZipInfo(
-                        f"{doc_id}_alto4.xml", date_time=(1980, 1, 1, 0, 0, 0)
-                    )
-                    zf.writestr(info, emit_alto(doc))
                 rows.append(
-                    {"doc_id": doc_id, "alto_zip": buf.getvalue()}
+                    {
+                        "doc_id": doc_id,
+                        "alto_zip": make_alto_zip_bytes(
+                            doc_id, emit_alto(doc)
+                        ),
+                    }
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "alto_zip"])
 

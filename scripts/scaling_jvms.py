@@ -41,13 +41,27 @@ def main() -> int:
     args = p.parse_args()
     sys.path.insert(0, REPO)
 
+    # under /root/tmpwork, never /tmp: this box reaps /tmp externally
+    # (CLAUDE.md), and the materialized corpus must survive the whole
+    # warmup + min-of-3 protocol
+    base_dir = "/root/tmpwork"
+    os.makedirs(base_dir, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="jochre3_jvm_scaling_", dir=base_dir)
+    try:
+        return _run(args, work)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _run(args, work: str) -> int:
     from jochre3_ocr_spark.plans.pipeline import (
         extract_with_salting,
         get_spark,
     )
     from jochre3_ocr_spark.sources.corpus import docs_df, lexicon_words
 
-    work = tempfile.mkdtemp(prefix="jochre3_jvm_scaling_")
     engine_zip = f"{work}/engine.zip"
     subprocess.run(
         ["zip", "-qr", engine_zip, "jochre3_ocr_spark"], cwd=REPO,
@@ -99,9 +113,6 @@ def main() -> int:
     thr4 = result["executors_4"]["docs_per_sec"]
     result["scaling_efficiency_1_to_4_jvms"] = round((thr4 / thr1) / 4, 3)
     print(json.dumps(result))
-    import shutil
-
-    shutil.rmtree(work, ignore_errors=True)
     return 0
 
 

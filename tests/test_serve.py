@@ -111,6 +111,23 @@ def test_analyze_zip_download(server):
     assert again == body
 
 
+def test_analyze_zip_nonascii_docid_sanitized_header(server):
+    """doc_id is client input: a Hebrew (non-latin-1) doc_id must not
+    crash header encoding mid-response, and CR/LF cannot inject
+    headers — the Content-Disposition filename is sanitized to ASCII
+    while the zip MEMBER keeps the real doc_id (UTF-8)."""
+    base, _ = server
+    doc_id = "דער\r\nX-Evil: 1"
+    headers, body = _post(
+        f"{base}/analyze-zip", {"doc_id": doc_id, "spans": SPANS}
+    )
+    assert headers["Content-Type"] == "application/zip"
+    assert "X-Evil" not in headers
+    assert "\r" not in headers["Content-Disposition"]
+    with zipfile.ZipFile(BytesIO(body)) as zf:
+        assert zf.namelist() == [f"{doc_id}_alto4.xml"]
+
+
 def test_client_errors_are_4xx_not_500(server):
     base, _ = server
     with pytest.raises(urllib.error.HTTPError) as e:
