@@ -2744,6 +2744,195 @@ FROM pos
 """
 
 
+# --------------------------------------------------------------------------
+# Temporal joins, exact-substring dedup, random-hyperplane LSH ANN.
+# Library implementations in operators/{temporal,substring,similarity}.py;
+# every oracle below is a deliberately DISSIMILAR formulation (DuckDB's
+# native ASOF JOIN, a naive inequality join, a from-scratch SQL rebuild of
+# the md5-derived hyperplanes) so a green row is evidence, not an echo.
+# --------------------------------------------------------------------------
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest prior click per purchase: union-window as-of join
+    (operators/temporal.py) vs DuckDB's native ASOF JOIN."""
+    from pyspark.sql import functions as SF
+
+    from jochre3_ocr_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = asof_join(
+        ev.where("event_type = 'purchase'"),
+        ev.where("event_type = 'click'"),
+        on=["user_id"],
+        right_payload=["event_id", "value"],
+        prefix="click_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        SF.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        # no-match sentinels keep the numeric columns NULL-free: a NULL
+        # BIGINT surfaces as pandas float64 on the oracle side and
+        # hash-mismatches the driver even when values agree
+        SF.coalesce("click_event_id", SF.lit(-1)).alias("click_event_id"),
+        SF.coalesce(SF.round("click_value", 2), SF.lit(-1.0)).alias("click_value"),
+        SF.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "click_ts_str"
+        ),
+    )
+
+
+_Q_ASOF_DUCK = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       coalesce(c.event_id, -1) AS click_event_id,
+       coalesce(round(c.value, 2), -1.0) AS click_value,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts_str
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views within 6 h before each purchase: bucketed range join
+    (operators/temporal.py — equi-join on (user, time-bucket), never a
+    theta join) vs DuckDB's naive inequality join.  Value sums in integer
+    cents so both engines aggregate exactly."""
+    from pyspark.sql import functions as SF
+
+    from jochre3_ocr_spark.operators.temporal import range_join_binned
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = range_join_binned(
+        ev.where("event_type = 'purchase'"),
+        ev.where("event_type = 'view'"),
+        on=["user_id"],
+        lower_s=-21600.0,
+        upper_s=0.0,
+    )
+    return pairs.groupBy(SF.col("l_event_id").alias("event_id")).agg(
+        SF.count(SF.lit(1)).alias("n_views"),
+        SF.sum(SF.round(SF.col("r_value") * 100).cast("long")).alias("view_cents"),
+    )
+
+
+_Q_RANGE_JOIN_DUCK = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+v AS (SELECT * FROM events WHERE event_type = 'view')
+SELECT p.event_id AS event_id, count(*) AS n_views,
+       CAST(sum(CAST(round(v.value * 100) AS BIGINT)) AS BIGINT) AS view_cents
+FROM p JOIN v ON p.user_id = v.user_id
+ AND v.ts > p.ts - INTERVAL 21600 SECOND AND v.ts <= p.ts
+GROUP BY 1
+"""
+
+
+def _q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged per-doc spans of corpus-repeated 8-token windows
+    (operators/substring.py, the Lee et al. exact-substring construction)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from jochre3_ocr_spark.operators.substring import duplicated_window_spans
+
+    return duplicated_window_spans(docs, k=8, min_count=2)
+
+
+def _q_dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document with repeated-window spans removed; fully-covered
+    docs keep an empty clean_text (they are exact duplicates)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from jochre3_ocr_spark.operators.substring import strip_duplicated_spans
+
+    return strip_duplicated_spans(docs, k=8, min_count=2)
+
+
+_SUBSTR_COMMON_DUCK = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+big AS (SELECT * FROM toks WHERE len(t) >= 8),
+w AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS whash
+      FROM big, unnest(generate_series(1, len(t) - 7)) AS g(i)),
+dup AS (SELECT whash FROM w GROUP BY whash HAVING count(*) >= 2),
+hit AS (SELECT doc_id, pos FROM w WHERE whash IN (SELECT whash FROM dup)),
+isl AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+             OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+             THEN 1 ELSE 0 END AS nw
+        FROM hit),
+grp AS (SELECT doc_id, pos,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl)
+"""
+
+_Q_SUBSTR_SPANS_DUCK = f"""
+WITH {_SUBSTR_COMMON_DUCK.strip()}
+SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+       CAST(max(pos) + 8 AS INTEGER) AS span_end,
+       count(*) AS n_windows
+FROM grp GROUP BY doc_id, island
+"""
+
+_Q_SUBSTR_STRIP_DUCK = f"""
+WITH {_SUBSTR_COMMON_DUCK.strip()},
+spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+          FROM grp GROUP BY doc_id, island),
+rem AS (SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos FROM spans),
+toks_i AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+           FROM toks, unnest(generate_series(1, len(t))) AS g(i)),
+kept AS (SELECT a.doc_id, a.pos, a.tok FROM toks_i a
+         WHERE NOT EXISTS (SELECT 1 FROM rem r
+                           WHERE r.doc_id = a.doc_id AND r.pos = a.pos)),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               CAST(count(*) AS INTEGER) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_kept, 0) AS n_kept,
+       CAST(len(t.t) - coalesce(a.n_kept, 0) AS INTEGER) AS n_removed
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-hyperplane LSH top-3 (operators/similarity.py);
+    the oracle rebuilds the md5-derived integer planes from scratch."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from jochre3_ocr_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(emb, "vec_id < 5", k=3, n_tables=4, n_bits=8)
+
+
+_Q_ANN_LSH_DUCK = """
+WITH grid AS (SELECT j, pos
+              FROM generate_series(0, 31) t(j), generate_series(0, 63) g(pos)),
+planes AS (SELECT j, pos,
+  CAST(((instr('0123456789abcdef', substr(md5('lsh:'||j||':'||pos), 1, 1)) - 1) * 16
+      + (instr('0123456789abcdef', substr(md5('lsh:'||j||':'||pos), 2, 1)) - 1)) * 2
+       - 255 AS DOUBLE) AS w
+  FROM grid),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+dots AS (SELECT e.vec_id, p.j, sum(e.v * p.w) AS dot
+         FROM e JOIN planes p ON e.pos = p.pos GROUP BY 1, 2),
+sig AS (SELECT vec_id, j // 8 AS t,
+               sum(CASE WHEN dot >= 0 THEN CAST(pow(2, j % 8) AS BIGINT)
+                        ELSE 0 END) AS bucket
+        FROM dots GROUP BY 1, 2),
+cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+         FROM sig q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket
+         WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+pair AS (SELECT cand.qid, cand.cid,
+                sum(qe.v * ce.v)
+                  / (sqrt(sum(qe.v * qe.v)) * sqrt(sum(ce.v * ce.v))) AS cos
+         FROM cand
+         JOIN e qe ON qe.vec_id = cand.qid
+         JOIN e ce ON ce.vec_id = cand.cid AND ce.pos = qe.pos
+         GROUP BY 1, 2)
+SELECT qid, cid, rank FROM (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+  FROM pair) t WHERE rank <= 3
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the extraction engine over sf0.001 documents."""
     return _extract_processed_text(spark, "/root/testdata/sf0.001")
@@ -2805,6 +2994,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_av_features": _media_av_features,
         "corpus_word_crop_labels": _corpus_word_crop_labels,
         "layout_predict_boxes": _layout_predict_boxes,
+        "q_events_asof_join": _q_events_asof,
+        "q_events_range_join": _q_events_range_join,
+        "dedup_substring_spans": _q_dedup_substring_spans,
+        "dedup_substring_strip": _q_dedup_substring_strip,
+        "ann_lsh_topk": _q_ann_lsh_topk,
     }
 
 
@@ -2864,5 +3058,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_kmeans_topk": _Q_IVF_KMEANS_DUCK,
         "skew_eval_stats": _Q_SKEW_DUCK,
         "layout_predict_boxes": _Q_LAYOUT_BOXES_DUCK,
+        "q_events_asof_join": _Q_ASOF_DUCK,
+        "q_events_range_join": _Q_RANGE_JOIN_DUCK,
+        "dedup_substring_spans": _Q_SUBSTR_SPANS_DUCK,
+        "dedup_substring_strip": _Q_SUBSTR_STRIP_DUCK,
+        "ann_lsh_topk": _Q_ANN_LSH_DUCK,
         # every queries() entry is oracle-checked.
     }

@@ -505,3 +505,118 @@ def ivf_kmeans_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "rank")
     )
+
+
+def lsh_planes(
+    spark,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    dim: int = 64,
+    salt: str = "lsh",
+) -> DataFrame:
+    """Random-hyperplane table (j, pos, w) derived portably from md5.
+
+    Weight = two md5 hex digits of ``salt:j:pos`` mapped to the odd
+    integers [-255, 255] — symmetric around zero (so each plane is an
+    unbiased sign hash) and EXACTLY reproducible in any engine with md5
+    and substr, which is what lets the DuckDB oracle rebuild the same
+    planes without shipping 2 048 float literals.  Integral weights also
+    keep the only float in the pipeline the dot product itself.
+    """
+    hexpos = "instr('0123456789abcdef', substr(__h, %d, 1)) - 1"
+    return (
+        spark.range(n_tables * n_bits)
+        .select(
+            F.col("id").cast("int").alias("j"),
+            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("pos"),
+        )
+        .withColumn(
+            "__h",
+            F.md5(
+                F.concat_ws(":", F.lit(salt), F.col("j").cast("string"),
+                            F.col("pos").cast("string"))
+            ),
+        )
+        .selectExpr(
+            "j",
+            "pos",
+            f"CAST((({hexpos % 1}) * 16 + ({hexpos % 2})) * 2 - 255 AS DOUBLE) AS w",
+        )
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_filter: str,
+    k: int = 3,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "lsh",
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH — the
+    second scale path beside IVF (Charikar 2002 sign-LSH; Indyk-Motwani
+    multi-table amplification).  Returns (qid, cid, rank).
+
+    Plan shape: the plane table (n_tables*n_bits*dim rows) broadcasts;
+    signatures are two hash aggregates keyed by vector id (one Exchange,
+    reused); the candidate join is an equi-join on (table, bucket) —
+    never all-pairs — and only the deduped candidate set is scored
+    exactly.  At 100 TB the bucket join shuffles |corpus| signature rows
+    (n_tables per vector), not vectors x vectors; hot buckets bound the
+    candidate set the same way dedup's LSH caps do and would take the
+    same cap if query sets were large.
+    """
+    from pyspark.sql.window import Window
+
+    planes = F.broadcast(lsh_planes(df.sparkSession, n_tables, n_bits, dim, salt))
+    e = _exploded(df, id_col, vec_col, "vid")
+    dots = (
+        e.join(planes, "pos")
+        .groupBy("vid", "j")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
+    )
+    sig = (
+        dots.groupBy(
+            "vid", F.floor(F.col("j") / F.lit(n_bits)).cast("int").alias("t")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot") >= 0,
+                    F.pow(F.lit(2.0), (F.col("j") % F.lit(n_bits))).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("bucket")
+        )
+    )
+    qsig = sig.join(
+        df.filter(query_filter).select(F.col(id_col).alias("vid")), "vid"
+    ).select(F.col("vid").alias("qid"), "t", "bucket")
+    cand = (
+        qsig.join(sig.select(F.col("vid").alias("cid"), "t", "bucket"),
+                  ["t", "bucket"])
+        .filter("qid <> cid")
+        .select("qid", "cid")
+        .distinct()
+    )
+    q = _exploded(df.filter(query_filter), id_col, vec_col, "qid")
+    c = _exploded(df, id_col, vec_col, "cid")
+    pair = (
+        cand.join(q, "qid")
+        .join(c, ["cid", "pos"])
+        .groupBy("qid", "cid")
+        .agg(
+            (
+                F.sum(q["v"] * c["v"])
+                / (F.sqrt(F.sum(q["v"] * q["v"])) * F.sqrt(F.sum(c["v"] * c["v"])))
+            ).alias("cos")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "rank")
+    )

@@ -1,0 +1,104 @@
+"""Exact-substring dedup: span construction, merging, stripping."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jochre3_ocr_spark.operators.substring import (
+    duplicated_window_spans,
+    strip_duplicated_spans,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def _w(s, n):  # n tokens derived from a stem
+    return " ".join(f"{s}{i}" for i in range(n))
+
+
+def test_shared_phrase_found_in_both_docs(spark):
+    shared = _w("dup", 8)
+    docs = _docs(spark, [f"{_w('a', 4)} {shared}", f"{shared} {_w('b', 4)}"])
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_window_spans(docs, k=8).collect()
+    }
+    assert spans == {(0, 4, 12), (1, 0, 8)}
+
+
+def test_overlapping_windows_merge(spark):
+    # a 10-token shared run yields 3 overlapping windows -> ONE span of 10
+    shared = _w("dup", 10)
+    docs = _docs(spark, [f"{shared} {_w('a', 3)}", f"{_w('b', 3)} {shared}"])
+    rows = duplicated_window_spans(docs, k=8).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.span_start, r.span_end, r.n_windows) for r in rows] == [
+        (0, 0, 10, 3),
+        (1, 3, 13, 3),
+    ]
+
+
+def test_distant_repeats_stay_separate_spans(spark):
+    s1, s2 = _w("x", 8), _w("y", 8)
+    docs = _docs(
+        spark,
+        [f"{s1} {_w('a', 9)} {s2}", f"{s2} {_w('b', 9)} {s1}"],
+    )
+    rows = duplicated_window_spans(docs, k=8).collect()
+    assert sorted((r.doc_id, r.span_start, r.span_end) for r in rows) == [
+        (0, 0, 8),
+        (0, 17, 25),
+        (1, 0, 8),
+        (1, 17, 25),
+    ]
+
+
+def test_same_doc_repeat_counts(spark):
+    phrase = _w("r", 8)
+    docs = _docs(spark, [f"{phrase} {_w('m', 8)} {phrase}", _w("z", 20)])
+    rows = duplicated_window_spans(docs, k=8).collect()
+    assert {r.doc_id for r in rows} == {0}
+    assert sorted((r.span_start, r.span_end) for r in rows) == [(0, 8), (16, 24)]
+
+
+def test_short_docs_never_emit_windows(spark):
+    docs = _docs(spark, ["a b c", "a b c"])  # exact dups but < k tokens
+    assert duplicated_window_spans(docs, k=8).count() == 0
+
+
+def test_strip_full_coverage_keeps_empty_row(spark):
+    t = _w("e", 12)
+    docs = _docs(spark, [t, t, _w("u", 5)])
+    rows = {r.doc_id: r for r in strip_duplicated_spans(docs, k=8).collect()}
+    assert len(rows) == 3
+    assert rows[0].clean_text == "" and rows[0].n_kept == 0
+    assert rows[0].n_removed == 12
+    assert rows[2].clean_text == _w("u", 5) and rows[2].n_removed == 0
+
+
+def test_strip_partial(spark):
+    shared = _w("dup", 8)
+    tail = _w("t", 4)
+    docs = _docs(spark, [f"{shared} {tail}", f"{_w('o', 4)} {shared}"])
+    rows = {r.doc_id: r for r in strip_duplicated_spans(docs, k=8).collect()}
+    assert rows[0].clean_text == tail
+    assert rows[0].n_kept == 4 and rows[0].n_removed == 8
+
+
+def test_partitioning_invariant(spark):
+    texts = [f"{_w('s', 8)} {_w(chr(97 + i), 6)}" for i in range(10)]
+    docs = _docs(spark, texts)
+    a = sorted(map(tuple, strip_duplicated_spans(docs, k=8).collect()))
+    b = sorted(
+        map(tuple, strip_duplicated_spans(docs.repartition(7), k=8).collect())
+    )
+    assert a == b
+
+
+def test_min_count_threshold(spark):
+    phrase = _w("q", 8)
+    docs = _docs(spark, [f"{phrase} {_w('a', 3)}", f"{phrase} {_w('b', 3)}"])
+    assert duplicated_window_spans(docs, k=8, min_count=3).count() == 0
+    assert duplicated_window_spans(docs, k=8, min_count=2).count() == 2
