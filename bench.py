@@ -90,8 +90,13 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "dedup_corpus_verdicts",
         "html_main_content",
         "html_extraction_e2e",
-        # round-5 addition
+        # round-5 additions
         "dedup_adversarial_density",
+        "q_events_asof_join",
+        "q_events_range_join",
+        "dedup_substring_spans",
+        "dedup_substring_strip",
+        "ann_lsh_topk",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can

@@ -591,6 +591,12 @@ def lsh_topk(
             ).alias("bucket")
         )
     )
+    # The signature table feeds BOTH the query side and the candidate side;
+    # without a cut Spark recomputes the two-aggregate pipeline (and its
+    # exchanges) once per branch — a full extra pass over the corpus at
+    # scale. Lazy localCheckpoint materializes it exactly once (same
+    # pattern as dedup's connected-components rounds).
+    sig = sig.localCheckpoint(eager=False)
     qsig = sig.join(
         df.filter(query_filter).select(F.col(id_col).alias("vid")), "vid"
     ).select(F.col("vid").alias("qid"), "t", "bucket")
