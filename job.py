@@ -96,6 +96,7 @@ def main(argv=None) -> int:
         choices=[
             "chunk", "pack", "dedup-verdicts", "decontaminate",
             "quality", "exact-dedup", "sample", "html-extract",
+            "substring-spans", "substring-strip",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
         "lang, source]) parquet at --input: chunk = sliding token "
@@ -106,8 +107,14 @@ def main(argv=None) -> int:
         "exact-dedup = identical-text groups; sample = deterministic "
         "--fraction subsample; html-extract = main-content spans from "
         "an (doc_id, html) table (or synthesized pages over a docs "
-        "table)",
+        "table); substring-spans/-strip = corpus-repeated token-window "
+        "spans (Lee et al. exact-substring dedup), reported / removed",
     )
+    p.add_argument("--window", type=int, default=8,
+                   help="token-window width k (--corpus-op substring-*)")
+    p.add_argument("--min-count", type=int, default=2,
+                   help="corpus-wide repeat threshold (--corpus-op "
+                   "substring-*)")
     p.add_argument("--benchmark", default=None,
                    help="eval-set parquet for --corpus-op decontaminate")
     p.add_argument("--report-hot-buckets", action="store_true",
@@ -365,6 +372,18 @@ def main(argv=None) -> int:
 
             bench = spark.read.parquet(args.benchmark)
             out = decontaminate(docs, bench, n=args.ngram)
+        elif args.corpus_op in ("substring-spans", "substring-strip"):
+            from jochre3_ocr_spark.operators.substring import (
+                duplicated_window_spans,
+                strip_duplicated_spans,
+            )
+
+            fn = (
+                duplicated_window_spans
+                if args.corpus_op == "substring-spans"
+                else strip_duplicated_spans
+            )
+            out = fn(docs, k=args.window, min_count=args.min_count)
         elif args.corpus_op == "sample":
             from jochre3_ocr_spark.operators.text_metrics import (
                 deterministic_sample,
