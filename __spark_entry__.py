@@ -2890,6 +2890,97 @@ FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """
 
 
+def _bench_slices(spark: SparkSession, sf_dir: str):
+    """The synthetic 'eval suite' for span-level decontamination: every
+    doc_id % 97 == 0 document with >= 24 tokens contributes its tokens
+    9..24 (1-based) as one benchmark passage — eval sets built from
+    corpus passages are exactly how real contamination happens."""
+    from pyspark.sql import functions as SF
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.filter("CAST(doc_id AS BIGINT) % 97 = 0")
+        .select("doc_id", SF.split("text", " ").alias("__t"))
+        .where(SF.size("__t") >= 24)
+        .select(
+            "doc_id",
+            SF.array_join(SF.slice("__t", 9, 16), " ").alias("text"),
+        )
+    )
+
+
+def _q_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged per-doc token spans of 8-token windows leaked into the
+    benchmark slice table (operators/substring.contaminated_window_spans
+    — benchmark window set broadcast; only (id, pos) hits shuffle)."""
+    from jochre3_ocr_spark.operators.substring import contaminated_window_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return contaminated_window_spans(
+        docs, _bench_slices(spark, sf_dir), k=8
+    )
+
+
+def _q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination: strip ONLY the leaked windows and keep
+    the document (vs corpus_decontaminate's whole-doc flagging)."""
+    from jochre3_ocr_spark.operators.substring import decontaminate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decontaminate_spans(docs, _bench_slices(spark, sf_dir), k=8)
+
+
+# The oracle rebuilds the construction on raw window TEXT (no md5): a
+# green row proves hash-membership == verbatim-overlap end to end.
+_DECONTAM_SPANS_COMMON_DUCK = """
+toks AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                string_split(text, ' ') AS t FROM documents),
+bench AS (SELECT t[9:24] AS bt FROM toks
+          WHERE CAST(doc_id AS BIGINT) % 97 = 0 AND len(t) >= 24),
+bw AS (SELECT DISTINCT array_to_string(bt[i:i+7], ' ') AS wtext
+       FROM bench, unnest(generate_series(1, len(bt) - 7)) AS g(i)),
+w AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS wtext
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)
+      WHERE len(t) >= 8),
+hit AS (SELECT doc_id, pos FROM w WHERE wtext IN (SELECT wtext FROM bw)),
+isl AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+             OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+             THEN 1 ELSE 0 END AS nw
+        FROM hit),
+grp AS (SELECT doc_id, pos,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl)
+"""
+
+_Q_CONTAM_SPANS_DUCK = f"""
+WITH {_DECONTAM_SPANS_COMMON_DUCK.strip()}
+SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+       CAST(max(pos) + 8 AS INTEGER) AS span_end,
+       count(*) AS n_windows
+FROM grp GROUP BY doc_id, island
+"""
+
+_Q_DECONTAM_SPANS_DUCK = f"""
+WITH {_DECONTAM_SPANS_COMMON_DUCK.strip()},
+spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+          FROM grp GROUP BY doc_id, island),
+rem AS (SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos FROM spans),
+toks_i AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+           FROM toks, unnest(generate_series(1, len(t))) AS g(i)),
+kept AS (SELECT a.doc_id, a.pos, a.tok FROM toks_i a
+         WHERE NOT EXISTS (SELECT 1 FROM rem r
+                           WHERE r.doc_id = a.doc_id AND r.pos = a.pos)),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               CAST(count(*) AS INTEGER) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_kept, 0) AS n_kept,
+       CAST(len(t.t) - coalesce(a.n_kept, 0) AS INTEGER) AS n_removed
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH top-3 (operators/similarity.py);
     the oracle rebuilds the md5-derived integer planes from scratch."""
@@ -2998,6 +3089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_range_join": _q_events_range_join,
         "dedup_substring_spans": _q_dedup_substring_spans,
         "dedup_substring_strip": _q_dedup_substring_strip,
+        "corpus_contaminated_spans": _q_contaminated_spans,
+        "corpus_decontaminate_spans": _q_decontaminate_spans,
         "ann_lsh_topk": _q_ann_lsh_topk,
     }
 
@@ -3062,6 +3155,8 @@ def oracle_sql() -> dict[str, str]:
         "q_events_range_join": _Q_RANGE_JOIN_DUCK,
         "dedup_substring_spans": _Q_SUBSTR_SPANS_DUCK,
         "dedup_substring_strip": _Q_SUBSTR_STRIP_DUCK,
+        "corpus_contaminated_spans": _Q_CONTAM_SPANS_DUCK,
+        "corpus_decontaminate_spans": _Q_DECONTAM_SPANS_DUCK,
         "ann_lsh_topk": _Q_ANN_LSH_DUCK,
         # every queries() entry is oracle-checked.
     }

@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["duplicated_window_spans", "strip_duplicated_spans"]
+__all__ = [
+    "duplicated_window_spans",
+    "strip_duplicated_spans",
+    "contaminated_window_spans",
+    "decontaminate_spans",
+]
 
 
 def _windows(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
@@ -48,29 +53,9 @@ def _windows(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     )
 
 
-def duplicated_window_spans(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 8,
-    min_count: int = 2,
-) -> DataFrame:
-    """Merged per-document token spans covered by any k-token window whose
-    exact text occurs ``min_count``+ times corpus-wide (same-document
-    repeats count).
-
-    Returns (id_col, span_start, span_end, n_windows): 0-based token
-    indices, end exclusive; overlapping and adjacent windows merge.
-    """
-    wins = _windows(docs, text_col, id_col, k)
-    dup = (
-        wins.groupBy("whash")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .where(F.col("__c") >= min_count)
-        .select("whash")
-    )
-    hit = wins.join(dup, "whash", "left_semi").select(id_col, "pos")
-
+def _merge_hit_spans(hit: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge (id, pos) window-start hits into disjoint per-document token
+    spans: (id_col, span_start, span_end, n_windows), end exclusive."""
     w = Window.partitionBy(id_col).orderBy("pos")
     # Uniform window width k makes interval merging a lag test: positions
     # are sorted, so the running max end IS lag(pos)+k — a new island
@@ -98,21 +83,77 @@ def duplicated_window_spans(
     )
 
 
-def strip_duplicated_spans(
+def duplicated_window_spans(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
     min_count: int = 2,
 ) -> DataFrame:
-    """Every input document with repeated-window spans removed.
+    """Merged per-document token spans covered by any k-token window whose
+    exact text occurs ``min_count``+ times corpus-wide (same-document
+    repeats count).
+
+    Returns (id_col, span_start, span_end, n_windows): 0-based token
+    indices, end exclusive; overlapping and adjacent windows merge.
+    """
+    wins = _windows(docs, text_col, id_col, k)
+    dup = (
+        wins.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("whash")
+    )
+    hit = wins.join(dup, "whash", "left_semi").select(id_col, "pos")
+    return _merge_hit_spans(hit, id_col, k)
+
+
+def contaminated_window_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Merged per-document token spans covered by any k-token window that
+    also occurs verbatim in the ``benchmark`` (eval-set) table — the
+    span-granular form of benchmark decontamination (``dedup.decontaminate``
+    flags whole documents; this localises WHICH tokens leaked so the
+    document can be salvaged instead of dropped, the Lee et al.
+    exact-substring construction pointed at an eval suite).
+
+    Returns (id_col, span_start, span_end, n_windows), 0-based token
+    indices, end exclusive, overlapping/adjacent windows merged.
+
+    Scale shape: the benchmark side is SMALL (an eval suite) — its
+    distinct window-hash set broadcasts, so the corpus side is one
+    narrow scan + broadcast semi-join; the only shuffled rows are the
+    (id, pos) hits themselves (two ints per contaminated window), never
+    corpus text.
+    """
+    wins = _windows(docs, text_col, id_col, k)
+    bench_w = (
+        _windows(benchmark, bench_text_col, id_col, k)
+        .select("whash")
+        .distinct()
+    )
+    hit = (
+        wins.join(F.broadcast(bench_w), "whash", "left_semi")
+        .select(id_col, "pos")
+    )
+    return _merge_hit_spans(hit, id_col, k)
+
+
+def _strip_spans(
+    docs: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Remove the tokens covered by ``spans`` from every document.
 
     Returns (id_col, clean_text, n_kept, n_removed).  A fully-covered
-    document (e.g. an exact duplicate) keeps an empty ``clean_text``
-    rather than disappearing; documents shorter than k tokens pass
-    through untouched.
+    document keeps an empty ``clean_text`` rather than disappearing;
+    documents with no spans pass through untouched.
     """
-    spans = duplicated_window_spans(docs, text_col, id_col, k, min_count)
     per_doc = spans.groupBy(id_col).agg(
         # sort for determinism under any partitioning, then expand the
         # (merged, disjoint) spans to the removed index list — bounded by
@@ -142,3 +183,44 @@ def strip_duplicated_spans(
         F.size("__kept").cast("int").alias("n_kept"),
         (F.size("__toks") - F.size("__kept")).cast("int").alias("n_removed"),
     )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Every input document with corpus-repeated-window spans removed
+    (see :func:`duplicated_window_spans` for the span definition).
+
+    Returns (id_col, clean_text, n_kept, n_removed).  A fully-covered
+    document (e.g. an exact duplicate) keeps an empty ``clean_text``
+    rather than disappearing; documents shorter than k tokens pass
+    through untouched.
+    """
+    spans = duplicated_window_spans(docs, text_col, id_col, k, min_count)
+    return _strip_spans(docs, spans, text_col, id_col)
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Every input document with benchmark-leaked windows removed (see
+    :func:`contaminated_window_spans`) — surgical decontamination that
+    keeps the document, unlike the drop-the-document policy of
+    ``dedup.decontaminate``.
+
+    Returns (id_col, clean_text, n_kept, n_removed); uncontaminated
+    documents pass through untouched with n_removed = 0.
+    """
+    spans = contaminated_window_spans(
+        docs, benchmark, text_col, id_col, bench_text_col, k
+    )
+    return _strip_spans(docs, spans, text_col, id_col)

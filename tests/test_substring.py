@@ -102,3 +102,79 @@ def test_min_count_threshold(spark):
     docs = _docs(spark, [f"{phrase} {_w('a', 3)}", f"{phrase} {_w('b', 3)}"])
     assert duplicated_window_spans(docs, k=8, min_count=3).count() == 0
     assert duplicated_window_spans(docs, k=8, min_count=2).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Span-level benchmark decontamination (contaminated_window_spans /
+# decontaminate_spans): the Lee et al. construction pointed at an eval
+# suite instead of the corpus itself.
+# ---------------------------------------------------------------------------
+from jochre3_ocr_spark.operators.substring import (  # noqa: E402
+    contaminated_window_spans,
+    decontaminate_spans,
+)
+
+
+def _bench(spark, texts):
+    return spark.createDataFrame(
+        [(f"b{i}", t) for i, t in enumerate(texts)],
+        "doc_id string, text string",
+    )
+
+
+def test_contaminated_span_localised(spark):
+    leaked = _w("leak", 8)
+    docs = _docs(spark, [f"{_w('a', 3)} {leaked} {_w('z', 2)}", _w("c", 10)])
+    bench = _bench(spark, [f"{_w('pre', 2)} {leaked}"])
+    spans = [
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in contaminated_window_spans(docs, bench, k=8).collect()
+    ]
+    assert spans == [(0, 3, 11, 1)]
+
+
+def test_corpus_repeats_alone_do_not_contaminate(spark):
+    # the same phrase in MANY corpus docs is dup, not contamination —
+    # only benchmark membership flags it
+    phrase = _w("dup", 8)
+    docs = _docs(spark, [f"{phrase} {_w('a', 2)}", f"{phrase} {_w('b', 2)}"])
+    bench = _bench(spark, [_w("other", 12)])
+    assert contaminated_window_spans(docs, bench, k=8).count() == 0
+
+
+def test_decontaminate_keeps_document(spark):
+    leaked = _w("leak", 8)
+    keep = _w("keep", 5)
+    docs = _docs(spark, [f"{keep} {leaked}", _w("u", 6)])
+    bench = _bench(spark, [leaked])
+    rows = {r.doc_id: r for r in decontaminate_spans(docs, bench, k=8).collect()}
+    assert rows[0].clean_text == keep
+    assert rows[0].n_kept == 5 and rows[0].n_removed == 8
+    # untouched doc passes through, not dropped
+    assert rows[1].clean_text == _w("u", 6) and rows[1].n_removed == 0
+
+
+def test_decontaminate_same_doc_multiple_bench_hits_merge(spark):
+    l1, l2 = _w("x", 8), _w("y", 8)
+    docs = _docs(spark, [f"{l1} {l2}", f"{l1} MID {_w('t', 7)}"])
+    bench = _bench(spark, [l1, l2])
+    rows = {r.doc_id: r for r in decontaminate_spans(docs, bench, k=8).collect()}
+    assert rows[0].clean_text == "" and rows[0].n_removed == 16
+    assert rows[1].clean_text == f"MID {_w('t', 7)}"
+
+
+def test_decontaminate_partitioning_invariant(spark):
+    leaked = _w("leak", 8)
+    texts = [f"{_w(chr(97 + i), 4)} {leaked}" for i in range(8)] + [
+        _w("z", 9)
+    ]
+    docs = _docs(spark, texts)
+    bench = _bench(spark, [leaked])
+    a = sorted(map(tuple, decontaminate_spans(docs, bench, k=8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            decontaminate_spans(docs.repartition(5), bench, k=8).collect(),
+        )
+    )
+    assert a == b
