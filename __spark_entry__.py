@@ -2981,6 +2981,219 @@ FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """
 
 
+def _q_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style fuzzy contamination fraction + keep verdict
+    (operators/substring.contamination_stats, threshold 0.05)."""
+    from jochre3_ocr_spark.operators.substring import contamination_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return contamination_stats(docs, _bench_slices(spark, sf_dir), k=8)
+
+
+_Q_CONTAM_STATS_DUCK = """
+WITH toks AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+              string_split(text, ' ') AS t FROM documents),
+bench AS (SELECT t[9:24] AS bt FROM toks
+          WHERE CAST(doc_id AS BIGINT) % 97 = 0 AND len(t) >= 24),
+bw AS (SELECT DISTINCT array_to_string(bt[i:i+7], ' ') AS wtext
+       FROM bench, unnest(generate_series(1, len(bt) - 7)) AS g(i)),
+w AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS wtext
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)
+      WHERE len(t) >= 8),
+hits AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_contaminated
+         FROM w WHERE wtext IN (SELECT wtext FROM bw) GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(greatest(len(t) - 7, 0) AS INTEGER) AS n_windows
+        FROM toks),
+f AS (SELECT t.doc_id, t.n_windows,
+             coalesce(h.n_contaminated, 0) AS n_contaminated,
+             CASE WHEN t.n_windows > 0
+                  THEN round(coalesce(h.n_contaminated, 0)
+                             / CAST(t.n_windows AS DOUBLE), 6)
+                  ELSE 0.0 END AS contaminated_frac
+      FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id)
+SELECT doc_id, n_windows, n_contaminated, contaminated_frac,
+       contaminated_frac <= 0.05 AS keep
+FROM f
+"""
+
+
+def _q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-filter features (operators/repetition.py):
+    top-word / top-{2,3,4}-gram char fractions + within-doc duplicated
+    5-gram coverage."""
+    from jochre3_ocr_spark.operators.repetition import repetition_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_features(docs)
+
+
+# The oracle recomputes every n-gram count with unnest/GROUP BY and the
+# coverage spans with the gaps-and-islands window — no md5, raw text.
+_Q_REPETITION_DUCK = """
+WITH toks AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+              string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id, n, array_to_string(t[i:i+n-1], ' ') AS gram
+      FROM toks, (VALUES (1), (2), (3), (4)) AS ns(n),
+           unnest(generate_series(1, len(t) - n + 1)) AS gi(i)
+      WHERE len(t) >= n),
+c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram),
+r AS (SELECT doc_id, n, c, len(gram) AS l,
+             row_number() OVER (PARTITION BY doc_id, n
+                                ORDER BY c DESC, len(gram) DESC) AS rn
+      FROM c),
+piv AS (SELECT doc_id,
+               max(CASE WHEN n = 1 THEN c END) AS c1,
+               max(CASE WHEN n = 2 THEN c END) AS c2,
+               max(CASE WHEN n = 2 THEN l END) AS l2,
+               max(CASE WHEN n = 3 THEN c END) AS c3,
+               max(CASE WHEN n = 3 THEN l END) AS l3,
+               max(CASE WHEN n = 4 THEN c END) AS c4,
+               max(CASE WHEN n = 4 THEN l END) AS l4
+        FROM r WHERE rn = 1 GROUP BY doc_id),
+w5 AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS wtext
+       FROM toks, unnest(generate_series(1, len(t) - 4)) AS gi(i)
+       WHERE len(t) >= 5),
+dup AS (SELECT doc_id, wtext FROM w5
+        GROUP BY doc_id, wtext HAVING count(*) >= 2),
+hit AS (SELECT w.doc_id, w.pos FROM w5 w
+        JOIN dup d ON w.doc_id = d.doc_id AND w.wtext = d.wtext),
+isl AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+             OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 5
+             THEN 1 ELSE 0 END AS nw
+        FROM hit),
+grp AS (SELECT doc_id, pos,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl),
+spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+          FROM grp GROUP BY doc_id, island),
+cov AS (SELECT doc_id, sum(e - s) AS cov FROM spans GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.t) AS INTEGER) AS n_tokens,
+       round(p.c1 / CAST(len(t.t) AS DOUBLE), 6) AS top_word_frac,
+       coalesce(round(p.c2 * p.l2 / CAST(len(t.text) AS DOUBLE), 6),
+                0.0) AS top_2gram_char_frac,
+       coalesce(round(p.c3 * p.l3 / CAST(len(t.text) AS DOUBLE), 6),
+                0.0) AS top_3gram_char_frac,
+       coalesce(round(p.c4 * p.l4 / CAST(len(t.text) AS DOUBLE), 6),
+                0.0) AS top_4gram_char_frac,
+       round(coalesce(v.cov, 0) / CAST(len(t.t) AS DOUBLE), 6)
+           AS dup_5gram_token_frac
+FROM toks t LEFT JOIN piv p ON t.doc_id = p.doc_id
+            LEFT JOIN cov v ON t.doc_id = v.doc_id
+"""
+
+
+def _q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scores (operators/lm.py): add-one bigram
+    LM trained on the doc_id % 10 < 3 split, scoring every document."""
+    from jochre3_ocr_spark.operators.lm import bigram_lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter("CAST(doc_id AS BIGINT) % 10 < 3")
+    return bigram_lm_scores(docs, train)
+
+
+# Full SQL reconstruction: counts, history sums, vocab size, add-one
+# probabilities and the per-doc mean log — dissimilar engines agreeing
+# on a trained model's scores end to end.
+_Q_BIGRAM_LM_DUCK = """
+WITH toks AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+              CAST(doc_id AS BIGINT) AS did,
+              string_split(text, ' ') AS t FROM documents),
+tb AS (SELECT t[i] AS w1, t[i+1] AS w2
+       FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+       WHERE did % 10 < 3 AND len(t) >= 2),
+c AS (SELECT w1, w2, count(*) AS c FROM tb GROUP BY w1, w2),
+h AS (SELECT w1, sum(c) AS h FROM c GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+      FROM (SELECT unnest(t) AS tok FROM toks WHERE did % 10 < 3)),
+db AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+       WHERE len(t) >= 2),
+lp AS (SELECT d.doc_id,
+              ln((coalesce(c.c, 0) + 1)
+                 / (coalesce(h.h, 0) + (SELECT v FROM v))) AS lp
+       FROM db d LEFT JOIN c ON d.w1 = c.w1 AND d.w2 = c.w2
+                 LEFT JOIN h ON d.w1 = h.w1),
+s AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+             round(avg(lp), 6) AS avg_logprob
+      FROM lp GROUP BY doc_id)
+SELECT t.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.avg_logprob, 0.0) AS avg_logprob
+FROM toks t LEFT JOIN s ON t.doc_id = s.doc_id
+"""
+
+
+def _q_decontaminate_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded whole-doc decontamination (dedup.decontaminate_jaccard):
+    best benchmark match by exact 5-gram Jaccard, keep iff < 0.05."""
+    from jochre3_ocr_spark.operators.dedup import decontaminate_jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decontaminate_jaccard(
+        docs, _bench_slices(spark, sf_dir), n=5, threshold=0.05
+    )
+
+
+_Q_DECONTAM_JACCARD_DUCK = """
+WITH toks AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+              string_split(text, ' ') AS t FROM documents),
+bsl AS (SELECT doc_id AS bench_id, t[9:24] AS bt FROM toks
+        WHERE CAST(doc_id AS BIGINT) % 97 = 0 AND len(t) >= 24),
+bsh AS (SELECT DISTINCT bench_id, array_to_string(bt[i:i+4], ' ') AS sh
+        FROM bsl, unnest(generate_series(1, len(bt) - 4)) AS g(i)),
+dsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+        FROM toks, unnest(generate_series(1, len(t) - 4)) AS g(i)
+        WHERE len(t) >= 5),
+na AS (SELECT doc_id, count(*) AS na FROM dsh GROUP BY doc_id),
+nb AS (SELECT bench_id, count(*) AS nb FROM bsh GROUP BY bench_id),
+p AS (SELECT d.doc_id, b.bench_id, count(*) AS common
+      FROM dsh d JOIN bsh b ON d.sh = b.sh GROUP BY d.doc_id, b.bench_id),
+j AS (SELECT p.doc_id, p.bench_id, p.common,
+             round(p.common / CAST(na.na + nb.nb - p.common AS DOUBLE),
+                   6) AS jaccard
+      FROM p JOIN na ON p.doc_id = na.doc_id
+             JOIN nb ON p.bench_id = nb.bench_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY jaccard DESC, bench_id ASC) AS rn
+      FROM j)
+SELECT t.doc_id, r.bench_id AS best_bench_id,
+       coalesce(r.common, 0) AS common,
+       coalesce(r.jaccard, 0.0) AS jaccard,
+       coalesce(r.jaccard, 0.0) < 0.05 AS keep
+FROM toks t LEFT JOIN r ON t.doc_id = r.doc_id AND r.rn = 1
+"""
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (text_metrics.tfidf_top_terms,
+    sklearn-smoothed idf, rank ties broken alphabetically)."""
+    from jochre3_ocr_spark.operators.text_metrics import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=3)
+
+
+_Q_TFIDF_DUCK = """
+WITH toks AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+              unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+s AS (SELECT t.doc_id, t.term, t.tf,
+             round(t.tf * (ln((1 + (SELECT n FROM n)) / (1 + d.df)) + 1),
+                   6) AS score
+      FROM tf t JOIN dfq d ON t.term = d.term),
+r AS (SELECT doc_id, term, tf, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term ASC)
+                  AS INTEGER) AS rnk
+      FROM s)
+SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= 3
+"""
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH top-3 (operators/similarity.py);
     the oracle rebuilds the md5-derived integer planes from scratch."""
@@ -3091,6 +3304,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_strip": _q_dedup_substring_strip,
         "corpus_contaminated_spans": _q_contaminated_spans,
         "corpus_decontaminate_spans": _q_decontaminate_spans,
+        "corpus_contamination_stats": _q_contamination_stats,
+        "corpus_repetition_features": _q_repetition_features,
+        "corpus_lm_scores": _q_bigram_lm_scores,
+        "corpus_tfidf_terms": _q_tfidf_top_terms,
+        "corpus_decontaminate_jaccard": _q_decontaminate_jaccard,
         "ann_lsh_topk": _q_ann_lsh_topk,
     }
 
@@ -3157,6 +3375,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_strip": _Q_SUBSTR_STRIP_DUCK,
         "corpus_contaminated_spans": _Q_CONTAM_SPANS_DUCK,
         "corpus_decontaminate_spans": _Q_DECONTAM_SPANS_DUCK,
+        "corpus_contamination_stats": _Q_CONTAM_STATS_DUCK,
+        "corpus_repetition_features": _Q_REPETITION_DUCK,
+        "corpus_lm_scores": _Q_BIGRAM_LM_DUCK,
+        "corpus_tfidf_terms": _Q_TFIDF_DUCK,
+        "corpus_decontaminate_jaccard": _Q_DECONTAM_JACCARD_DUCK,
         "ann_lsh_topk": _Q_ANN_LSH_DUCK,
         # every queries() entry is oracle-checked.
     }

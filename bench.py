@@ -97,6 +97,12 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "dedup_substring_spans",
         "dedup_substring_strip",
         "ann_lsh_topk",
+        "corpus_decontaminate_spans",
+        "corpus_contamination_stats",
+        "corpus_repetition_features",
+        "corpus_lm_scores",
+        "corpus_tfidf_terms",
+        "corpus_decontaminate_jaccard",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can

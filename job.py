@@ -97,6 +97,8 @@ def main(argv=None) -> int:
             "chunk", "pack", "dedup-verdicts", "decontaminate",
             "quality", "exact-dedup", "sample", "html-extract",
             "substring-spans", "substring-strip",
+            "decontaminate-spans", "contamination-stats",
+            "repetition", "lm-score", "tfidf", "decontaminate-jaccard",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
         "lang, source]) parquet at --input: chunk = sliding token "
@@ -108,8 +110,26 @@ def main(argv=None) -> int:
         "--fraction subsample; html-extract = main-content spans from "
         "an (doc_id, html) table (or synthesized pages over a docs "
         "table); substring-spans/-strip = corpus-repeated token-window "
-        "spans (Lee et al. exact-substring dedup), reported / removed",
+        "spans (Lee et al. exact-substring dedup), reported / removed; "
+        "decontaminate-spans = strip ONLY benchmark-leaked windows "
+        "(keep the doc); contamination-stats = per-doc leaked-window "
+        "fraction + keep verdict; repetition = Gopher repetition-filter "
+        "features; lm-score = bigram-LM quality scores (train on "
+        "--train-input or a deterministic 30%% sample); tfidf = top-k "
+        "TF-IDF terms per doc; decontaminate-jaccard = graded whole-doc "
+        "decontamination (best benchmark match by exact --ngram Jaccard, "
+        "keep iff < --max-contamination)",
     )
+    p.add_argument("--train-input", default=None,
+                   help="LM training-split parquet (--corpus-op "
+                   "lm-score); default: deterministic 30%% sample of "
+                   "--input")
+    p.add_argument("--topk", type=int, default=3,
+                   help="terms per doc (--corpus-op tfidf)")
+    p.add_argument("--max-contamination", type=float, default=0.05,
+                   help="keep threshold (--corpus-op contamination-"
+                   "stats / decontaminate-jaccard; for the latter a "
+                   "whole-doc Jaccard bar like 0.8 is typical)")
     p.add_argument("--window", type=int, default=8,
                    help="token-window width k (--corpus-op substring-*)")
     p.add_argument("--min-count", type=int, default=2,
@@ -384,6 +404,56 @@ def main(argv=None) -> int:
                 else strip_duplicated_spans
             )
             out = fn(docs, k=args.window, min_count=args.min_count)
+        elif args.corpus_op == "decontaminate-jaccard":
+            if not args.benchmark:
+                p.error("--corpus-op decontaminate-jaccard requires --benchmark")
+            from jochre3_ocr_spark.operators.dedup import decontaminate_jaccard
+
+            bench = spark.read.parquet(args.benchmark)
+            out = decontaminate_jaccard(
+                docs, bench, n=args.ngram,
+                threshold=args.max_contamination,
+            )
+        elif args.corpus_op in ("decontaminate-spans", "contamination-stats"):
+            if not args.benchmark:
+                p.error(f"--corpus-op {args.corpus_op} requires --benchmark")
+            from jochre3_ocr_spark.operators.substring import (
+                contamination_stats,
+                decontaminate_spans,
+            )
+
+            bench = spark.read.parquet(args.benchmark)
+            if args.corpus_op == "decontaminate-spans":
+                out = decontaminate_spans(docs, bench, k=args.window)
+            else:
+                out = contamination_stats(
+                    docs, bench, k=args.window,
+                    max_fraction=args.max_contamination,
+                )
+        elif args.corpus_op == "repetition":
+            from jochre3_ocr_spark.operators.repetition import (
+                repetition_features,
+            )
+
+            out = repetition_features(docs)
+        elif args.corpus_op == "lm-score":
+            from jochre3_ocr_spark.operators.lm import bigram_lm_scores
+            from jochre3_ocr_spark.operators.text_metrics import (
+                deterministic_sample,
+            )
+
+            train = (
+                spark.read.parquet(args.train_input)
+                if args.train_input
+                else deterministic_sample(docs, fraction=0.3, salt=args.salt)
+            )
+            out = bigram_lm_scores(docs, train)
+        elif args.corpus_op == "tfidf":
+            from jochre3_ocr_spark.operators.text_metrics import (
+                tfidf_top_terms,
+            )
+
+            out = tfidf_top_terms(docs, k=args.topk)
         elif args.corpus_op == "sample":
             from jochre3_ocr_spark.operators.text_metrics import (
                 deterministic_sample,

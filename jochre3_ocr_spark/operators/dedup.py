@@ -115,6 +115,78 @@ def decontaminate(
     )
 
 
+def decontaminate_jaccard(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Whole-document fuzzy decontamination by exact n-gram Jaccard
+    against the benchmark: for every corpus document, the best-matching
+    benchmark document and a keep verdict (keep iff best Jaccard <
+    ``threshold``).  The graded companion to :func:`decontaminate`
+    (any-hit flagging) and ``substring.contamination_stats`` (window
+    fraction): PaLM/Llama-style overlap thresholds live here.
+
+    Returns (doc_id, best_bench_id, common, jaccard, keep) over the FULL
+    corpus domain; uncontaminated docs have null best_bench_id, jaccard
+    0.0, keep true.  Ties on jaccard break to the smaller bench id.
+
+    Scale shape: no MinHash needed — the benchmark side is an eval
+    suite, so its distinct-shingle table broadcasts and candidate
+    generation is already exact and linear in corpus shingles (MinHash
+    banding earns its recall loss only when BOTH sides are corpus-sized,
+    which is the self-dedup path above).  Jaccard is a rational of
+    exact distinct-shingle counts — no estimate, no float tie risk.
+    """
+    doc_sh = _shingles(_tokens(df, id_col, text_col), n)
+    bench_sh = _shingles(
+        _tokens(benchmark, bench_id_col, bench_text_col), n
+    ).withColumnRenamed("doc_id", "bench_id")
+    doc_n = doc_sh.groupBy("doc_id").agg(F.count("*").alias("na"))
+    bench_n = bench_sh.groupBy("bench_id").agg(F.count("*").alias("nb"))
+    pairs = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("common"))
+        .join(doc_n, "doc_id")
+        .join(F.broadcast(bench_n), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard"), F.asc("bench_id")
+    )
+    best = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        df.select(F.col(id_col).cast("string").alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("bench_id").alias("best_bench_id"),
+            F.coalesce("common", F.lit(0)).alias("common"),
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+            (F.coalesce("jaccard", F.lit(0.0)) < threshold).alias("keep"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

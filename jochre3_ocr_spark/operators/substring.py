@@ -32,6 +32,7 @@ __all__ = [
     "strip_duplicated_spans",
     "contaminated_window_spans",
     "decontaminate_spans",
+    "contamination_stats",
 ]
 
 
@@ -202,6 +203,69 @@ def strip_duplicated_spans(
     """
     spans = duplicated_window_spans(docs, text_col, id_col, k, min_count)
     return _strip_spans(docs, spans, text_col, id_col)
+
+
+def contamination_stats(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int = 8,
+    max_fraction: float = 0.05,
+) -> DataFrame:
+    """Per-document contamination *fraction* and keep/drop verdict — the
+    GPT-3-appendix-C-style fuzzy policy between ``dedup.decontaminate``
+    (drop on ANY k-gram hit) and :func:`decontaminate_spans` (strip the
+    hits): measure what fraction of a document's k-token windows occur
+    verbatim in the benchmark and keep the document iff the fraction is
+    at most ``max_fraction``.
+
+    Returns (id_col, n_windows, n_contaminated, contaminated_frac, keep);
+    ``contaminated_frac`` is rounded to 6 places.  Documents shorter than
+    k tokens have zero windows and are kept with fraction 0.0.
+
+    Scale shape: identical to :func:`contaminated_window_spans` — the
+    benchmark window-hash set broadcasts, the per-doc hit count is one
+    map-side-combinable aggregate keyed by doc id; corpus text never
+    shuffles.
+    """
+    wins = _windows(docs, text_col, id_col, k)
+    bench_w = (
+        _windows(benchmark, bench_text_col, id_col, k)
+        .select("whash")
+        .distinct()
+    )
+    hits = (
+        wins.join(F.broadcast(bench_w), "whash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_contaminated"))
+    )
+    totals = docs.select(
+        id_col,
+        # raw split, matching _windows: window count is over the same
+        # token sequence the hashes were built from
+        F.greatest(
+            F.size(F.split(F.col(text_col), " ")) - k + 1, F.lit(0)
+        ).cast("int").alias("n_windows"),
+    )
+    frac = F.when(
+        F.col("n_windows") > 0,
+        F.round(F.col("n_contaminated") / F.col("n_windows"), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn(
+            "n_contaminated", F.coalesce("n_contaminated", F.lit(0))
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_contaminated",
+            frac.alias("contaminated_frac"),
+            (frac <= max_fraction).alias("keep"),
+        )
+    )
 
 
 def decontaminate_spans(

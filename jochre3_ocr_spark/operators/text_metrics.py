@@ -320,3 +320,54 @@ def bpe_token_counts(
             F.regexp_extract_all(text_col, F.lit(BPE_ISH_PATTERN), 0)
         ).alias("n_bpe_tokens"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (sklearn's formula: tf × (ln((1+N)/(1+df)) + 1)) — the classic
+    keyword/topic signal for corpus curation and routing.
+
+    Returns (doc_id, term, tf, score, rnk) with score rounded to 6 and
+    rnk 1..k; ordering is (rounded score desc, term asc) so ranks are
+    deterministic under ties and across engines.
+
+    100 TB posture: term frequencies are one map-side-combinable agg
+    keyed (doc, term); document frequencies REUSE that table (a second
+    agg on term alone); the idf table is vocabulary-bounded and
+    broadcasts; the only per-corpus-row shuffle is the top-k window
+    keyed by doc id.  N travels as a broadcast 1-row DataFrame.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((1 + F.col("__n")) / (1 + F.col("__df"))) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "score", "rnk")
+    )

@@ -784,3 +784,70 @@ def test_simhash_neardup_single_band_is_exact_signature_match(spark):
     assert all(r.hamming == 0 for r in pairs)
     ids = {r.doc1 for r in pairs} | {r.doc2 for r in pairs}
     assert ids == {f"g{i:03d}" for i in range(40)}
+
+
+def test_decontaminate_jaccard_best_match_and_verdict(spark):
+    """Graded decontamination: exact Jaccard vs the benchmark, full
+    corpus domain, keep iff below threshold."""
+    from jochre3_ocr_spark.operators.dedup import decontaminate_jaccard
+
+    bench = spark.createDataFrame(
+        [
+            ("b1", "alpha beta gamma delta epsilon"),
+            ("b2", "one two three four"),
+        ],
+        "doc_id string, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # identical to b1: |A|=|B|=3 distinct 3-grams, jaccard 1.0
+            ("d1", "alpha beta gamma delta epsilon"),
+            # shares 1 of b2's 2 3-grams; |A|=2 -> 1/(2+2-1)
+            ("d2", "one two three zzz"),
+            # no overlap
+            ("d3", "p q r s t"),
+        ],
+        "doc_id string, text string",
+    )
+    out = decontaminate_jaccard(docs, bench, n=3, threshold=0.5)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 3  # full domain
+    assert rows["d1"].best_bench_id == "b1" and rows["d1"].jaccard == 1.0
+    assert not rows["d1"].keep
+    assert rows["d2"].best_bench_id == "b2"
+    assert rows["d2"].jaccard == round(1 / 3, 6) and rows["d2"].keep
+    assert rows["d3"].best_bench_id is None and rows["d3"].keep
+    assert rows["d3"].jaccard == 0.0 and rows["d3"].common == 0
+
+
+def test_decontaminate_jaccard_tie_breaks_to_smaller_bench(spark):
+    from jochre3_ocr_spark.operators.dedup import decontaminate_jaccard
+
+    bench = spark.createDataFrame(
+        [("b2", "a b c"), ("b1", "a b c")], "doc_id string, text string"
+    )
+    docs = spark.createDataFrame(
+        [("d1", "a b c")], "doc_id string, text string"
+    )
+    r = decontaminate_jaccard(docs, bench, n=3).collect()[0]
+    assert r.best_bench_id == "b1" and r.jaccard == 1.0
+
+
+def test_decontaminate_jaccard_partitioning_invariant(spark):
+    from jochre3_ocr_spark.operators.dedup import decontaminate_jaccard
+
+    bench = spark.createDataFrame(
+        [("b1", "k0 k1 k2 k3 k4 k5 k6")], "doc_id string, text string"
+    )
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"k{i % 4} k{(i + 1) % 4} k{(i + 2) % 4} u{i}") for i in range(12)],
+        "doc_id string, text string",
+    )
+    a = sorted(map(tuple, decontaminate_jaccard(docs, bench, n=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            decontaminate_jaccard(docs.repartition(5), bench, n=3).collect(),
+        )
+    )
+    assert a == b

@@ -178,3 +178,44 @@ def test_decontaminate_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy contamination fraction (contamination_stats): the GPT-3-style
+# keep-iff-below-threshold policy.
+# ---------------------------------------------------------------------------
+from jochre3_ocr_spark.operators.substring import contamination_stats  # noqa: E402
+
+
+def test_contamination_fraction_exact(spark):
+    leaked = _w("leak", 8)
+    # doc 0: 12 tokens -> 5 windows, exactly 1 of them leaked
+    docs = _docs(spark, [f"{_w('a', 2)} {leaked} {_w('z', 2)}", _w("c", 9)])
+    bench = _bench(spark, [leaked])
+    rows = {r.doc_id: r for r in contamination_stats(docs, bench, k=8).collect()}
+    assert (rows[0].n_windows, rows[0].n_contaminated) == (5, 1)
+    assert rows[0].contaminated_frac == 0.2
+    assert rows[1].n_contaminated == 0 and rows[1].keep
+
+
+def test_contamination_threshold_verdict(spark):
+    leaked = _w("leak", 8)
+    docs = _docs(spark, [f"{leaked} {_w('a', 1)}", f"{leaked} {_w('b', 24)}"])
+    bench = _bench(spark, [leaked])
+    rows = {
+        r.doc_id: r
+        for r in contamination_stats(docs, bench, k=8, max_fraction=0.1).collect()
+    }
+    # doc 0: 2 windows, 1 hit -> 0.5 > 0.1 -> drop; doc 1: 25 windows,
+    # 1 hit -> 0.04 <= 0.1 -> keep
+    assert not rows[0].keep
+    assert rows[1].keep and rows[1].contaminated_frac == 0.04
+
+
+def test_contamination_short_doc_kept(spark):
+    docs = _docs(spark, [_w("s", 5)])
+    bench = _bench(spark, [_w("s", 8)])
+    r = contamination_stats(docs, bench, k=8).collect()[0]
+    assert (r.n_windows, r.n_contaminated, r.contaminated_frac, r.keep) == (
+        0, 0, 0.0, True,
+    )
