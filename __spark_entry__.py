@@ -3194,6 +3194,91 @@ SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= 3
 """
 
 
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/redaction.redact_pii) over the corpus
+    with deterministic synthetic PII injected into every third doc —
+    the corpus alphabet is [a-z0-9 ], so injection is what makes the
+    patterns (and their sequential-count semantics) observable."""
+    from pyspark.sql import functions as SF
+
+    from jochre3_ocr_spark.operators.redaction import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = SF.col("doc_id").cast("bigint")
+    injected = SF.when(
+        did % 3 == 0,
+        SF.concat_ws(
+            "",
+            SF.coalesce(SF.col("text"), SF.lit("")),
+            SF.lit(" contact u"),
+            did.cast("string"),
+            SF.lit("@mail"),
+            (did % 7).cast("string"),
+            SF.lit(".org from 10.0."),
+            (did % 256).cast("string"),
+            SF.lit("."),
+            (did % 100).cast("string"),
+            SF.lit(" call 555-"),
+            (100 + did % 900).cast("string"),
+            SF.lit("-"),
+            (1000 + did % 9000).cast("string"),
+        ),
+    ).otherwise(SF.col("text"))
+    return redact_pii(docs.withColumn("text", injected))
+
+
+_Q_REDACT_DUCK = r"""
+WITH inj AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN
+    coalesce(text, '') || ' contact u' || doc_id || '@mail' || (doc_id % 7)
+         || '.org from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+         || ' call 555-' || (100 + doc_id % 900) || '-'
+         || (1000 + doc_id % 9000)
+  ELSE text END AS text FROM documents),
+s1 AS (SELECT doc_id, text AS t0,
+       CAST(len(regexp_extract_all(text,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_email,
+       regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                      '<EMAIL>', 'g') AS t1 FROM inj),
+s2 AS (SELECT doc_id, n_email,
+       CAST(len(regexp_extract_all(t1,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+       regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                      '<IP>', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4,
+       CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b'))
+            AS INTEGER) AS n_phone,
+       regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t3
+       FROM s2)
+SELECT doc_id, t3 AS clean_text, n_email, n_ipv4, n_phone,
+       n_email + n_ipv4 + n_phone AS n_redactions
+FROM s3
+"""
+
+
+def _q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round: corpus-wide top-20 adjacent char pairs
+    (text_metrics.bpe_merge_candidates)."""
+    from jochre3_ocr_spark.operators.text_metrics import bpe_merge_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_merge_candidates(docs, k=20)
+
+
+_Q_BPE_MERGE_DUCK = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+p AS (SELECT substr(w, i, 2) AS pair
+      FROM w, unnest(generate_series(1, len(w) - 1)) AS g(i)
+      WHERE len(w) >= 2),
+c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY pair),
+r AS (SELECT pair, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC)
+                  AS INTEGER) AS rnk
+      FROM c)
+SELECT pair, cnt, rnk FROM r WHERE rnk <= 20
+"""
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH top-3 (operators/similarity.py);
     the oracle rebuilds the md5-derived integer planes from scratch."""
@@ -3309,6 +3394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lm_scores": _q_bigram_lm_scores,
         "corpus_tfidf_terms": _q_tfidf_top_terms,
         "corpus_decontaminate_jaccard": _q_decontaminate_jaccard,
+        "corpus_redact_pii": _q_redact_pii,
+        "corpus_bpe_merges": _q_bpe_merge_candidates,
         "ann_lsh_topk": _q_ann_lsh_topk,
     }
 
@@ -3380,6 +3467,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_lm_scores": _Q_BIGRAM_LM_DUCK,
         "corpus_tfidf_terms": _Q_TFIDF_DUCK,
         "corpus_decontaminate_jaccard": _Q_DECONTAM_JACCARD_DUCK,
+        "corpus_redact_pii": _Q_REDACT_DUCK,
+        "corpus_bpe_merges": _Q_BPE_MERGE_DUCK,
         "ann_lsh_topk": _Q_ANN_LSH_DUCK,
         # every queries() entry is oracle-checked.
     }

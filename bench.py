@@ -103,6 +103,8 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "corpus_lm_scores",
         "corpus_tfidf_terms",
         "corpus_decontaminate_jaccard",
+        "corpus_redact_pii",
+        "corpus_bpe_merges",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can

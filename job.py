@@ -99,6 +99,7 @@ def main(argv=None) -> int:
             "substring-spans", "substring-strip",
             "decontaminate-spans", "contamination-stats",
             "repetition", "lm-score", "tfidf", "decontaminate-jaccard",
+            "redact-pii", "bpe-merges",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
         "lang, source]) parquet at --input: chunk = sliding token "
@@ -118,7 +119,9 @@ def main(argv=None) -> int:
         "--train-input or a deterministic 30%% sample); tfidf = top-k "
         "TF-IDF terms per doc; decontaminate-jaccard = graded whole-doc "
         "decontamination (best benchmark match by exact --ngram Jaccard, "
-        "keep iff < --max-contamination)",
+        "keep iff < --max-contamination); redact-pii = typed placeholder "
+        "scrubbing (email/ipv4/phone) with per-type counts; bpe-merges = "
+        "top --topk adjacent char pairs (one BPE merge round)",
     )
     p.add_argument("--train-input", default=None,
                    help="LM training-split parquet (--corpus-op "
@@ -430,6 +433,16 @@ def main(argv=None) -> int:
                     docs, bench, k=args.window,
                     max_fraction=args.max_contamination,
                 )
+        elif args.corpus_op == "redact-pii":
+            from jochre3_ocr_spark.operators.redaction import redact_pii
+
+            out = redact_pii(docs)
+        elif args.corpus_op == "bpe-merges":
+            from jochre3_ocr_spark.operators.text_metrics import (
+                bpe_merge_candidates,
+            )
+
+            out = bpe_merge_candidates(docs, k=args.topk)
         elif args.corpus_op == "repetition":
             from jochre3_ocr_spark.operators.repetition import (
                 repetition_features,

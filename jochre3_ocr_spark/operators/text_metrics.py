@@ -371,3 +371,43 @@ def tfidf_top_terms(
         .where(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "score", "rnk")
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k adjacent character pairs corpus-wide — the candidate list
+    for ONE merge round of BPE tokenizer training (Sennrich et al.
+    2016), the aggregation a tokenizer-training pipeline runs repeatedly.
+
+    Returns (pair, cnt, rnk), rnk 1..k ordered by (count desc, pair
+    asc) so ties are deterministic.
+
+    100 TB posture: pair extraction explodes tokens then 2-char slices
+    (both linear in corpus chars); the count is one map-side-combinable
+    agg keyed by pair, and the final top-k sorts the AGGREGATED pair
+    table — alphabet²-bounded, independent of corpus size — never
+    corpus rows.
+    """
+    pairs = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("__w"))
+        .where(F.length("__w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__w") - 1),
+                    lambda i: F.substring(F.col("__w"), i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+    )
+    from pyspark.sql import Window
+
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

@@ -191,3 +191,52 @@ def test_extractor_plan_zero_shuffle_with_page_index(spark):
     assert "Exchange" not in _plan(word_to_glyph_annotations(df))
     # without page_index the split derivation costs a global sort
     assert "Exchange" in _plan(yolo_annotations(df.drop("page_index"), ["Word"]))
+
+
+def _text_docs(spark, n=20):
+    return spark.createDataFrame(
+        [(i, " ".join(f"t{(i * 7 + j) % 13}" for j in range(12)))
+         for i in range(n)],
+        "doc_id bigint, text string",
+    )
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark window set must broadcast — corpus text never
+    shuffles through the contamination ops."""
+    from jochre3_ocr_spark.operators.substring import contamination_stats
+
+    docs = _text_docs(spark)
+    bench = _text_docs(spark, 3)
+    plan = _plan(contamination_stats(docs, bench, k=8))
+    assert "BroadcastHashJoin" in plan
+    # the semi-join against the benchmark hashes must not be a shuffle
+    # join (SortMergeJoin on whash would shuffle every corpus window)
+    assert "SortMergeJoin [whash" not in plan
+
+
+def test_lm_scoring_broadcasts_model_tables(spark):
+    """Bigram counts / history / vocab are vocabulary-bounded — all
+    three must reach the scoring join as broadcasts."""
+    from jochre3_ocr_spark.operators.lm import bigram_lm_scores
+
+    plan = _plan(bigram_lm_scores(_text_docs(spark), _text_docs(spark, 5)))
+    # counts join + history join + the 1-row vocab cross join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_decontaminate_jaccard_broadcasts_bench_side(spark):
+    from jochre3_ocr_spark.operators.dedup import decontaminate_jaccard
+
+    plan = _plan(decontaminate_jaccard(_text_docs(spark), _text_docs(spark, 3), n=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin [shingle" not in plan
+
+
+def test_tfidf_broadcasts_idf_table(spark):
+    from jochre3_ocr_spark.operators.text_metrics import tfidf_top_terms
+
+    plan = _plan(tfidf_top_terms(_text_docs(spark), k=2))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row N
