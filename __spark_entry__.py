@@ -3194,6 +3194,50 @@ SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= 3
 """
 
 
+def _q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT: per-year order counts + total price by priority
+    (explicit pivot value list for a deterministic schema; the oracle
+    mirrors with conditional aggregation, the engine-neutral form)."""
+    from pyspark.sql import functions as SF
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pivoted = (
+        orders.withColumn("o_year", SF.year("o_orderdate"))
+        .groupBy("o_year")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(SF.count(SF.lit(1)))
+    )
+    renames = {
+        "1-URGENT": "n_urgent",
+        "2-HIGH": "n_high",
+        "3-MEDIUM": "n_medium",
+        "4-NOT SPECIFIED": "n_not_specified",
+        "5-LOW": "n_low",
+    }
+    out = pivoted
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        "o_year",
+        *[SF.coalesce(c, SF.lit(0)).alias(c) for c in renames.values()],
+    )
+
+
+_Q_PIVOT_DUCK = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+       count(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+           AS n_not_specified,
+       count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+FROM orders GROUP BY 1
+"""
+
+
 def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (operators/redaction.redact_pii) over the corpus
     with deterministic synthetic PII injected into every third doc —
@@ -3276,6 +3320,53 @@ r AS (SELECT pair, cnt,
                   AS INTEGER) AS rnk
       FROM c)
 SELECT pair, cnt, rnk FROM r WHERE rnk <= 20
+"""
+
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of ITERATIVE BPE training (operators/bpe.train_bpe):
+    the oracle replays all three count→argmax→replace rounds in SQL,
+    so the driver loop, the greedy literal-replace application, and the
+    tie-break all have cross-engine witnesses."""
+    from jochre3_ocr_spark.operators.bpe import train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return train_bpe(docs, n_merges=3)
+
+
+_Q_BPE_TRAIN_DUCK = """
+WITH w0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)),
+t1 AS (SELECT string_split(trim(s), ' ') AS t FROM w0),
+p1 AS (SELECT t[i] AS l, t[i+1] AS r, count(*) AS cnt
+       FROM t1, unnest(generate_series(1, len(t) - 1)) AS g(i)
+       GROUP BY 1, 2),
+m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+w1 AS (SELECT replace(s,
+         ' ' || (SELECT l FROM m1) || ' ' || (SELECT r FROM m1) || ' ',
+         ' ' || (SELECT l FROM m1) || (SELECT r FROM m1) || ' ') AS s
+       FROM w0),
+t2 AS (SELECT string_split(trim(s), ' ') AS t FROM w1),
+p2 AS (SELECT t[i] AS l, t[i+1] AS r, count(*) AS cnt
+       FROM t2, unnest(generate_series(1, len(t) - 1)) AS g(i)
+       GROUP BY 1, 2),
+m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+w2 AS (SELECT replace(s,
+         ' ' || (SELECT l FROM m2) || ' ' || (SELECT r FROM m2) || ' ',
+         ' ' || (SELECT l FROM m2) || (SELECT r FROM m2) || ' ') AS s
+       FROM w1),
+t3 AS (SELECT string_split(trim(s), ' ') AS t FROM w2),
+p3 AS (SELECT t[i] AS l, t[i+1] AS r, count(*) AS cnt
+       FROM t3, unnest(generate_series(1, len(t) - 1)) AS g(i)
+       GROUP BY 1, 2),
+m3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1)
+SELECT CAST(1 AS INTEGER) AS rnk, l AS "left", r AS "right",
+       l || r AS merged, cnt FROM m1
+UNION ALL
+SELECT CAST(2 AS INTEGER), l, r, l || r, cnt FROM m2
+UNION ALL
+SELECT CAST(3 AS INTEGER), l, r, l || r, cnt FROM m3
 """
 
 
@@ -3394,8 +3485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lm_scores": _q_bigram_lm_scores,
         "corpus_tfidf_terms": _q_tfidf_top_terms,
         "corpus_decontaminate_jaccard": _q_decontaminate_jaccard,
+        "q_pivot_orders": _q_pivot_orders,
         "corpus_redact_pii": _q_redact_pii,
         "corpus_bpe_merges": _q_bpe_merge_candidates,
+        "corpus_bpe_train": _q_bpe_train,
         "ann_lsh_topk": _q_ann_lsh_topk,
     }
 
@@ -3467,8 +3560,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_lm_scores": _Q_BIGRAM_LM_DUCK,
         "corpus_tfidf_terms": _Q_TFIDF_DUCK,
         "corpus_decontaminate_jaccard": _Q_DECONTAM_JACCARD_DUCK,
+        "q_pivot_orders": _Q_PIVOT_DUCK,
         "corpus_redact_pii": _Q_REDACT_DUCK,
         "corpus_bpe_merges": _Q_BPE_MERGE_DUCK,
+        "corpus_bpe_train": _Q_BPE_TRAIN_DUCK,
         "ann_lsh_topk": _Q_ANN_LSH_DUCK,
         # every queries() entry is oracle-checked.
     }

@@ -99,7 +99,7 @@ def main(argv=None) -> int:
             "substring-spans", "substring-strip",
             "decontaminate-spans", "contamination-stats",
             "repetition", "lm-score", "tfidf", "decontaminate-jaccard",
-            "redact-pii", "bpe-merges",
+            "redact-pii", "bpe-merges", "bpe-train",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
         "lang, source]) parquet at --input: chunk = sliding token "
@@ -121,8 +121,12 @@ def main(argv=None) -> int:
         "decontamination (best benchmark match by exact --ngram Jaccard, "
         "keep iff < --max-contamination); redact-pii = typed placeholder "
         "scrubbing (email/ipv4/phone) with per-type counts; bpe-merges = "
-        "top --topk adjacent char pairs (one BPE merge round)",
+        "top --topk adjacent char pairs (one BPE merge round); bpe-train "
+        "= ITERATIVE BPE training, --n-merges rounds (one corpus pass "
+        "each), emits the learned merge table",
     )
+    p.add_argument("--n-merges", type=int, default=10,
+                   help="merge rounds (--corpus-op bpe-train)")
     p.add_argument("--train-input", default=None,
                    help="LM training-split parquet (--corpus-op "
                    "lm-score); default: deterministic 30%% sample of "
@@ -437,6 +441,10 @@ def main(argv=None) -> int:
             from jochre3_ocr_spark.operators.redaction import redact_pii
 
             out = redact_pii(docs)
+        elif args.corpus_op == "bpe-train":
+            from jochre3_ocr_spark.operators.bpe import train_bpe
+
+            out = train_bpe(docs, n_merges=args.n_merges)
         elif args.corpus_op == "bpe-merges":
             from jochre3_ocr_spark.operators.text_metrics import (
                 bpe_merge_candidates,
