@@ -3370,6 +3370,65 @@ SELECT CAST(3 AS INTEGER), l, r, l || r, cnt FROM m3
 """
 
 
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary coverage of token occurrences
+    (text_metrics.vocab_coverage, k = 100 / 1000)."""
+    from jochre3_ocr_spark.operators.text_metrics import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_coverage(docs, ks=(100, 1000))
+
+
+_Q_VOCAB_COVERAGE_DUCK = """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rn
+      FROM c)
+SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS INTEGER) AS vocab_size,
+       CAST(sum(CASE WHEN rn <= 100 THEN cnt ELSE 0 END) AS BIGINT)
+           AS covered_100,
+       CAST(sum(CASE WHEN rn <= 1000 THEN cnt ELSE 0 END) AS BIGINT)
+           AS covered_1000,
+       round(sum(CASE WHEN rn <= 100 THEN cnt ELSE 0 END)
+             / CAST(sum(cnt) AS DOUBLE), 6) AS coverage_100,
+       round(sum(CASE WHEN rn <= 1000 THEN cnt ELSE 0 END)
+             / CAST(sum(cnt) AS DOUBLE), 6) AS coverage_1000
+FROM r
+"""
+
+
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling plan realising a 0.5/0.3/0.2 target mixture
+    with max retention (text_metrics.mixture_plan); feeds
+    deterministic_sample(fractions=)."""
+    from jochre3_ocr_spark.operators.text_metrics import mixture_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_plan(docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+
+
+_Q_MIXTURE_DUCK = """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2))
+      AS t(source, target_weight)),
+j AS (SELECT c.source, c.n_docs,
+             coalesce(w.target_weight, 0.0) AS target_weight
+      FROM c LEFT JOIN w USING (source)),
+s AS (SELECT min(n_docs / target_weight) AS c FROM j
+      WHERE target_weight > 0),
+f AS (SELECT j.source, j.n_docs, j.target_weight,
+             CASE WHEN j.target_weight > 0
+                  THEN round((SELECT c FROM s) * j.target_weight
+                             / j.n_docs, 6)
+                  ELSE 0.0 END AS fraction
+      FROM j)
+SELECT source, n_docs, target_weight, fraction,
+       CAST(floor(n_docs * fraction) AS BIGINT) AS expected_docs
+FROM f
+"""
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH top-3 (operators/similarity.py);
     the oracle rebuilds the md5-derived integer planes from scratch."""
@@ -3489,6 +3548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_redact_pii": _q_redact_pii,
         "corpus_bpe_merges": _q_bpe_merge_candidates,
         "corpus_bpe_train": _q_bpe_train,
+        "corpus_vocab_coverage": _q_vocab_coverage,
+        "corpus_mixture_plan": _q_mixture_plan,
         "ann_lsh_topk": _q_ann_lsh_topk,
     }
 
@@ -3564,6 +3625,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_redact_pii": _Q_REDACT_DUCK,
         "corpus_bpe_merges": _Q_BPE_MERGE_DUCK,
         "corpus_bpe_train": _Q_BPE_TRAIN_DUCK,
+        "corpus_vocab_coverage": _Q_VOCAB_COVERAGE_DUCK,
+        "corpus_mixture_plan": _Q_MIXTURE_DUCK,
         "ann_lsh_topk": _Q_ANN_LSH_DUCK,
         # every queries() entry is oracle-checked.
     }

@@ -107,6 +107,8 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "corpus_bpe_merges",
         "corpus_bpe_train",
         "q_pivot_orders",
+        "corpus_vocab_coverage",
+        "corpus_mixture_plan",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can

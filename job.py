@@ -100,6 +100,7 @@ def main(argv=None) -> int:
             "decontaminate-spans", "contamination-stats",
             "repetition", "lm-score", "tfidf", "decontaminate-jaccard",
             "redact-pii", "bpe-merges", "bpe-train",
+            "vocab-coverage", "mixture-plan",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
         "lang, source]) parquet at --input: chunk = sliding token "
@@ -123,8 +124,13 @@ def main(argv=None) -> int:
         "scrubbing (email/ipv4/phone) with per-type counts; bpe-merges = "
         "top --topk adjacent char pairs (one BPE merge round); bpe-train "
         "= ITERATIVE BPE training, --n-merges rounds (one corpus pass "
-        "each), emits the learned merge table",
+        "each), emits the learned merge table; vocab-coverage = top-k "
+        "vocabulary coverage summary; mixture-plan = per-source sampling "
+        "fractions realising --weights (JSON) with max retention",
     )
+    p.add_argument("--weights", default=None,
+                   help='JSON source->weight map, e.g. \'{"src0": 0.5, '
+                   '"src1": 0.5}\' (--corpus-op mixture-plan)')
     p.add_argument("--n-merges", type=int, default=10,
                    help="merge rounds (--corpus-op bpe-train)")
     p.add_argument("--train-input", default=None,
@@ -441,6 +447,20 @@ def main(argv=None) -> int:
             from jochre3_ocr_spark.operators.redaction import redact_pii
 
             out = redact_pii(docs)
+        elif args.corpus_op == "vocab-coverage":
+            from jochre3_ocr_spark.operators.text_metrics import (
+                vocab_coverage,
+            )
+
+            out = vocab_coverage(docs)
+        elif args.corpus_op == "mixture-plan":
+            if not args.weights:
+                p.error("--corpus-op mixture-plan requires --weights")
+            import json as _json
+
+            from jochre3_ocr_spark.operators.text_metrics import mixture_plan
+
+            out = mixture_plan(docs, _json.loads(args.weights))
         elif args.corpus_op == "bpe-train":
             from jochre3_ocr_spark.operators.bpe import train_bpe
 

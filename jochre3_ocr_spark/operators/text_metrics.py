@@ -30,12 +30,14 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def quality_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    lang_col: str = "lang",
+    lang_col: str = "lang", extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, lang, n_tokens, avg_token_len, stopword_ratio,
     distinct_ratio) — the quality-scoring feature row. ``lang`` is
     optional in the input (documented CLI contract: doc_id, text
-    [, lang, source]); absent → null column."""
+    [, lang, source]); absent → null column. ``extra_cols`` pass
+    through untouched (lets streaming compose this projection with an
+    upstream stage without a stream self-join)."""
     if lang_col not in df.columns:
         df = df.withColumn(lang_col, F.lit(None).cast("string"))
     toks = _tokens(df, id_col, text_col)
@@ -53,6 +55,7 @@ def quality_features(
         F.round(F.size(F.array_distinct("_t")) / F.size("_t"), 4).alias(
             "distinct_ratio"
         ),
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -410,4 +413,92 @@ def bpe_merge_candidates(
     return (
         counted.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (100, 1000),
+) -> DataFrame:
+    """One-row corpus summary: what fraction of all token occurrences
+    the top-k vocabulary covers, for each k — the
+    closed-vocabulary-budget question tokenizer and filter design asks.
+
+    Returns (total_tokens, vocab_size, covered_<k>, coverage_<k>...),
+    coverage rounded to 6.  Ranking ties break (count desc, term asc).
+
+    100 TB posture: one map-side-combinable term-count agg; the ranking
+    window and final fold run over the AGGREGATED vocabulary table —
+    bounded by |V|, independent of corpus size (same discipline as
+    ``bpe_merge_candidates``).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    aggs = [
+        F.sum("cnt").alias("total_tokens"),
+        F.count(F.lit(1)).cast("int").alias("vocab_size"),
+    ]
+    for k in ks:
+        covered = F.sum(F.when(F.col("rn") <= k, F.col("cnt")).otherwise(0))
+        aggs.append(covered.alias(f"covered_{k}"))
+    out = ranked.agg(*aggs)
+    for k in ks:
+        out = out.withColumn(
+            f"coverage_{k}",
+            F.round(F.col(f"covered_{k}") / F.col("total_tokens"), 6),
+        )
+    return out
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    by: str = "source",
+) -> DataFrame:
+    """Per-stratum sampling fractions that realise a target mixture with
+    maximum data retention: the binding stratum (smallest n/weight)
+    samples at 1.0 and every other fraction scales down from it — the
+    planning step whose output feeds ``deterministic_sample(fractions=)``.
+
+    Returns (by, n_docs, target_weight, fraction, expected_docs);
+    strata absent from ``weights`` get weight/fraction 0.  Fractions
+    round to 6; expected_docs = floor(n_docs × fraction).
+
+    100 TB posture: one count agg + a broadcast weights table + a 1-row
+    broadcast min — no collect, no corpus re-scan; the actual sampling
+    stays in ``deterministic_sample`` (hash-threshold, shuffle-free).
+    """
+    spark = df.sparkSession
+    counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"{by} string, target_weight double",
+    )
+    joined = counts.join(F.broadcast(wdf), by, "left").withColumn(
+        "target_weight", F.coalesce("target_weight", F.lit(0.0))
+    )
+    scale = joined.where(F.col("target_weight") > 0).agg(
+        F.min(F.col("n_docs") / F.col("target_weight")).alias("__c")
+    )
+    out = joined.crossJoin(F.broadcast(scale))
+    frac = F.when(
+        F.col("target_weight") > 0,
+        F.round(
+            F.col("__c") * F.col("target_weight") / F.col("n_docs"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        by,
+        "n_docs",
+        "target_weight",
+        frac.alias("fraction"),
+        F.floor(F.col("n_docs") * frac).alias("expected_docs"),
     )

@@ -286,3 +286,50 @@ def stream_sessions(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+_DOCS_TEXT_DDL = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def stream_score_documents(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    await_termination: bool = True,
+):
+    """Incremental corpus scoring: redact PII, then quality-score the
+    CLEAN text — the stateless filter-stack prefix as a stream.  Every
+    stage is a pure projection (no aggregation, no watermark needed),
+    so the streaming plan is identical to the batch twin's per-row
+    semantics; exactly-once delivery comes from the file-sink
+    checkpoint, and re-running picks up only NEW files.
+    """
+    from jochre3_ocr_spark.operators.redaction import redact_pii
+    from jochre3_ocr_spark.operators.text_metrics import quality_features
+
+    docs = (
+        spark.readStream.schema(_DOCS_TEXT_DDL)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    red = redact_pii(docs)
+    # one projection end to end — no stream self-join; n_redactions
+    # rides through quality_features' passthrough
+    scored = quality_features(
+        red.withColumnRenamed("clean_text", "text"),
+        text_col="text",
+        extra_cols=("n_redactions",),
+    )
+    query = (
+        scored.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -255,3 +255,53 @@ def test_stream_sessions_stateful(spark, tmp_path):
     # every closed session emitted: only sessions still inside the final
     # watermark horizon may be withheld
     assert len(got_rows) >= batch.count() - 20
+
+
+def test_stream_score_documents_matches_batch_twin(spark, tmp_path):
+    """Stateless scorer stream (redact -> quality): incremental files,
+    row-for-row equality with the batch composition."""
+    from jochre3_ocr_spark.operators.redaction import redact_pii
+    from jochre3_ocr_spark.operators.text_metrics import quality_features
+    from jochre3_ocr_spark.streaming.stream import stream_score_documents
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _batch(rows):
+        spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    rows1 = [
+        (0, "the quick fox mail a@b.io end", "en", "s0", 29),
+        (1, "plain words only here", "de", "s1", 21),
+    ]
+    rows2 = [(2, "ping 10.0.0.7 the the a", "en", "s0", 23)]
+
+    _batch(rows1)
+    stream_score_documents(spark, inp, out, ckpt)
+    assert spark.read.parquet(out).count() == 2
+
+    _batch(rows2)
+    stream_score_documents(spark, inp, out, ckpt)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    batch_docs = spark.read.parquet(inp)
+    red = redact_pii(batch_docs)
+    want = sorted(
+        map(
+            tuple,
+            quality_features(
+                red.withColumnRenamed("clean_text", "text"),
+                text_col="text",
+                extra_cols=("n_redactions",),
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the redaction really happened upstream of scoring
+    by_id = {t[0]: t for t in got}
+    assert by_id["0"][-1] == 1 and by_id["2"][-1] == 1
