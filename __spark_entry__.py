@@ -3429,6 +3429,59 @@ FROM f
 """
 
 
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index with an 8-doc posting cap
+    (text_metrics.inverted_index); canonical-string postings make
+    cross-engine equality exact."""
+    from jochre3_ocr_spark.operators.text_metrics import inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return inverted_index(docs, max_postings=8)
+
+
+_Q_INVERTED_INDEX_DUCK = """
+WITH pos AS (SELECT CAST(doc_id AS VARCHAR) AS doc, i - 1 AS pos,
+                    t[i] AS term
+             FROM (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+                  unnest(generate_series(1, len(t))) AS g(i)),
+pd AS (SELECT term, doc,
+              string_agg(CAST(pos AS VARCHAR), '|' ORDER BY pos) AS plist
+       FROM pos GROUP BY term, doc),
+agg AS (SELECT term, count(*) AS df_count,
+               list(doc || ':' || plist ORDER BY doc) AS pl
+        FROM pd GROUP BY term)
+SELECT term, df_count, array_to_string(pl[1:8], ',') AS postings FROM agg
+"""
+
+
+def _q_correlated_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through Spark SQL: parts priced above
+    1.05x their type's average (Catalyst decorrelates to an agg+join; the
+    oracle runs the same correlated form natively)."""
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView(
+        "__part_corr"
+    )
+    return spark.sql(
+        """
+        SELECT p_partkey, p_type, p_retailprice
+        FROM __part_corr p
+        WHERE p_retailprice > 1.05 * (
+            SELECT avg(p2.p_retailprice) FROM __part_corr p2
+            WHERE p2.p_type = p.p_type)
+        """
+    )
+
+
+_Q_CORRELATED_DUCK = """
+SELECT p_partkey, p_type, p_retailprice
+FROM part p
+WHERE p_retailprice > 1.05 * (
+    SELECT avg(p2.p_retailprice) FROM part p2
+    WHERE p2.p_type = p.p_type)
+"""
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH top-3 (operators/similarity.py);
     the oracle rebuilds the md5-derived integer planes from scratch."""
@@ -3550,6 +3603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_train": _q_bpe_train,
         "corpus_vocab_coverage": _q_vocab_coverage,
         "corpus_mixture_plan": _q_mixture_plan,
+        "corpus_inverted_index": _q_inverted_index,
+        "q_correlated_parts": _q_correlated_parts,
         "ann_lsh_topk": _q_ann_lsh_topk,
     }
 
@@ -3627,6 +3682,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_bpe_train": _Q_BPE_TRAIN_DUCK,
         "corpus_vocab_coverage": _Q_VOCAB_COVERAGE_DUCK,
         "corpus_mixture_plan": _Q_MIXTURE_DUCK,
+        "corpus_inverted_index": _Q_INVERTED_INDEX_DUCK,
+        "q_correlated_parts": _Q_CORRELATED_DUCK,
         "ann_lsh_topk": _Q_ANN_LSH_DUCK,
         # every queries() entry is oracle-checked.
     }

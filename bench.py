@@ -109,6 +109,8 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "q_pivot_orders",
         "corpus_vocab_coverage",
         "corpus_mixture_plan",
+        "corpus_inverted_index",
+        "q_correlated_parts",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can

@@ -100,7 +100,7 @@ def main(argv=None) -> int:
             "decontaminate-spans", "contamination-stats",
             "repetition", "lm-score", "tfidf", "decontaminate-jaccard",
             "redact-pii", "bpe-merges", "bpe-train",
-            "vocab-coverage", "mixture-plan",
+            "vocab-coverage", "mixture-plan", "inverted-index",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
         "lang, source]) parquet at --input: chunk = sliding token "
@@ -126,8 +126,13 @@ def main(argv=None) -> int:
         "= ITERATIVE BPE training, --n-merges rounds (one corpus pass "
         "each), emits the learned merge table; vocab-coverage = top-k "
         "vocabulary coverage summary; mixture-plan = per-source sampling "
-        "fractions realising --weights (JSON) with max retention",
+        "fractions realising --weights (JSON) with max retention; "
+        "inverted-index = positional index, postings capped at "
+        "--max-postings docs per term",
     )
+    p.add_argument("--max-postings", type=int, default=64,
+                   help="posting-list doc cap (--corpus-op "
+                   "inverted-index); df_count stays exact")
     p.add_argument("--weights", default=None,
                    help='JSON source->weight map, e.g. \'{"src0": 0.5, '
                    '"src1": 0.5}\' (--corpus-op mixture-plan)')
@@ -447,6 +452,12 @@ def main(argv=None) -> int:
             from jochre3_ocr_spark.operators.redaction import redact_pii
 
             out = redact_pii(docs)
+        elif args.corpus_op == "inverted-index":
+            from jochre3_ocr_spark.operators.text_metrics import (
+                inverted_index,
+            )
+
+            out = inverted_index(docs, max_postings=args.max_postings)
         elif args.corpus_op == "vocab-coverage":
             from jochre3_ocr_spark.operators.text_metrics import (
                 vocab_coverage,

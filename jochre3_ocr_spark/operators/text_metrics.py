@@ -502,3 +502,58 @@ def mixture_plan(
         frac.alias("fraction"),
         F.floor(F.col("n_docs") * frac).alias("expected_docs"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Positional inverted index — the retrieval-side primitive next to
+    the ANN family: one row per term with its document frequency and a
+    serialized posting list ``"doc:pos1|pos2,doc:..."`` (docs in
+    lexicographic string-id order, positions ascending — a canonical
+    string, so cross-engine equality is exact without nested-type
+    comparison).
+
+    ``max_postings`` caps the serialized list at the first N documents
+    (smallest ids) while ``df_count`` stays exact — the standard
+    stop-word guard: a term in every document otherwise serializes a
+    corpus-sized row.
+
+    100 TB posture: position lists build per (term, doc) — partial agg
+    on a key that includes the doc, so hot terms spread; the per-term
+    fold sorts only that term's posting array; the cap bounds the
+    output row width.  Skew ceiling: one reduce key per term at the
+    final fold, the accepted shape for index builds (segment/shard the
+    corpus upstream for stop-word-density data).
+    """
+    pos = df.select(
+        F.col(id_col).cast("string").alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "term"),
+    )
+    per_doc = pos.groupBy("term", "__doc").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("__pos")),
+                lambda p: p.cast("string"),
+            ),
+            "|",
+        ).alias("__plist")
+    )
+    postings = F.sort_array(
+        F.collect_list(F.struct(F.col("__doc"), F.col("__plist")))
+    )
+    if max_postings is not None:
+        postings = F.slice(postings, 1, max_postings)
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_count"),
+        F.array_join(
+            F.transform(
+                postings,
+                lambda s: F.concat(s["__doc"], F.lit(":"), s["__plist"]),
+            ),
+            ",",
+        ).alias("postings"),
+    )

@@ -50,3 +50,30 @@ def test_mixture_plan_weights_realised(spark):
     ).collect()}
     assert plan["a"].expected_docs == 40
     assert plan["b"].expected_docs == 160  # already at target ratio
+
+
+# ---------------------------------------------------------------------------
+# Inverted index
+# ---------------------------------------------------------------------------
+from jochre3_ocr_spark.operators.text_metrics import inverted_index  # noqa: E402
+
+
+def test_inverted_index_postings(spark):
+    docs = _docs(spark, [(0, "a b a", "s"), (1, "b b", "s")])
+    idx = {r.term: r for r in inverted_index(docs).collect()}
+    assert idx["a"].df_count == 1 and idx["a"].postings == "0:0|2"
+    assert idx["b"].df_count == 2 and idx["b"].postings == "0:1,1:0|1"
+
+
+def test_inverted_index_cap_keeps_exact_df(spark):
+    docs = _docs(spark, [(i, "hot w", "s") for i in range(5)])
+    r = {x.term: x for x in inverted_index(docs, max_postings=2).collect()}
+    assert r["hot"].df_count == 5
+    assert r["hot"].postings == "0:0,1:0"  # first two doc ids only
+
+
+def test_inverted_index_partitioning_invariant(spark):
+    docs = _docs(spark, [(i, f"t{i % 3} u{i % 5} t{i % 3}", "s") for i in range(14)])
+    a = sorted(map(tuple, inverted_index(docs).collect()))
+    b = sorted(map(tuple, inverted_index(docs.repartition(6)).collect()))
+    assert a == b
