@@ -3279,10 +3279,11 @@ WITH inj AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          || ' call 555-' || (100 + doc_id % 900) || '-'
          || (1000 + doc_id % 9000)
   ELSE text END AS text FROM documents),
-s1 AS (SELECT doc_id, text AS t0,
-       CAST(len(regexp_extract_all(text,
+s1 AS (SELECT doc_id,
+       CAST(len(regexp_extract_all(coalesce(text, ''),
             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_email,
-       regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+       regexp_replace(coalesce(text, ''),
+                      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
                       '<EMAIL>', 'g') AS t1 FROM inj),
 s2 AS (SELECT doc_id, n_email,
        CAST(len(regexp_extract_all(t1,
@@ -3457,8 +3458,10 @@ SELECT term, df_count, array_to_string(pl[1:8], ',') AS postings FROM agg
 
 def _q_correlated_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery through Spark SQL: parts priced above
-    1.05x their type's average (Catalyst decorrelates to an agg+join; the
-    oracle runs the same correlated form natively)."""
+    1.05x their type's average — the threshold is ROUNDED to 4 places
+    so row membership never rides on a last-ulp avg difference between
+    engines (Catalyst decorrelates to an agg+join; the oracle runs the
+    same correlated form natively)."""
     spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView(
         "__part_corr"
     )
@@ -3466,9 +3469,9 @@ def _q_correlated_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT p_partkey, p_type, p_retailprice
         FROM __part_corr p
-        WHERE p_retailprice > 1.05 * (
+        WHERE p_retailprice > round(1.05 * (
             SELECT avg(p2.p_retailprice) FROM __part_corr p2
-            WHERE p2.p_type = p.p_type)
+            WHERE p2.p_type = p.p_type), 4)
         """
     )
 
@@ -3476,9 +3479,9 @@ def _q_correlated_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_CORRELATED_DUCK = """
 SELECT p_partkey, p_type, p_retailprice
 FROM part p
-WHERE p_retailprice > 1.05 * (
+WHERE p_retailprice > round(1.05 * (
     SELECT avg(p2.p_retailprice) FROM part p2
-    WHERE p2.p_type = p.p_type)
+    WHERE p2.p_type = p.p_type), 4)
 """
 
 

@@ -143,7 +143,8 @@ def main(argv=None) -> int:
                    "lm-score); default: deterministic 30%% sample of "
                    "--input")
     p.add_argument("--topk", type=int, default=3,
-                   help="terms per doc (--corpus-op tfidf)")
+                   help="result size k: terms per doc (--corpus-op "
+                   "tfidf) or merge pairs (--corpus-op bpe-merges)")
     p.add_argument("--max-contamination", type=float, default=0.05,
                    help="keep threshold (--corpus-op contamination-"
                    "stats / decontaminate-jaccard; for the latter a "

@@ -38,9 +38,11 @@ def redact_pii(
     Patterns apply in order and each count is taken on the text AFTER
     the previous replacements, so counts equal actual replacements even
     when patterns nest (an email whose domain is IP-shaped counts once,
-    as an email).
+    as an email).  NULL text is treated as empty: clean_text '' and all
+    counts 0 (never NULL — downstream sums must not silently skip
+    rows).
     """
-    cur = F.col(text_col)
+    cur = F.coalesce(F.col(text_col), F.lit(""))
     counts = []
     for name, pat, repl in patterns:
         counts.append(

@@ -29,27 +29,29 @@ reason).
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, functions as F
 
-from .substring import _merge_hit_spans, _windows
+from .substring import _merge_hit_spans
 
 __all__ = ["repetition_features"]
 
 
-def _grams(toks: DataFrame, n: int) -> DataFrame:
-    """(doc_id, n, gram) — one row per n-gram occurrence."""
-    return toks.where(F.size("__toks") >= n).select(
-        "doc_id",
-        F.lit(n).alias("n"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__toks") - n),
-                lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, F.lit(n))),
-            )
-        ).alias("gram"),
-    )
+def _gram_structs(n: int):
+    """Array<struct<n,gram>> of every n-gram of ``__toks`` — empty when
+    the document is too short (guard first: Spark's sequence DESCENDS
+    when stop < start)."""
+    return F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - n),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice("__toks", i + 1, F.lit(n))).alias(
+                    "gram"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
 
 
 def repetition_features(
@@ -72,9 +74,15 @@ def repetition_features(
         F.split(F.col(text_col), " ").alias("__toks"),
     )
 
-    gram_union = reduce(
-        DataFrame.unionByName, [_grams(toks, n) for n in (1, *top_ns)]
-    )
+    # ALL gram widths in ONE corpus pass: per row, flatten the per-n
+    # gram arrays and explode once (the unioned-_grams form scanned and
+    # re-split the corpus once per n — 4 scans; ADVICE-class perf fix)
+    gram_union = toks.select(
+        "doc_id",
+        F.explode(
+            F.flatten(F.array(*[_gram_structs(n) for n in (1, *top_ns)]))
+        ).alias("__g"),
+    ).select("doc_id", F.col("__g.n").alias("n"), F.col("__g.gram").alias("gram"))
     # count each distinct gram within its document, then take the per-doc
     # argmax of (count, char length) per n — equal (count, len) pairs give
     # equal fractions, so no text tie-break is needed
@@ -97,8 +105,19 @@ def repetition_features(
     )
 
     # within-doc duplicated dup_n-gram coverage: repeated-window positions
-    # merged into spans (substring.py machinery), covered tokens summed
-    wins = _windows(toks, "__text", "doc_id", dup_n)
+    # merged into spans (substring.py machinery), covered tokens summed;
+    # windows built from __toks directly (no re-split of the text)
+    wins = toks.where(F.size("__toks") >= dup_n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - dup_n),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("__toks", i + 1, F.lit(dup_n)))
+                ),
+            )
+        ).alias("pos", "whash"),
+    )
     rep = (
         wins.groupBy("doc_id", "whash")
         .agg(F.count(F.lit(1)).alias("__c"), F.collect_list("pos").alias("__p"))

@@ -54,6 +54,18 @@ def _windows(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     )
 
 
+def _bench_window_hashes(
+    benchmark: DataFrame, text_col: str, k: int
+) -> DataFrame:
+    """Distinct window hashes of the benchmark side — derived without
+    touching any id column (the benchmark only contributes text, so its
+    schema need not carry the corpus id_col)."""
+    b = benchmark.select(
+        F.lit("").alias("__bid"), F.col(text_col).alias("__btxt")
+    )
+    return _windows(b, "__btxt", "__bid", k).select("whash").distinct()
+
+
 def _merge_hit_spans(hit: DataFrame, id_col: str, k: int) -> DataFrame:
     """Merge (id, pos) window-start hits into disjoint per-document token
     spans: (id_col, span_start, span_end, n_windows), end exclusive."""
@@ -134,11 +146,7 @@ def contaminated_window_spans(
     corpus text.
     """
     wins = _windows(docs, text_col, id_col, k)
-    bench_w = (
-        _windows(benchmark, bench_text_col, id_col, k)
-        .select("whash")
-        .distinct()
-    )
+    bench_w = _bench_window_hashes(benchmark, bench_text_col, k)
     hit = (
         wins.join(F.broadcast(bench_w), "whash", "left_semi")
         .select(id_col, "pos")
@@ -231,11 +239,7 @@ def contamination_stats(
     shuffles.
     """
     wins = _windows(docs, text_col, id_col, k)
-    bench_w = (
-        _windows(benchmark, bench_text_col, id_col, k)
-        .select("whash")
-        .distinct()
-    )
+    bench_w = _bench_window_hashes(benchmark, bench_text_col, k)
     hits = (
         wins.join(F.broadcast(bench_w), "whash", "left_semi")
         .groupBy(id_col)

@@ -523,12 +523,16 @@ def inverted_index(
     corpus-sized row.
 
     100 TB posture: position lists build per (term, doc) — partial agg
-    on a key that includes the doc, so hot terms spread; the per-term
-    fold sorts only that term's posting array; the cap bounds the
-    output row width.  Skew ceiling: one reduce key per term at the
+    on a key that includes the doc, so hot terms spread; the cap is
+    applied BEFORE the per-term fold (row_number filter), so a
+    stop-word term's collect_list buffer holds at most ``max_postings``
+    structs — never the corpus — and ``df_count`` comes from a separate
+    exact count agg.  Skew ceiling: one reduce key per term at the
     final fold, the accepted shape for index builds (segment/shard the
     corpus upstream for stop-word-density data).
     """
+    from pyspark.sql import Window
+
     pos = df.select(
         F.col(id_col).cast("string").alias("__doc"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "term"),
@@ -542,18 +546,24 @@ def inverted_index(
             "|",
         ).alias("__plist")
     )
-    postings = F.sort_array(
-        F.collect_list(F.struct(F.col("__doc"), F.col("__plist")))
-    )
+    dfreq = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    kept = per_doc
     if max_postings is not None:
-        postings = F.slice(postings, 1, max_postings)
-    return per_doc.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df_count"),
+        w = Window.partitionBy("term").orderBy("__doc")
+        kept = (
+            per_doc.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_postings)
+            .drop("__rn")
+        )
+    folded = kept.groupBy("term").agg(
         F.array_join(
             F.transform(
-                postings,
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__doc"), F.col("__plist")))
+                ),
                 lambda s: F.concat(s["__doc"], F.lit(":"), s["__plist"]),
             ),
             ",",
-        ).alias("postings"),
+        ).alias("postings")
     )
+    return dfreq.join(folded, "term").select("term", "df_count", "postings")

@@ -69,3 +69,10 @@ def test_bpe_partitioning_invariant(spark):
     a = [tuple(r) for r in bpe_merge_candidates(docs, k=8).collect()]
     b = [tuple(r) for r in bpe_merge_candidates(docs.repartition(5), k=8).collect()]
     assert a == b
+
+
+def test_null_text_redacts_to_empty_with_zero_counts(spark):
+    docs = spark.createDataFrame([(0, None)], "doc_id bigint, text string")
+    r = redact_pii(docs).collect()[0]
+    assert r.clean_text == ""
+    assert (r.n_email, r.n_ipv4, r.n_phone, r.n_redactions) == (0, 0, 0, 0)

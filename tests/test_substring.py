@@ -219,3 +219,14 @@ def test_contamination_short_doc_kept(spark):
     assert (r.n_windows, r.n_contaminated, r.contaminated_frac, r.keep) == (
         0, 0, 0.0, True,
     )
+
+
+def test_benchmark_needs_no_id_column(spark):
+    # the benchmark contributes only text; its schema need not carry
+    # the corpus id_col (regression: _windows used to select id_col
+    # from the benchmark side too)
+    leaked = _w("leak", 8)
+    docs = _docs(spark, [f"{_w('a', 2)} {leaked}"])
+    bench = spark.createDataFrame([(leaked,)], "text string")
+    assert contaminated_window_spans(docs, bench, k=8).count() == 1
+    assert contamination_stats(docs, bench, k=8).count() == 1
