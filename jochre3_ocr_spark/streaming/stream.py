@@ -333,3 +333,53 @@ def stream_score_documents(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    benchmark=None,
+    await_termination: bool = True,
+):
+    """Streaming exact deduplication (+ optional exact decontamination):
+    keep the FIRST document per text hash across micro-batches AND
+    across AvailableNow re-runs — ``dropDuplicates`` state lives in the
+    checkpoint's state store, so a duplicate arriving in a later run of
+    the same checkpoint is still suppressed (the cross-run twin of
+    ``dedup.exact_dedup``).  ``benchmark`` (a static DataFrame with a
+    ``text`` column) drops any incoming doc whose exact text appears in
+    it via a stream-static anti-join — both operations are append-mode
+    safe (no aggregation reaches the sink).
+
+    Scale note: ``dropDuplicates`` state here is one hash per distinct
+    text, unbounded over the stream's lifetime; a production deployment
+    bounds it with ``dropDuplicatesWithinWatermark`` over an ingest-time
+    column once the feed carries one.  The benchmark side is an eval
+    suite — its hash set broadcasts into every micro-batch.
+    """
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.readStream.schema(_DOCS_TEXT_DDL)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+        .withColumn("text_hash", F.md5("text"))
+    )
+    if benchmark is not None:
+        bench_h = benchmark.select(
+            F.md5("text").alias("text_hash")
+        ).distinct()
+        docs = docs.join(F.broadcast(bench_h), "text_hash", "left_anti")
+    deduped = docs.dropDuplicates(["text_hash"])
+    query = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

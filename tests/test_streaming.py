@@ -305,3 +305,45 @@ def test_stream_score_documents_matches_batch_twin(spark, tmp_path):
     # the redaction really happened upstream of scoring
     by_id = {t[0]: t for t in got}
     assert by_id["0"][-1] == 1 and by_id["2"][-1] == 1
+
+
+def test_stream_dedup_exact_state_survives_reruns(spark, tmp_path):
+    """Stateful streaming dedup: first occurrence wins across
+    micro-batches AND across AvailableNow re-runs (state store), with
+    benchmark texts dropped by the stream-static anti-join."""
+    from jochre3_ocr_spark.streaming.stream import stream_dedup_exact
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _batch(rows):
+        spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    bench = spark.createDataFrame([("leaked text",)], "text string")
+
+    _batch([
+        (0, "alpha beta", "en", "s", 10),
+        (1, "alpha beta", "en", "s", 10),   # dup within run
+        (2, "leaked text", "en", "s", 11),  # benchmark hit
+        (3, "gamma", "en", "s", 5),
+    ])
+    stream_dedup_exact(spark, inp, out, ckpt, benchmark=bench)
+    first = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 3 in first and len(first) == 2  # one of {0,1} + 3; 2 dropped
+    assert 2 not in first
+
+    # a LATER run: the dup of "alpha beta" must still be suppressed by
+    # restored state; a genuinely new text passes
+    _batch([
+        (4, "alpha beta", "en", "s", 10),
+        (5, "delta", "en", "s", 5),
+    ])
+    stream_dedup_exact(spark, inp, out, ckpt, benchmark=bench)
+    final = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 5 in final and 4 not in final
+    assert len(final) == 3
