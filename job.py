@@ -142,6 +142,11 @@ def main(argv=None) -> int:
                    help="LM training-split parquet (--corpus-op "
                    "lm-score); default: deterministic 30%% sample of "
                    "--input")
+    p.add_argument("--lm-shuffle-join", action="store_true",
+                   help="lm-score: shuffle-join the model tables "
+                   "instead of broadcasting (for adversarially flat "
+                   "token distributions where the observed-bigram "
+                   "table grows with the corpus)")
     p.add_argument("--topk", type=int, default=3,
                    help="result size k: terms per doc (--corpus-op "
                    "tfidf) or merge pairs (--corpus-op bpe-merges)")
@@ -500,7 +505,9 @@ def main(argv=None) -> int:
                 if args.train_input
                 else deterministic_sample(docs, fraction=0.3, salt=args.salt)
             )
-            out = bigram_lm_scores(docs, train)
+            out = bigram_lm_scores(
+                docs, train, broadcast_model=not args.lm_shuffle_join
+            )
         elif args.corpus_op == "tfidf":
             from jochre3_ocr_spark.operators.text_metrics import (
                 tfidf_top_terms,

@@ -84,16 +84,28 @@ def score_documents(
     vocab: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """(id_col, n_bigrams, avg_logprob) — mean natural-log bigram
     probability per document under the add-one model; 0-bigram docs
     score 0.0.  ``counts``/``vocab`` come from :func:`bigram_counts` /
-    :func:`vocab_size` and are broadcast (vocabulary-bounded)."""
+    :func:`vocab_size`.
+
+    ``broadcast_model`` hints the model tables broadcast — correct for
+    natural language, where Zipfian mass makes the OBSERVED bigram
+    table vocabulary-bounded in practice.  Pass False when the token
+    distribution is adversarially flat (e.g. hash-random ids): there
+    the observed-bigram table grows with the corpus, the broadcast
+    build serializes on the driver and scaling collapses (measured
+    0.39 efficiency at 2→8 cores on the xorshift corpus, BENCH.md
+    round 5 "Scorer scaling") — the shuffle-join plan keeps both sides
+    distributed."""
+    maybe_bc = F.broadcast if broadcast_model else (lambda df: df)
     hist = counts.groupBy("w1").agg(F.sum("c").alias("h"))
     scored = (
         _doc_bigrams(docs, id_col, text_col)
-        .join(F.broadcast(counts), ["w1", "w2"], "left")
-        .join(F.broadcast(hist), ["w1"], "left")
+        .join(maybe_bc(counts), ["w1", "w2"], "left")
+        .join(maybe_bc(hist), ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
@@ -124,6 +136,7 @@ def bigram_lm_scores(
     train: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Train on ``train``, score ``docs`` — the one-call composition."""
     return score_documents(
@@ -132,6 +145,7 @@ def bigram_lm_scores(
         vocab_size(train, text_col),
         id_col,
         text_col,
+        broadcast_model,
     )
 
 

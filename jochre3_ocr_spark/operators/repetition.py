@@ -9,49 +9,89 @@ from Training Gopher*, table A1) adapted to the single-line token corpus:
   the token count (the n=1 analog).
 * ``dup_{n}gram_token_frac`` — fraction of token positions covered by
   any n-gram that repeats *within the same document* (overlapping
-  occurrences merged before counting, so chars are never double-counted)
-  — the within-doc twin of the corpus-wide construction in
-  ``substring.duplicated_window_spans``.
+  occurrences merged before counting, so positions are never
+  double-counted) — the within-doc twin of the corpus-wide construction
+  in ``substring.duplicated_window_spans``.
 
 The reference engine has no corpus-analysis analog (per-document OCR,
 ``Jochre.scala:186-211``); this exists for the training-data filter
 stack next to ``text_metrics.quality_features``.
 
-100 TB posture: n-gram counting is explode → groupBy (doc_id, n, gram)
-— map-side partial aggregation collapses within-partition repeats, the
-shuffle key contains doc_id so hot grams ("the the the …") never
-concentrate on one reducer beyond their own document, and the per-doc
-argmax is a second agg on doc_id alone.  Nothing is quadratic in
-document length (the pure-array alternative, counting each gram with a
-per-element filter, is O(len²) per row and was rejected for that
-reason).
+100 TB posture: every feature here is a WITHIN-document statistic, so
+shuffling grams across the cluster is pure waste — measured on this
+box, the explode → groupBy (doc, n, gram) formulation was
+shuffle-disk-bound (wall identical at local[2] and local[8]; ~50-byte
+rows × 4 widths × corpus tokens through the exchange).  The production
+shape is one ``mapInPandas`` pass: per document, Counter-based gram
+counts and span merging in O(tokens) with ZERO Exchange — each task
+reads its scan split and emits one feature row per doc, embarrassingly
+parallel at any cluster size.  (A pure-codegen per-row alternative
+needs an array group-count Spark lacks; emulating it with per-element
+filters is O(len²) per row.  This is the documented criterion for
+dropping to Python: built-ins genuinely can't express the semantics.)
+
+Rounding matches the engine convention (HALF_UP at 6 places, what
+Spark's ``round`` and DuckDB's ``round`` both do on doubles) via
+``decimal`` — Python's builtin ``round`` is banker's and would flake
+the oracle on exact .5 boundaries.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
 
-from .substring import _merge_hit_spans
+from pyspark.sql import DataFrame
 
 __all__ = ["repetition_features"]
 
+_Q6 = Decimal("0.000001")
 
-def _gram_structs(n: int):
-    """Array<struct<n,gram>> of every n-gram of ``__toks`` — empty when
-    the document is too short (guard first: Spark's sequence DESCENDS
-    when stop < start)."""
-    return F.when(
-        F.size("__toks") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size("__toks") - n),
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.concat_ws(" ", F.slice("__toks", i + 1, F.lit(n))).alias(
-                    "gram"
-                ),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+def _rnd6(x: float) -> float:
+    return float(Decimal(x).quantize(_Q6, rounding=ROUND_HALF_UP))
+
+
+def _doc_features(
+    text: str, top_ns: tuple[int, ...], dup_n: int
+) -> list:
+    toks = text.split(" ")
+    m, chars = len(toks), len(text)
+    row = [m]
+
+    c1 = Counter(toks)
+    best_c, best_l = max((c, len(t)) for t, c in c1.items())
+    row.append(_rnd6(best_c / m))
+
+    for n in top_ns:
+        if m < n:
+            row.append(0.0)
+            continue
+        cn = Counter(
+            " ".join(toks[i : i + n]) for i in range(m - n + 1)
+        )
+        bc, bl = max((c, len(g)) for g, c in cn.items())
+        row.append(_rnd6(bc * bl / chars))
+
+    covered = 0
+    if m >= dup_n:
+        ws = [" ".join(toks[i : i + dup_n]) for i in range(m - dup_n + 1)]
+        cw = Counter(ws)
+        hits = [i for i, w in enumerate(ws) if cw[w] >= 2]
+        # merged spans of uniform width dup_n: a new island starts when
+        # the gap to the previous hit exceeds dup_n (same lag test as
+        # substring._merge_hit_spans)
+        start = prev = None
+        for p in hits:
+            if prev is None or p > prev + dup_n:
+                if prev is not None:
+                    covered += prev + dup_n - start
+                start = p
+            prev = p
+        if prev is not None:
+            covered += prev + dup_n - start
+    row.append(_rnd6(covered / m))
+    return row
 
 
 def repetition_features(
@@ -66,94 +106,25 @@ def repetition_features(
     Columns: (id_col, n_tokens, top_word_frac, top_{n}gram_char_frac for
     each n in ``top_ns``, dup_{dup_n}gram_token_frac), fractions rounded
     to 6 places; a document too short for a given n gets 0.0 for that
-    feature.
+    feature.  Ties in the per-n argmax break on (count, char length),
+    which is value-determining — equal pairs give equal fractions.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("__text"),
-        F.split(F.col(text_col), " ").alias("__toks"),
-    )
+    import pandas as pd
 
-    # ALL gram widths in ONE corpus pass: per row, flatten the per-n
-    # gram arrays and explode once (the unioned-_grams form scanned and
-    # re-split the corpus once per n — 4 scans; ADVICE-class perf fix)
-    gram_union = toks.select(
-        "doc_id",
-        F.explode(
-            F.flatten(F.array(*[_gram_structs(n) for n in (1, *top_ns)]))
-        ).alias("__g"),
-    ).select("doc_id", F.col("__g.n").alias("n"), F.col("__g.gram").alias("gram"))
-    # count each distinct gram within its document, then take the per-doc
-    # argmax of (count, char length) per n — equal (count, len) pairs give
-    # equal fractions, so no text tie-break is needed
-    counts = gram_union.groupBy("doc_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("__c")
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_ddl = ", ".join(
+        [f"{id_col} {id_type}", "n_tokens int", "top_word_frac double"]
+        + [f"top_{n}gram_char_frac double" for n in top_ns]
+        + [f"dup_{dup_n}gram_token_frac double"]
     )
-    best = counts.groupBy("doc_id").agg(
-        *[
-            F.max(
-                F.when(
-                    F.col("n") == n,
-                    F.struct(
-                        F.col("__c").alias("c"),
-                        F.length("gram").alias("len"),
-                    ),
-                )
-            ).alias(f"__b{n}")
-            for n in (1, *top_ns)
-        ]
-    )
+    cols = [c.split(" ")[0] for c in out_ddl.split(", ")]
 
-    # within-doc duplicated dup_n-gram coverage: repeated-window positions
-    # merged into spans (substring.py machinery), covered tokens summed;
-    # windows built from __toks directly (no re-split of the text)
-    wins = toks.where(F.size("__toks") >= dup_n).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__toks") - dup_n),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice("__toks", i + 1, F.lit(dup_n)))
-                ),
-            )
-        ).alias("pos", "whash"),
-    )
-    rep = (
-        wins.groupBy("doc_id", "whash")
-        .agg(F.count(F.lit(1)).alias("__c"), F.collect_list("pos").alias("__p"))
-        .where(F.col("__c") >= 2)
-        .select("doc_id", F.explode("__p").alias("pos"))
-    )
-    covered = _merge_hit_spans(rep, "doc_id", dup_n).groupBy("doc_id").agg(
-        F.sum(F.col("span_end") - F.col("span_start")).alias("__cov")
-    )
+    def feat(batches):
+        for pdf in batches:
+            rows = [
+                [did] + _doc_features(text, top_ns, dup_n)
+                for did, text in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
 
-    out = (
-        toks.select(
-            "doc_id",
-            F.size("__toks").alias("n_tokens"),
-            F.length("__text").alias("__chars"),
-        )
-        .join(best, "doc_id", "left")
-        .join(covered, "doc_id", "left")
-    )
-
-    def _char_frac(n: int):
-        b = F.col(f"__b{n}")
-        return F.when(
-            b.isNotNull(),
-            F.round(b["c"] * b["len"] / F.col("__chars"), 6),
-        ).otherwise(F.lit(0.0))
-
-    return out.select(
-        F.col("doc_id").alias(id_col),
-        "n_tokens",
-        F.when(
-            F.col("__b1").isNotNull(),
-            F.round(F.col("__b1")["c"] / F.col("n_tokens"), 6),
-        ).otherwise(F.lit(0.0)).alias("top_word_frac"),
-        *[_char_frac(n).alias(f"top_{n}gram_char_frac") for n in top_ns],
-        F.round(
-            F.coalesce(F.col("__cov"), F.lit(0)) / F.col("n_tokens"), 6
-        ).alias(f"dup_{dup_n}gram_token_frac"),
-    )
+    return df.select(id_col, text_col).mapInPandas(feat, schema=out_ddl)

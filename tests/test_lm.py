@@ -74,3 +74,16 @@ def test_score_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_shuffle_join_model_matches_broadcast(spark):
+    train = _docs(spark, [f"w{i % 6} w{(i + 1) % 6} w{(i + 2) % 8}" for i in range(18)])
+    docs = _docs(spark, [f"w{i % 8} w{(i + 3) % 6} w{i % 4}" for i in range(25)])
+    a = sorted(map(tuple, bigram_lm_scores(docs, train).collect()))
+    b = sorted(
+        map(
+            tuple,
+            bigram_lm_scores(docs, train, broadcast_model=False).collect(),
+        )
+    )
+    assert a == b
