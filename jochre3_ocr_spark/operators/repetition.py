@@ -49,18 +49,26 @@ _Q6 = Decimal("0.000001")
 
 
 def _rnd6(x: float) -> float:
-    return float(Decimal(x).quantize(_Q6, rounding=ROUND_HALF_UP))
+    # Decimal(repr(x)) — the SHORTEST decimal repr, matching Spark's
+    # BigDecimal.valueOf(double) and DuckDB's round(); Decimal(x) would
+    # quantize the exact binary expansion and flip decimal-tie
+    # fractions like 3/640 = 0.0046875 the other way (review-confirmed
+    # 135 mismatches on a num/den sweep)
+    return float(Decimal(repr(x)).quantize(_Q6, rounding=ROUND_HALF_UP))
 
 
 def _doc_features(
-    text: str, top_ns: tuple[int, ...], dup_n: int
+    text: str | None, top_ns: tuple[int, ...], dup_n: int
 ) -> list:
+    # NULL text is treated as empty (one zero-length token) — the
+    # operator must emit a row, never crash the task
+    text = text or ""
     toks = text.split(" ")
     m, chars = len(toks), len(text)
     row = [m]
 
     c1 = Counter(toks)
-    best_c, best_l = max((c, len(t)) for t, c in c1.items())
+    best_c = max((c, len(t)) for t, c in c1.items())[0]
     row.append(_rnd6(best_c / m))
 
     for n in top_ns:
@@ -112,12 +120,13 @@ def repetition_features(
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
-    out_ddl = ", ".join(
-        [f"{id_col} {id_type}", "n_tokens int", "top_word_frac double"]
-        + [f"top_{n}gram_char_frac double" for n in top_ns]
-        + [f"dup_{dup_n}gram_token_frac double"]
+    cols = (
+        [id_col, "n_tokens", "top_word_frac"]
+        + [f"top_{n}gram_char_frac" for n in top_ns]
+        + [f"dup_{dup_n}gram_token_frac"]
     )
-    cols = [c.split(" ")[0] for c in out_ddl.split(", ")]
+    types = [id_type, "int"] + ["double"] * (len(cols) - 2)
+    out_ddl = ", ".join(f"{c} {t}" for c, t in zip(cols, types))
 
     def feat(batches):
         for pdf in batches:

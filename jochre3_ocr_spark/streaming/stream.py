@@ -344,22 +344,28 @@ def stream_dedup_exact(
     await_termination: bool = True,
 ):
     """Streaming exact deduplication (+ optional exact decontamination):
-    keep the FIRST document per text hash across micro-batches AND
-    across AvailableNow re-runs — ``dropDuplicates`` state lives in the
-    checkpoint's state store, so a duplicate arriving in a later run of
-    the same checkpoint is still suppressed (the cross-run twin of
-    ``dedup.exact_dedup``).  ``benchmark`` (a static DataFrame with a
-    ``text`` column) drops any incoming doc whose exact text appears in
-    it via a stream-static anti-join — both operations are append-mode
-    safe (no aggregation reaches the sink).
+    keep the MIN-doc_id document per text hash across micro-batches AND
+    across AvailableNow re-runs — a custom ``applyInPandasWithState``
+    operator keyed by the hash, whose state lives in the checkpoint's
+    state store so a duplicate arriving in a later run of the same
+    checkpoint is still suppressed (the cross-run twin of
+    ``dedup.exact_dedup``, which also keeps min doc_id — and unlike
+    ``dropDuplicates``, the within-batch keeper is DETERMINISTIC, per
+    the repo's partitioning-independence invariant).  ``benchmark`` (a
+    static DataFrame with a ``text`` column) drops any incoming doc
+    whose exact text appears in it via a stream-static broadcast
+    anti-join; both operations are append-mode safe, and the sink
+    schema is the INPUT doc schema (the hash never leaks).
 
-    Scale note: ``dropDuplicates`` state here is one hash per distinct
-    text, unbounded over the stream's lifetime; a production deployment
-    bounds it with ``dropDuplicatesWithinWatermark`` over an ingest-time
-    column once the feed carries one.  The benchmark side is an eval
-    suite — its hash set broadcasts into every micro-batch.
+    Scale note: state is one flag per distinct text hash, unbounded
+    over the stream's lifetime; a production deployment ages it out
+    with an event-time timeout once the feed carries an ingest-time
+    column.  The benchmark side is an eval suite — its hash set
+    broadcasts into every micro-batch.
     """
+    import pandas as pd
     from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     docs = (
         spark.readStream.schema(_DOCS_TEXT_DDL)
@@ -372,7 +378,30 @@ def stream_dedup_exact(
             F.md5("text").alias("text_hash")
         ).distinct()
         docs = docs.join(F.broadcast(bench_h), "text_hash", "left_anti")
-    deduped = docs.dropDuplicates(["text_hash"])
+
+    doc_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def keep_first(key, pdf_iter, state):
+        if state.exists:
+            for _ in pdf_iter:  # drain; hash already emitted
+                pass
+            return
+        best = None
+        for pdf in pdf_iter:
+            cand = pdf.loc[pdf["doc_id"].idxmin()]
+            if best is None or cand["doc_id"] < best["doc_id"]:
+                best = cand
+        if best is not None:
+            state.update((1,))
+            yield pd.DataFrame([best[doc_cols]])
+
+    deduped = docs.groupBy("text_hash").applyInPandasWithState(
+        keep_first,
+        outputStructType=_DOCS_TEXT_DDL,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
     query = (
         deduped.writeStream.format("parquet")
         .option("path", output_dir)

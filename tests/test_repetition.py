@@ -51,3 +51,14 @@ def test_partitioning_invariant(spark):
     a = sorted(map(tuple, repetition_features(docs).collect()))
     b = sorted(map(tuple, repetition_features(docs.repartition(5)).collect()))
     assert a == b
+
+
+def test_round_half_up_on_decimal_tie(spark):
+    # 3/640 = 0.0046875 exactly: shortest-repr HALF_UP gives 0.004688
+    # (what Spark round() and DuckDB round() both produce); quantizing
+    # the exact binary expansion would give 0.004687 (review finding)
+    toks = ["w"] * 3 + [f"u{i}" for i in range(637)]
+    docs = _docs(spark, [" ".join(toks)])
+    r = repetition_features(docs).collect()[0]
+    assert r.n_tokens == 640
+    assert r.top_word_frac == 0.004688

@@ -308,9 +308,10 @@ def test_stream_score_documents_matches_batch_twin(spark, tmp_path):
 
 
 def test_stream_dedup_exact_state_survives_reruns(spark, tmp_path):
-    """Stateful streaming dedup: first occurrence wins across
-    micro-batches AND across AvailableNow re-runs (state store), with
-    benchmark texts dropped by the stream-static anti-join."""
+    """Stateful streaming dedup: the MIN-doc_id keeper wins within a
+    batch (deterministic), state survives across AvailableNow re-runs
+    (state store), benchmark texts dropped by the stream-static
+    anti-join, and the sink schema is the input doc schema."""
     from jochre3_ocr_spark.streaming.stream import stream_dedup_exact
 
     inp = str(tmp_path / "in")
@@ -334,8 +335,11 @@ def test_stream_dedup_exact_state_survives_reruns(spark, tmp_path):
     ])
     stream_dedup_exact(spark, inp, out, ckpt, benchmark=bench)
     first = {r.doc_id for r in spark.read.parquet(out).collect()}
-    assert 3 in first and len(first) == 2  # one of {0,1} + 3; 2 dropped
-    assert 2 not in first
+    # DETERMINISTIC keeper: min doc_id per text hash (batch-twin rule)
+    assert first == {0, 3}
+    assert sorted(spark.read.parquet(out).columns) == [
+        "doc_id", "lang", "n_chars", "source", "text",
+    ]  # input schema; the internal hash never leaks
 
     # a LATER run: the dup of "alpha beta" must still be suppressed by
     # restored state; a genuinely new text passes
