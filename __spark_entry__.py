@@ -3528,6 +3528,259 @@ SELECT qid, cid, rank FROM (
 """
 
 
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch token frequencies (operators/sketches.py):
+    exact top-20 tokens with their CMS point estimates alongside —
+    the oracle rebuilds the same depth-4 × 256-bucket sketch from the
+    same md5 hex-prefix hashes, so estimates (collisions included)
+    match bit-for-bit."""
+    from jochre3_ocr_spark.operators.sketches import cms_estimate, cms_sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = cms_sketch(docs, depth=4, width_hex=2)
+    exact = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(20)
+    )
+    est = cms_estimate(sk, exact.select("token"), depth=4, width_hex=2)
+    return exact.join(est, "token").select(
+        "token",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        F.col("est_cnt").cast("bigint").alias("est_cnt"),
+    )
+
+
+_Q_CMS_DUCK = """
+WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS token FROM documents),
+cnt AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token),
+seeds AS (SELECT unnest(range(0, 4)) AS seed),
+cells AS (SELECT s.seed,
+                 substr(md5(CAST(s.seed AS VARCHAR) || ':' || c.token), 1, 2)
+                   AS bucket,
+                 sum(c.exact_cnt) AS counter
+          FROM cnt c, seeds s GROUP BY 1, 2),
+top AS (SELECT token, exact_cnt FROM cnt
+        ORDER BY exact_cnt DESC, token LIMIT 20),
+probe AS (SELECT t.token, t.exact_cnt, s.seed,
+                 substr(md5(CAST(s.seed AS VARCHAR) || ':' || t.token), 1, 2)
+                   AS bucket
+          FROM top t, seeds s)
+SELECT p.token,
+       CAST(max(p.exact_cnt) AS BIGINT) AS exact_cnt,
+       CAST(min(coalesce(c.counter, 0)) AS BIGINT) AS est_cnt
+FROM probe p LEFT JOIN cells c ON p.seed = c.seed AND p.bucket = c.bucket
+GROUP BY p.token
+"""
+
+
+def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/sketches.py): the
+    doc_id % 97 == 0 docs are the eval suite; every other doc is probed
+    against the fixed-size k=3 × 4096-slot bits table instead of the
+    exploded-shingle join of ``corpus_decontaminate``.  The oracle
+    replays the same bits, so deterministic false positives match."""
+    from jochre3_ocr_spark.operators.sketches import (
+        bloom_bits,
+        bloom_decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bits = bloom_bits(docs.filter("doc_id % 97 = 0"), n=4, k=3, width_hex=3)
+    return bloom_decontaminate(
+        docs.filter("doc_id % 97 <> 0"), bits, n=4, k=3, width_hex=3
+    )
+
+
+_Q_BLOOM_DUCK = """
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  CAST(doc_id AS BIGINT) % 97 = 0 AS is_bench,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           FROM documents),
+sh AS (SELECT doc_id, is_bench,
+              unnest(list_distinct(list_transform(range(1, len(tk) - 2),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                     || tk[i+3]))) AS shingle
+       FROM t WHERE len(tk) >= 4),
+seeds AS (SELECT unnest(range(0, 3)) AS seed),
+bits AS (SELECT DISTINCT s.seed,
+                substr(md5(CAST(s.seed AS VARCHAR) || ':' || sh.shingle), 1, 3)
+                  AS slot
+         FROM sh, seeds s WHERE sh.is_bench),
+probe AS (SELECT sh.doc_id, sh.shingle, s.seed,
+                 substr(md5(CAST(s.seed AS VARCHAR) || ':' || sh.shingle),
+                        1, 3) AS slot
+          FROM sh, seeds s WHERE NOT sh.is_bench),
+hits AS (SELECT doc_id, shingle FROM probe p JOIN bits b USING (seed, slot)
+         GROUP BY doc_id, shingle HAVING count(*) = 3),
+nh AS (SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id),
+ng AS (SELECT doc_id, count(*) AS n_grams FROM sh
+       WHERE NOT is_bench GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(ng.n_grams, 0) AS INT) AS n_grams,
+       CAST(coalesce(nh.n_hits, 0) AS INT) AS n_hits,
+       coalesce(nh.n_hits, 0) > 0 AS contaminated
+FROM t LEFT JOIN ng ON t.doc_id = ng.doc_id
+       LEFT JOIN nh ON t.doc_id = nh.doc_id
+WHERE NOT t.is_bench
+"""
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights toward the English split
+    (operators/importance.py), with the deterministic top-100
+    selection rank; the oracle refits both hashed-256-bucket models
+    and replays the weight sum in SQL."""
+    from jochre3_ocr_spark.operators.importance import (
+        dsir_log_weights,
+        dsir_select,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = dsir_log_weights(docs, docs.filter("lang = 'en'"), width_hex=2)
+    return dsir_select(w, keep=100)
+
+
+_Q_DSIR_DUCK = """
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           FROM documents),
+g AS (SELECT doc_id, lang, unnest(tk) AS gram FROM t
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS gram
+      FROM t WHERE len(tk) >= 2),
+b AS (SELECT doc_id, lang, substr(md5(gram), 1, 2) AS bucket, count(*) AS c
+      FROM g GROUP BY 1, 2, 3),
+tm AS (SELECT bucket, sum(c) AS cb FROM b WHERE lang = 'en' GROUP BY bucket),
+tn AS (SELECT CAST(sum(cb) AS DOUBLE) AS n FROM tm),
+rm AS (SELECT bucket, sum(c) AS cb FROM b GROUP BY bucket),
+rn AS (SELECT CAST(sum(cb) AS DOUBLE) AS n FROM rm),
+w AS (SELECT b.doc_id, CAST(sum(b.c) AS INT) AS n_grams,
+             round(sum(b.c * (ln((coalesce(tm.cb, 0) + 1) / (tn.n + 256))
+                            - ln((coalesce(rm.cb, 0) + 1) / (rn.n + 256)))),
+                   6) AS log_weight
+      FROM b LEFT JOIN tm ON b.bucket = tm.bucket
+             LEFT JOIN rm ON b.bucket = rm.bucket, tn, rn
+      GROUP BY b.doc_id),
+full_w AS (SELECT t.doc_id,
+                  coalesce(w.n_grams, 0) AS n_grams,
+                  coalesce(w.log_weight, 0.0) AS log_weight
+           FROM (SELECT DISTINCT doc_id FROM t) t LEFT JOIN w USING (doc_id))
+SELECT doc_id, n_grams, log_weight,
+       CAST(row_number() OVER (ORDER BY log_weight DESC, doc_id) AS INT)
+         AS rnk,
+       CAST(row_number() OVER (ORDER BY log_weight DESC, doc_id) AS INT) <= 100
+         AS selected
+FROM full_w
+"""
+
+
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urls.py) over deterministic
+    synthetic crawl urls (page id = doc_id % 400 rendered through
+    md5(doc_id)-driven surface variants); the oracle re-synthesizes
+    the same urls and replays the RFC 3986 normalization chain."""
+    from jochre3_ocr_spark.operators.urls import (
+        canonicalize_urls,
+        synthesize_urls,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return canonicalize_urls(synthesize_urls(docs, share_mod=400)).select(
+        "doc_id", "url", "canonical_url", "host"
+    )
+
+
+# The synthesis + canonicalization chain shared by both web_url
+# queries.  Note the 'g' flag on the slash-collapse regexp_replace —
+# DuckDB replaces the first match by default, Spark replaces all.
+_URL_CTE = """
+WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                    CAST(CAST(doc_id AS BIGINT) % 400 AS VARCHAR) AS pid
+             FROM documents),
+syn AS (SELECT doc_id,
+  (CASE WHEN substr(md5('v:' || doc_id), 1, 1) < '8'
+        THEN 'HTTPS://' ELSE 'https://' END)
+  || (CASE WHEN substr(md5('v:' || doc_id), 2, 1) < '8'
+           THEN upper('site-' || substr(md5(pid), 2, 2) || '.example.com')
+           ELSE 'site-' || substr(md5(pid), 2, 2) || '.example.com' END)
+  || (CASE WHEN substr(md5('v:' || doc_id), 3, 1) < '8'
+           THEN ':443' ELSE '' END)
+  || (CASE WHEN substr(md5('v:' || doc_id), 4, 1) < '8'
+           THEN '/a//b/' ELSE '/a/b/' END)
+  || pid
+  || (CASE WHEN substr(md5('v:' || doc_id), 5, 1) < '8'
+           THEN '/index.html' ELSE '/' END)
+  || '?'
+  || (CASE WHEN substr(md5('v:' || doc_id), 6, 1) < '8'
+           THEN 'z=' || substr(md5(pid), 5, 1) || '&utm_source=feed&a=1'
+           ELSE 'a=1&z=' || substr(md5(pid), 5, 1) END)
+  || (CASE WHEN substr(md5('v:' || doc_id), 7, 1) < '8'
+           THEN '#frag' ELSE '' END) AS url
+  FROM ids),
+parts AS (SELECT doc_id, url,
+  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+  lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS hostport,
+  regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS raw_path,
+  regexp_extract(url, '\\?([^#]*)', 1) AS raw_query
+  FROM syn),
+norm AS (SELECT doc_id, url, scheme,
+  regexp_extract(hostport, '^([^:]*)', 1) AS host,
+  CASE WHEN regexp_extract(hostport, ':(\\d+)$', 1) <> ''
+        AND NOT ((scheme = 'https'
+                  AND regexp_extract(hostport, ':(\\d+)$', 1) = '443')
+              OR (scheme = 'http'
+                  AND regexp_extract(hostport, ':(\\d+)$', 1) = '80'))
+       THEN regexp_extract(hostport, '^([^:]*)', 1) || ':'
+            || regexp_extract(hostport, ':(\\d+)$', 1)
+       ELSE regexp_extract(hostport, '^([^:]*)', 1) END AS norm_host,
+  regexp_replace(
+    regexp_replace(CASE WHEN raw_path = '' THEN '/' ELSE raw_path END,
+                   '/{2,}', '/', 'g'),
+    '/index\\.html$', '/') AS path,
+  array_to_string(list_sort(list_filter(string_split(raw_query, '&'),
+    x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS query
+  FROM parts),
+canon AS (SELECT doc_id, url, host,
+  scheme || '://' || norm_host || path
+  || (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS canonical_url
+  FROM norm)
+"""
+
+_Q_URL_CANONICAL_DUCK = (
+    _URL_CTE + "SELECT doc_id, url, canonical_url, host FROM canon"
+)
+
+
+def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl stats over the same synthetic urls
+    (operators/urls.py:host_stats): docs, distinct canonical pages,
+    and the duplicates URL canonicalization alone removes."""
+    from jochre3_ocr_spark.operators.urls import host_stats, synthesize_urls
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return host_stats(synthesize_urls(docs, share_mod=400))
+
+
+_Q_HOST_STATS_DUCK = _URL_CTE + """
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+       CAST(count(*) - count(DISTINCT canonical_url) AS BIGINT)
+         AS n_url_dupes
+FROM canon GROUP BY host
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the extraction engine over sf0.001 documents."""
     return _extract_processed_text(spark, "/root/testdata/sf0.001")
@@ -3609,6 +3862,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_inverted_index": _q_inverted_index,
         "q_correlated_parts": _q_correlated_parts,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "corpus_cms_heavy_hitters": _q_cms_heavy_hitters,
+        "corpus_bloom_decontaminate": _q_bloom_decontaminate,
+        "corpus_dsir_weights": _q_dsir_weights,
+        "web_url_canonical": _q_url_canonical,
+        "web_host_stats": _q_host_stats,
     }
 
 
@@ -3688,5 +3946,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_inverted_index": _Q_INVERTED_INDEX_DUCK,
         "q_correlated_parts": _Q_CORRELATED_DUCK,
         "ann_lsh_topk": _Q_ANN_LSH_DUCK,
+        "corpus_cms_heavy_hitters": _Q_CMS_DUCK,
+        "corpus_bloom_decontaminate": _Q_BLOOM_DUCK,
+        "corpus_dsir_weights": _Q_DSIR_DUCK,
+        "web_url_canonical": _Q_URL_CANONICAL_DUCK,
+        "web_host_stats": _Q_HOST_STATS_DUCK,
         # every queries() entry is oracle-checked.
     }

@@ -1,0 +1,183 @@
+"""Mergeable fixed-size sketches for corpus-scale frequency and
+membership queries: a count-min sketch (Cormode & Muthukrishnan 2005,
+*An Improved Data Stream Summary: The Count-Min Sketch and its
+Applications*) for token-frequency estimation, and a Bloom filter
+(Bloom 1970, *Space/Time Trade-offs in Hash Coding with Allowable
+Errors*) for benchmark-decontamination membership probes.
+
+The reference engine has no sketch analog (per-document OCR,
+``Jochre.scala:186-211``); these sit in the training-data stack next
+to ``dedup.decontaminate`` and ``text_metrics``.
+
+100 TB posture: both sketches are FIXED-SIZE state — ``depth × 16^w``
+counters / ``k × 16^w`` bit slots — independent of corpus size.  Build
+is one map-side-combinable aggregation (partial sketches merge by the
+same sum/distinct that builds them, the defining sketch property), so
+a 10^12-doc corpus produces the same few-KB table as a 10^3-doc one.
+Probes BROADCAST the sketch: a narrow corpus scan + broadcast-hash
+join, never a corpus-side shuffle.  Contrast with the exact paths this
+complements: exact token counts shuffle a vocabulary-sized table,
+exact decontamination (``dedup.decontaminate``) broadcasts the whole
+exploded benchmark shingle set — the Bloom bits table is smaller than
+the shingle set whenever the benchmark outgrows ``k × 16^w`` slots,
+and its size is CAPPED no matter how big the eval suite grows.
+
+Determinism: every hash is an md5 hex prefix of a seed-prefixed
+string — identical bytes in Spark, DuckDB, and Python — so the DuckDB
+oracle twin replays the SAME sketch bit-for-bit, false positives
+included.  Buckets stay hex STRINGS end to end (no int conversion to
+disagree on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "cms_sketch",
+    "cms_estimate",
+    "bloom_bits",
+    "bloom_decontaminate",
+]
+
+
+def _slot(seed_col, item_col, width_hex: int):
+    """Hex-prefix hash slot for (seed, item) — the one hash everything
+    here derives from: ``substr(md5(seed || ':' || item), 1, w)``."""
+    return F.substring(
+        F.md5(F.concat(seed_col.cast("string"), F.lit(":"), item_col)),
+        1,
+        width_hex,
+    )
+
+
+def _seeds(n: int):
+    return F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("seed")
+
+
+def cms_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width_hex: int = 2,
+) -> DataFrame:
+    """Count-min sketch of whitespace-token frequencies:
+    (seed, bucket, counter), one row per non-empty cell, ``depth`` hash
+    rows of ``16^width_hex`` buckets each.
+
+    Build shape: exact token counts first (map-side-combinable,
+    vocabulary-bounded — the corpus never fans out ``depth``×), then a
+    vocabulary-sized fan-out re-aggregated into the sketch cells.
+    """
+    counts = (
+        df.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.select("token", "c", _seeds(depth))
+        .groupBy("seed", _slot(F.col("seed"), F.col("token"), width_hex).alias("bucket"))
+        .agg(F.sum("c").alias("counter"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width_hex: int = 2,
+) -> DataFrame:
+    """Point-query the sketch for every candidate token: adds
+    ``est_cnt`` = min over the ``depth`` rows of the hashed cell's
+    counter (the CMS estimator — an upper bound on the true count,
+    exact when no collision hits all rows).  ``depth``/``width_hex``
+    must match the build.  The sketch broadcasts; candidates stay
+    distributed."""
+    probes = candidates.select(
+        token_col, _seeds(depth)
+    ).withColumn("bucket", _slot(F.col("seed"), F.col(token_col), width_hex))
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .groupBy(token_col)
+        .agg(F.min(F.coalesce("counter", F.lit(0))).alias("est_cnt"))
+    )
+
+
+def bloom_bits(
+    benchmark: DataFrame,
+    n: int = 4,
+    k: int = 3,
+    width_hex: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom filter of the benchmark's distinct word ``n``-grams:
+    (seed, slot), one row per SET bit, ``k`` hash functions over
+    ``16^width_hex`` slots each.  At most ``k × 16^w`` rows regardless
+    of benchmark size — the capped-state property that lets the probe
+    side broadcast it."""
+    from jochre3_ocr_spark.operators.dedup import _shingles, _tokens
+
+    sh = _shingles(_tokens(benchmark, id_col, text_col), n)
+    return (
+        sh.select("shingle", _seeds(k))
+        .select("seed", _slot(F.col("seed"), F.col("shingle"), width_hex).alias("slot"))
+        .distinct()
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    bits: DataFrame,
+    n: int = 4,
+    k: int = 3,
+    width_hex: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents whose word ``n``-grams hit the benchmark
+    Bloom filter: (doc_id, n_grams, n_hits, contaminated), one row per
+    input document (``doc_id`` cast to string, matching
+    ``dedup.decontaminate``).  A gram "hits" when ALL ``k`` of its
+    hash slots are set — so hits ⊇ the exact shingle-join hits of
+    ``dedup.decontaminate`` (Bloom filters have no false negatives),
+    with a deterministic, oracle-replayable false-positive set whose
+    rate is bounded by ``(bits_set / 16^w)^k``.
+
+    Probe shape: one narrow scan of the corpus, shingle fan-out ×``k``,
+    broadcast-hash join against the fixed-size bits table, partial
+    count back down to one row per doc — no corpus-side shuffle of
+    text, no benchmark-side explosion at probe time."""
+    from jochre3_ocr_spark.operators.dedup import _shingles, _tokens
+
+    toks = _tokens(df, id_col, text_col)
+    sh = _shingles(toks, n)
+    hits = (
+        sh.select("doc_id", "shingle", _seeds(k))
+        .withColumn("slot", _slot(F.col("seed"), F.col("shingle"), width_hex))
+        .join(F.broadcast(bits), ["seed", "slot"])
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == k)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    grams = (
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_grams"))
+    )
+    return (
+        toks.select("doc_id")
+        .join(grams, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__n_grams", F.lit(0)).cast("int").alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""URL canonicalization and host-level corpus statistics — the web
+pipeline's first dedup key.  Crawl corpora reach the engine keyed by
+URL; the same page surfaces under scheme/case variants, default ports,
+tracking parameters, fragments, and ``index.html`` suffixes, so
+canonicalizing BEFORE content dedup removes the cheapest duplicate
+class with zero text comparison (the RFC 3986 §6 normalization family
+plus the standard tracking-param strip).
+
+The reference engine has no URL analog (filesystem-fed OCR,
+``Jochre.scala:186-211``); this sits upstream of ``dedup.exact_dedup``
+in the web ingestion stack next to ``html_extract``.
+
+100 TB posture: canonicalization is a pure narrow projection — regexp
+extracts + array sort/filter over the query string, all
+whole-stage-codegen column expressions, zero Python and zero shuffle;
+host statistics are one map-side-combinable aggregation keyed by host
+(domains are Zipfian, so at production scale the same skew treatment
+as any hot-key agg applies — two-level partial agg absorbs it because
+count/distinct-count partials combine).
+
+Every step is expressible identically in DuckDB SQL (regexp_extract,
+list_filter/list_sort), so the oracle twin replays the full chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["synthesize_urls", "canonicalize_urls", "host_stats"]
+
+
+def synthesize_urls(
+    df: DataFrame, id_col: str = "doc_id", share_mod: int = 400
+) -> DataFrame:
+    """Deterministic messy crawl URL per document (test/bench input —
+    production reads a real ``url`` column).  Page identity is
+    ``doc_id % share_mod`` — documents sharing a page id get the SAME
+    canonical page rendered through INDEPENDENT md5(doc_id)-driven
+    surface variants (scheme/host case, explicit default port, doubled
+    slashes, ``index.html`` suffix, utm param, param order, fragment),
+    so canonicalization provably merges them while distinct pages stay
+    distinct.  Both twins synthesize byte-identical urls."""
+    pid = (F.col(id_col).cast("long") % share_mod).cast("string")
+    h = F.md5(pid)  # page identity → host + stable param value
+    v = F.md5(F.concat(F.lit("v:"), F.col(id_col).cast("string")))  # variants
+    d = [F.substring(v, i + 1, 1) for i in range(7)]
+    on = [x < F.lit("8") for x in d]  # each variant fires ~50%
+    scheme = F.when(on[0], "HTTPS://").otherwise("https://")
+    host_base = F.concat(F.lit("site-"), F.substring(h, 2, 2), F.lit(".example.com"))
+    host = F.when(on[1], F.upper(host_base)).otherwise(host_base)
+    port = F.when(on[2], ":443").otherwise("")
+    path = F.concat(
+        F.when(on[3], "/a//b/").otherwise("/a/b/"),
+        pid,
+        F.when(on[4], "/index.html").otherwise("/"),
+    )
+    pz = F.concat(F.lit("z="), F.substring(h, 5, 1))
+    params = F.when(
+        on[5], F.concat(pz, F.lit("&utm_source=feed&a=1"))
+    ).otherwise(F.concat(F.lit("a=1&"), pz))
+    frag = F.when(on[6], "#frag").otherwise("")
+    return df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.concat(
+            scheme, host, port, path, F.lit("?"), params, frag
+        ).alias("url"),
+    )
+
+
+def _canonical(url: Column) -> tuple[Column, Column]:
+    """(canonical_url, host) column pair for a raw ``url`` column.
+
+    Steps (RFC 3986 §6.2.2-6.2.3 + tracking strip): lowercase scheme
+    and host, drop the scheme's default port, collapse ``//`` runs in
+    the path, strip a trailing ``index.html``, drop ``utm_*`` params,
+    sort the surviving params, drop the fragment."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]*)", 1))
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80"))
+    )
+    norm_host = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
+    raw_path = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.when(raw_path == "", "/").otherwise(raw_path), r"/{2,}", "/"
+        ),
+        r"/index\.html$",
+        "/",
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract(url, r"\?([^#]*)", 1), "&"),
+            lambda x: (x != "") & ~x.startswith("utm_"),
+        )
+    )
+    query = F.array_join(params, "&")
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        norm_host,
+        path,
+        F.when(query == "", "").otherwise(F.concat(F.lit("?"), query)),
+    )
+    return canonical, host
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add ``canonical_url`` and ``host`` columns — one narrow
+    codegen-only projection."""
+    canonical, host = _canonical(F.col(url_col))
+    return df.withColumn("canonical_url", canonical).withColumn("host", host)
+
+
+def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host crawl statistics over canonicalized urls:
+    (host, n_docs, n_canonical, n_url_dupes) where ``n_url_dupes`` =
+    docs sharing an already-seen canonical url — the documents URL
+    canonicalization alone would drop before any content dedup."""
+    c = canonicalize_urls(df, url_col)
+    return (
+        c.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical_url").alias("n_canonical"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_canonical",
+            (F.col("n_docs") - F.col("n_canonical")).alias("n_url_dupes"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""URL canonicalization (operators/urls.py): hand-written normalization
+cases, the synthetic-variant merge property, and host statistics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jochre3_ocr_spark.operators.urls import (
+    canonicalize_urls,
+    host_stats,
+    synthesize_urls,
+)
+
+CASES = [
+    # scheme/host case + default https port + fragment
+    ("HTTPS://WWW.Ex.COM:443/p?b=2&a=1#x", "https://www.ex.com/p?a=1&b=2"),
+    # http default port stripped; non-default kept
+    ("http://ex.com:80/p", "http://ex.com/p"),
+    ("http://ex.com:8080/p", "http://ex.com:8080/p"),
+    ("https://ex.com:80/p", "https://ex.com:80/p"),  # 80 is NOT https default
+    # utm params dropped, rest sorted, empty query dropped entirely
+    ("https://ex.com/p?utm_source=a&utm_medium=b", "https://ex.com/p"),
+    ("https://ex.com/p?z=1&utm_campaign=c&a=2", "https://ex.com/p?a=2&z=1"),
+    # slash collapse + index.html strip + empty path
+    ("https://ex.com//a///b//index.html", "https://ex.com/a/b/"),
+    ("https://ex.com", "https://ex.com/"),
+    ("https://ex.com/index.html", "https://ex.com/"),
+    # index.html only strips as a suffix segment
+    ("https://ex.com/index.html/more", "https://ex.com/index.html/more"),
+    ("https://ex.com/not-index.html", "https://ex.com/not-index.html"),
+    # & runs / trailing & leave no empty params
+    ("https://ex.com/p?a=1&&b=2&", "https://ex.com/p?a=1&b=2"),
+]
+
+
+@pytest.mark.parametrize("url,expected", CASES)
+def test_canonical_cases(spark, url, expected):
+    df = spark.createDataFrame([(url,)], "url string")
+    [row] = canonicalize_urls(df).collect()
+    assert row.canonical_url == expected
+
+
+def test_host_column_lowercased_no_port(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Ex.COM:8443/p",)], "url string"
+    )
+    [row] = canonicalize_urls(df).collect()
+    assert row.host == "www.ex.com"
+    assert row.canonical_url == "https://www.ex.com:8443/p"
+
+
+def test_garbage_input_does_not_raise(spark):
+    df = spark.createDataFrame([("not a url",), ("",)], "url string")
+    rows = canonicalize_urls(df).collect()
+    assert len(rows) == 2  # degrades to empty parts, never throws
+
+
+def test_synthetic_variants_merge(spark):
+    """All surface variants of one page id canonicalize identically,
+    and distinct page ids never collide."""
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    u = canonicalize_urls(synthesize_urls(docs, share_mod=100))
+    rows = u.collect()
+    by_pid: dict = {}
+    for r in rows:
+        by_pid.setdefault(int(r.doc_id) % 100, set()).add(r.canonical_url)
+    assert all(len(v) == 1 for v in by_pid.values())
+    canon = {next(iter(v)) for v in by_pid.values()}
+    assert len(canon) == 100
+    # the synthesizer actually produced messy variants worth merging
+    assert len({r.url for r in rows}) > 100
+
+
+def test_host_stats(spark):
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    hs = host_stats(synthesize_urls(docs, share_mod=100))
+    agg = hs.agg(
+        F.sum("n_docs").alias("d"), F.sum("n_url_dupes").alias("dup")
+    ).collect()[0]
+    assert agg.d == 200
+    assert agg.dup == 100  # each of the 100 pages appears exactly twice
+    assert hs.filter("n_url_dupes < 0").count() == 0
