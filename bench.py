@@ -111,6 +111,12 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "corpus_mixture_plan",
         "corpus_inverted_index",
         "q_correlated_parts",
+        # round-5 continued: sketch / DSIR / URL families
+        "corpus_cms_heavy_hitters",
+        "corpus_bloom_decontaminate",
+        "corpus_dsir_weights",
+        "web_url_canonical",
+        "web_host_stats",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can
