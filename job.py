@@ -101,6 +101,8 @@ def main(argv=None) -> int:
             "repetition", "lm-score", "tfidf", "decontaminate-jaccard",
             "redact-pii", "bpe-merges", "bpe-train",
             "vocab-coverage", "mixture-plan", "inverted-index",
+            "cms-tokens", "bloom-decontaminate", "dsir",
+            "url-canonical", "host-stats",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
         "lang, source]) parquet at --input: chunk = sliding token "
@@ -149,7 +151,12 @@ def main(argv=None) -> int:
                    "table grows with the corpus)")
     p.add_argument("--topk", type=int, default=3,
                    help="result size k: terms per doc (--corpus-op "
-                   "tfidf) or merge pairs (--corpus-op bpe-merges)")
+                   "tfidf), merge pairs (--corpus-op bpe-merges), "
+                   "heavy hitters (cms-tokens), or docs kept (dsir)")
+    p.add_argument("--target-lang", default="en",
+                   help="DSIR target split when --train-input is not "
+                   "given: docs with this lang column value "
+                   "(--corpus-op dsir)")
     p.add_argument("--max-contamination", type=float, default=0.05,
                    help="keep threshold (--corpus-op contamination-"
                    "stats / decontaminate-jaccard; for the latter a "
@@ -526,6 +533,69 @@ def main(argv=None) -> int:
             from jochre3_ocr_spark.operators.text_metrics import quality_features
 
             out = quality_features(docs)
+        elif args.corpus_op == "cms-tokens":
+            from pyspark.sql import functions as F
+
+            from jochre3_ocr_spark.operators.sketches import (
+                cms_estimate,
+                cms_sketch,
+            )
+
+            sk = cms_sketch(docs)
+            exact = (
+                docs.select(
+                    F.explode(
+                        F.filter(F.split("text", " "), lambda x: x != "")
+                    ).alias("token")
+                )
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).alias("exact_cnt"))
+                .orderBy(F.desc("exact_cnt"), "token")
+                .limit(args.topk)
+            )
+            out = exact.join(cms_estimate(sk, exact.select("token")), "token")
+        elif args.corpus_op == "bloom-decontaminate":
+            if not args.benchmark:
+                p.error("--corpus-op bloom-decontaminate requires --benchmark")
+            from jochre3_ocr_spark.operators.sketches import (
+                bloom_bits,
+                bloom_decontaminate,
+            )
+
+            bench = spark.read.parquet(args.benchmark)
+            out = bloom_decontaminate(
+                docs, bloom_bits(bench, n=args.ngram), n=args.ngram
+            )
+        elif args.corpus_op == "dsir":
+            from jochre3_ocr_spark.operators.importance import (
+                dsir_log_weights,
+                dsir_select,
+            )
+
+            target = (
+                spark.read.parquet(args.train_input)
+                if args.train_input
+                else docs.filter(docs.lang == args.target_lang)
+            )
+            out = dsir_select(
+                dsir_log_weights(docs, target), keep=args.topk
+            )
+        elif args.corpus_op == "url-canonical":
+            from jochre3_ocr_spark.operators.urls import (
+                canonicalize_urls,
+                synthesize_urls,
+            )
+
+            u = docs if "url" in docs.columns else synthesize_urls(docs)
+            out = canonicalize_urls(u)
+        elif args.corpus_op == "host-stats":
+            from jochre3_ocr_spark.operators.urls import (
+                host_stats,
+                synthesize_urls,
+            )
+
+            u = docs if "url" in docs.columns else synthesize_urls(docs)
+            out = host_stats(u)
         else:
             from jochre3_ocr_spark.operators.dedup import exact_dedup
 

@@ -240,3 +240,58 @@ def test_tfidf_broadcasts_idf_table(spark):
     plan = _plan(tfidf_top_terms(_text_docs(spark), k=2))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row N
+
+
+def test_bloom_probe_broadcasts_bits(spark):
+    """The Bloom bits table is capped at k×16^w rows — the probe join
+    must broadcast it; a shuffle join on (seed, slot) would move every
+    corpus shingle×seed row."""
+    from jochre3_ocr_spark.operators.sketches import (
+        bloom_bits,
+        bloom_decontaminate,
+    )
+
+    bits = bloom_bits(_text_docs(spark, 3), n=4)
+    plan = _plan(bloom_decontaminate(_text_docs(spark), bits, n=4))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin [seed" not in plan
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    """The CMS cell table is capped at depth×16^w rows — point queries
+    broadcast it against the candidate side."""
+    from jochre3_ocr_spark.operators.sketches import cms_estimate, cms_sketch
+
+    docs = _text_docs(spark)
+    sk = cms_sketch(docs, depth=4, width_hex=2)
+    cand = spark.createDataFrame([("t1",), ("t2",)], "token string")
+    plan = _plan(cms_estimate(sk, cand, depth=4, width_hex=2))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin [seed" not in plan
+
+
+def test_dsir_broadcasts_model_tables(spark):
+    """Both 16^w-bounded bucket models (target + raw) and the two 1-row
+    totals must reach the scoring join as broadcasts — the corpus side
+    shuffles only its per-doc partial sums."""
+    from jochre3_ocr_spark.operators.importance import dsir_log_weights
+
+    docs = _text_docs(spark)
+    plan = _plan(dsir_log_weights(docs, _text_docs(spark, 5)))
+    assert plan.count("BroadcastHashJoin") >= 2  # p-model + q-model joins
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals cross joins
+    assert "SortMergeJoin [bucket" not in plan
+
+
+def test_url_canonicalization_is_narrow(spark):
+    """Synthesis + canonicalization must be one shuffle-free codegen
+    projection — no Exchange, no Python."""
+    from jochre3_ocr_spark.operators.urls import (
+        canonicalize_urls,
+        synthesize_urls,
+    )
+
+    docs = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    plan = _plan(canonicalize_urls(synthesize_urls(docs)))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
