@@ -3633,6 +3633,27 @@ WHERE NOT t.is_bench
 """
 
 
+def _q_bloom_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-bitmap Bloom decontamination (operators/sketches.py:
+    bloom_bitmap / bloom_decontaminate_packed): the SAME (n=4, k=3,
+    width=3) construction as ``corpus_bloom_decontaminate``, but the
+    filter ships as one fixed k·16^w-bit byte blob and each doc is
+    probed inside a single mapInPandas pass — zero joins, zero shuffle
+    on the corpus side.  The oracle is the SAME independent DuckDB
+    shingle/bits replay as the row form: its green row IS the proof
+    that the bitmap transport is bit-exact with the join form."""
+    from jochre3_ocr_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_decontaminate_packed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bm = bloom_bitmap(docs.filter("doc_id % 97 = 0"), n=4, k=3, width_hex=3)
+    return bloom_decontaminate_packed(
+        docs.filter("doc_id % 97 <> 0"), bm, n=4, k=3, width_hex=3
+    )
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights toward the English split
     (operators/importance.py), with the deterministic top-100
@@ -3864,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "corpus_cms_heavy_hitters": _q_cms_heavy_hitters,
         "corpus_bloom_decontaminate": _q_bloom_decontaminate,
+        "corpus_bloom_packed": _q_bloom_packed,
         "corpus_dsir_weights": _q_dsir_weights,
         "web_url_canonical": _q_url_canonical,
         "web_host_stats": _q_host_stats,
@@ -3948,6 +3970,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _Q_ANN_LSH_DUCK,
         "corpus_cms_heavy_hitters": _Q_CMS_DUCK,
         "corpus_bloom_decontaminate": _Q_BLOOM_DUCK,
+        "corpus_bloom_packed": _Q_BLOOM_DUCK,
         "corpus_dsir_weights": _Q_DSIR_DUCK,
         "web_url_canonical": _Q_URL_CANONICAL_DUCK,
         "web_host_stats": _Q_HOST_STATS_DUCK,

@@ -114,6 +114,7 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         # round-5 continued: sketch / DSIR / URL families
         "corpus_cms_heavy_hitters",
         "corpus_bloom_decontaminate",
+        "corpus_bloom_packed",
         "corpus_dsir_weights",
         "web_url_canonical",
         "web_host_stats",

@@ -101,7 +101,8 @@ def main(argv=None) -> int:
             "repetition", "lm-score", "tfidf", "decontaminate-jaccard",
             "redact-pii", "bpe-merges", "bpe-train",
             "vocab-coverage", "mixture-plan", "inverted-index",
-            "cms-tokens", "bloom-decontaminate", "dsir",
+            "cms-tokens", "bloom-decontaminate",
+            "bloom-decontaminate-packed", "dsir",
             "url-canonical", "host-stats",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
@@ -153,6 +154,12 @@ def main(argv=None) -> int:
                    help="result size k: terms per doc (--corpus-op "
                    "tfidf), merge pairs (--corpus-op bpe-merges), "
                    "heavy hitters (cms-tokens), or docs kept (dsir)")
+    p.add_argument("--bloom-width", type=int, default=6,
+                   help="bloom slot width in hex chars: 16^w slots "
+                   "per hash (--corpus-op bloom-decontaminate-packed)")
+    p.add_argument("--bloom-k", type=int, default=3,
+                   help="bloom hash count "
+                   "(--corpus-op bloom-decontaminate-packed)")
     p.add_argument("--target-lang", default="en",
                    help="DSIR target split when --train-input is not "
                    "given: docs with this lang column value "
@@ -566,6 +573,32 @@ def main(argv=None) -> int:
             out = bloom_decontaminate(
                 docs, bloom_bits(bench, n=args.ngram), n=args.ngram
             )
+        elif args.corpus_op == "bloom-decontaminate-packed":
+            if not args.benchmark:
+                p.error(
+                    "--corpus-op bloom-decontaminate-packed requires "
+                    "--benchmark"
+                )
+            from jochre3_ocr_spark.operators.sketches import (
+                bloom_bitmap,
+                bloom_decontaminate_packed,
+            )
+
+            bench = spark.read.parquet(args.benchmark)
+            kw = dict(
+                n=args.ngram, k=args.bloom_k, width_hex=args.bloom_width
+            )
+            bm = bloom_bitmap(bench, **kw)
+            print(
+                json.dumps(
+                    {"bloom_bitmap_mb": round(len(bm) / 1e6, 1),
+                     "bloom_fill": round(
+                         int.from_bytes(bm, "little").bit_count()
+                         / (args.bloom_k * 16 ** args.bloom_width), 4)}
+                ),
+                flush=True,
+            )
+            out = bloom_decontaminate_packed(docs, bm, **kw)
         elif args.corpus_op == "dsir":
             from jochre3_ocr_spark.operators.importance import (
                 dsir_log_weights,

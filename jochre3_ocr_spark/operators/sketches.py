@@ -38,7 +38,15 @@ __all__ = [
     "cms_estimate",
     "bloom_bits",
     "bloom_decontaminate",
+    "bloom_bitmap",
+    "bloom_decontaminate_packed",
 ]
+
+# Bits per bitmap chunk during the distributed pack (a module constant
+# so tests can shrink it and force multi-chunk assembly — the
+# _overlap_map_sweep lesson: chunk-boundary code paths must be
+# exercisable at test scale).
+BITMAP_CHUNK_BITS = 1 << 19  # 64 KiB chunks
 
 
 def _slot(seed_col, item_col, width_hex: int):
@@ -180,4 +188,141 @@ def bloom_decontaminate(
             F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def bloom_bitmap(
+    benchmark: DataFrame,
+    n: int = 4,
+    k: int = 3,
+    width_hex: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bytes:
+    """The Bloom filter as ONE packed bitmap of ``k × 16^width_hex``
+    bits (seed ``s``'s slot ``j`` lives at global bit ``s·16^w + j``) —
+    the production transport form: at ``width_hex=6`` the payload is a
+    FIXED 6.3 MB no matter how many documents the eval suite holds,
+    where the row-form bits table (and the exact shingle join of
+    ``dedup.decontaminate``) grow with the benchmark.
+
+    Build shape: the distributed (seed, slot) set is packed into
+    chunk blobs by an ``applyInPandas`` per chunk, and only the
+    bounded blob rows (≤ k·16^w / BITMAP_CHUNK_BITS, each one chunk)
+    reach the driver — the same bounded-collect discipline as the
+    k-means training sample (`similarity.py`).  Returns the assembled
+    bytes; ship them with ``spark.sparkContext.broadcast`` to
+    :func:`bloom_decontaminate_packed`.
+    """
+    import pandas as pd
+
+    m = 16 ** width_hex
+    total_bits = k * m
+    chunk_bits = BITMAP_CHUNK_BITS
+    bits = bloom_bits(benchmark, n, k, width_hex, id_col, text_col)
+    idx = (
+        F.col("seed").cast("long") * m
+        + F.conv(F.col("slot"), 16, 10).cast("long")
+    )
+    indexed = bits.select(
+        idx.alias("idx"), (idx / chunk_bits).cast("long").alias("chunk")
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        chunk = int(pdf["chunk"].iloc[0])
+        base = chunk * chunk_bits
+        nbits = min(chunk_bits, total_bits - base)
+        blob = bytearray((nbits + 7) // 8)
+        for i in pdf["idx"]:
+            off = int(i) - base
+            blob[off >> 3] |= 1 << (off & 7)
+        return pd.DataFrame({"chunk": [chunk], "blob": [bytes(blob)]})
+
+    rows = (
+        indexed.groupBy("chunk")
+        .applyInPandas(pack, "chunk long, blob binary")
+        .collect()
+    )
+    out = bytearray((total_bits + 7) // 8)
+    for r in rows:
+        base = int(r.chunk) * (chunk_bits // 8)
+        out[base : base + len(r.blob)] = r.blob
+    return bytes(out)
+
+
+def bloom_decontaminate_packed(
+    df: DataFrame,
+    bitmap,
+    n: int = 4,
+    k: int = 3,
+    width_hex: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Row-identical to :func:`bloom_decontaminate`, probing the packed
+    bitmap instead of joining the bits table: one ``mapInPandas`` pass,
+    zero joins, zero shuffle — the corpus-side cost is a narrow scan at
+    ANY benchmark size.  ``bitmap`` is the bytes from
+    :func:`bloom_bitmap` or an already-made ``Broadcast`` of them
+    (pass the broadcast when calling repeatedly — it ships once per
+    executor, not once per job)."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.broadcast import Broadcast
+
+    spark = df.sparkSession
+    bc = (
+        bitmap
+        if isinstance(bitmap, Broadcast)
+        else spark.sparkContext.broadcast(bytes(bitmap))
+    )
+    m = 16 ** width_hex
+
+    def probe(batches):
+        buf = bc.value
+        for pdf in batches:
+            ids, ngs, nhs = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in (text or "").split(" ") if t]
+                grams = (
+                    {
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    }
+                    if len(toks) >= n
+                    else set()
+                )
+                hits = 0
+                for g in grams:
+                    ok = True
+                    for s in range(k):
+                        slot = int(
+                            hashlib.md5(
+                                f"{s}:{g}".encode()
+                            ).hexdigest()[:width_hex],
+                            16,
+                        )
+                        bit = s * m + slot
+                        if not (buf[bit >> 3] >> (bit & 7)) & 1:
+                            ok = False
+                            break
+                    hits += ok
+                ids.append(str(doc_id))
+                ngs.append(len(grams))
+                nhs.append(hits)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="object"),
+                    "n_grams": pd.Series(ngs, dtype="int32"),
+                    "n_hits": pd.Series(nhs, dtype="int32"),
+                    "contaminated": pd.Series(
+                        [h > 0 for h in nhs], dtype="bool"
+                    ),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        probe,
+        "doc_id string, n_grams int, n_hits int, contaminated boolean",
     )

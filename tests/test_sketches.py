@@ -140,3 +140,93 @@ class TestBloom:
         assert by_id["2"].n_grams == 0 and not by_id["2"].contaminated
         assert by_id["3"].n_grams == 1 and by_id["3"].contaminated
         assert by_id["3"].n_hits == 1
+
+
+class TestPackedBloom:
+    def test_packed_equals_row_form(self, spark, docs):
+        """The bitmap probe must be ROW-IDENTICAL to the oracle-checked
+        broadcast-join form at the same (n, k, width)."""
+        from jochre3_ocr_spark.operators.sketches import (
+            bloom_bitmap,
+            bloom_decontaminate_packed,
+        )
+
+        bench = docs.filter("doc_id % 7 = 0")
+        train = docs.filter("doc_id % 7 <> 0")
+        kw = dict(n=4, k=3, width_hex=3)
+        bits = bloom_bits(bench, **kw)
+        row_form = {
+            r.doc_id: (r.n_grams, r.n_hits, r.contaminated)
+            for r in bloom_decontaminate(train, bits, **kw).collect()
+        }
+        bm = bloom_bitmap(bench, **kw)
+        packed = {
+            r.doc_id: (r.n_grams, r.n_hits, r.contaminated)
+            for r in bloom_decontaminate_packed(train, bm, **kw).collect()
+        }
+        assert packed == row_form
+
+    def test_bitmap_matches_bits_table(self, spark, docs):
+        """Every (seed, slot) row sets exactly its bit; nothing else."""
+        from jochre3_ocr_spark.operators.sketches import bloom_bitmap
+
+        bench = docs.filter("doc_id % 11 = 0")
+        w, k = 3, 3
+        m = 16**w
+        bm = bloom_bitmap(bench, n=4, k=k, width_hex=w)
+        assert len(bm) == (k * m + 7) // 8
+        expected = {
+            r.seed * m + int(r.slot, 16)
+            for r in bloom_bits(bench, n=4, k=k, width_hex=w).collect()
+        }
+        got = {
+            i * 8 + b for i, byte in enumerate(bm) for b in range(8)
+            if (byte >> b) & 1
+        }
+        assert got == expected
+
+    def test_multi_chunk_assembly(self, spark, docs, monkeypatch):
+        """Shrink the chunk size so the pack runs multi-chunk — the
+        assembled bitmap must not change (chunk-boundary regression
+        guard)."""
+        import jochre3_ocr_spark.operators.sketches as sk
+
+        bench = docs.filter("doc_id % 11 = 0")
+        one = sk.bloom_bitmap(bench, n=4, k=3, width_hex=3)
+        monkeypatch.setattr(sk, "BITMAP_CHUNK_BITS", 1 << 10)  # 49 chunks
+        many = sk.bloom_bitmap(bench, n=4, k=3, width_hex=3)
+        assert many == one
+
+    def test_packed_null_and_short_text(self, spark):
+        from jochre3_ocr_spark.operators.sketches import (
+            bloom_bitmap,
+            bloom_decontaminate_packed,
+        )
+
+        bench = spark.createDataFrame(
+            [("b", "a b c d")], "doc_id string, text string"
+        )
+        bm = bloom_bitmap(bench, n=4, k=3, width_hex=3)
+        df = spark.createDataFrame(
+            [("1", None), ("2", "a b c d e")],
+            "doc_id string, text string",
+        )
+        out = {r.doc_id: r for r in
+               bloom_decontaminate_packed(df, bm, n=4, k=3, width_hex=3).collect()}
+        assert out["1"].n_grams == 0 and not out["1"].contaminated
+        assert out["2"].n_grams == 2 and out["2"].n_hits == 1
+
+    def test_partitioning_invariance(self, spark, docs):
+        from jochre3_ocr_spark.operators.sketches import (
+            bloom_bitmap,
+            bloom_decontaminate_packed,
+        )
+
+        bench = docs.filter("doc_id % 7 = 0")
+        bm = bloom_bitmap(bench, n=4, k=3, width_hex=3)
+        train = docs.filter("doc_id % 7 <> 0")
+        a = sorted(map(tuple, bloom_decontaminate_packed(
+            train, bm, n=4, k=3, width_hex=3).collect()))
+        b = sorted(map(tuple, bloom_decontaminate_packed(
+            train.repartition(7), bm, n=4, k=3, width_hex=3).collect()))
+        assert a == b
