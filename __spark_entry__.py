@@ -3802,6 +3802,78 @@ FROM canon GROUP BY host
 """
 
 
+def _q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank over the synthetic host link graph
+    (operators/graphs.py) — the canonical iterative web-scale
+    computation, 3 iterations.  Because every operation is integer
+    (BIGINT units, DIV floors), the oracle replays all three
+    iterations in SQL and the ranks are BIT-identical across engines
+    and partitionings — a promise float PageRank cannot make."""
+    from jochre3_ocr_spark.operators.graphs import (
+        pagerank,
+        synthesize_link_graph,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pagerank(synthesize_link_graph(docs), iters=3)
+
+
+_Q_PAGERANK_DUCK = """
+WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS sid FROM documents),
+e0 AS (
+  SELECT 'h' || substr(md5('s:' || sid), 1, 2) AS src,
+         'h' || least(substr(md5('d0:' || sid), 1, 1),
+                      substr(md5('d0:' || sid), 2, 1))
+             || substr(md5('d0:' || sid), 3, 1) AS dst FROM ids
+  UNION ALL
+  SELECT 'h' || substr(md5('s:' || sid), 1, 2),
+         'h' || least(substr(md5('d1:' || sid), 1, 1),
+                      substr(md5('d1:' || sid), 2, 1))
+             || substr(md5('d1:' || sid), 3, 1) FROM ids
+  UNION ALL
+  SELECT 'h' || substr(md5('s:' || sid), 1, 2),
+         'h' || least(substr(md5('d2:' || sid), 1, 1),
+                      substr(md5('d2:' || sid), 2, 1))
+             || substr(md5('d2:' || sid), 3, 1) FROM ids),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+        FROM e GROUP BY src),
+indeg AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+          FROM e GROUP BY dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+i1 AS (SELECT e.dst AS node,
+              CAST(sum(r.rank // deg.out_deg) AS BIGINT) AS inc
+       FROM e JOIN r0 r ON e.src = r.node JOIN deg ON e.src = deg.src
+       GROUP BY e.dst),
+r1 AS (SELECT n.node,
+              CAST(150000000 + (85 * coalesce(i.inc, 0)) // 100
+                   AS BIGINT) AS rank
+       FROM nodes n LEFT JOIN i1 i USING (node)),
+i2 AS (SELECT e.dst AS node,
+              CAST(sum(r.rank // deg.out_deg) AS BIGINT) AS inc
+       FROM e JOIN r1 r ON e.src = r.node JOIN deg ON e.src = deg.src
+       GROUP BY e.dst),
+r2 AS (SELECT n.node,
+              CAST(150000000 + (85 * coalesce(i.inc, 0)) // 100
+                   AS BIGINT) AS rank
+       FROM nodes n LEFT JOIN i2 i USING (node)),
+i3 AS (SELECT e.dst AS node,
+              CAST(sum(r.rank // deg.out_deg) AS BIGINT) AS inc
+       FROM e JOIN r2 r ON e.src = r.node JOIN deg ON e.src = deg.src
+       GROUP BY e.dst),
+r3 AS (SELECT n.node,
+              CAST(150000000 + (85 * coalesce(i.inc, 0)) // 100
+                   AS BIGINT) AS rank
+       FROM nodes n LEFT JOIN i3 i USING (node))
+SELECT r3.node, r3.rank,
+       CAST(coalesce(deg.out_deg, 0) AS INT) AS out_deg,
+       CAST(coalesce(indeg.in_deg, 0) AS INT) AS in_deg
+FROM r3 LEFT JOIN deg ON r3.node = deg.src
+        LEFT JOIN indeg ON r3.node = indeg.node
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the extraction engine over sf0.001 documents."""
     return _extract_processed_text(spark, "/root/testdata/sf0.001")
@@ -3889,6 +3961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_weights": _q_dsir_weights,
         "web_url_canonical": _q_url_canonical,
         "web_host_stats": _q_host_stats,
+        "web_pagerank": _q_web_pagerank,
     }
 
 
@@ -3974,5 +4047,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_dsir_weights": _Q_DSIR_DUCK,
         "web_url_canonical": _Q_URL_CANONICAL_DUCK,
         "web_host_stats": _Q_HOST_STATS_DUCK,
+        "web_pagerank": _Q_PAGERANK_DUCK,
         # every queries() entry is oracle-checked.
     }

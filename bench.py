@@ -118,6 +118,7 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "corpus_dsir_weights",
         "web_url_canonical",
         "web_host_stats",
+        "web_pagerank",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can

@@ -1,0 +1,143 @@
+"""Link-graph operators for web corpora — PageRank over the host
+graph as the canonical iterative web-scale computation.
+
+A crawl pipeline ranks hosts/pages to prioritize fetch and to weight
+training-data quality (domain authority is a standard corpus-quality
+feature next to the text scorers in ``operators/text_metrics.py``).
+The reference engine has no graph analog (filesystem-fed OCR,
+``Jochre.scala:186-211``); this sits next to ``operators/urls.py``
+(host extraction) in the web ingestion stack.
+
+Determinism contract: ranks are computed in INTEGER arithmetic —
+ranks are BIGINT "units" (``scale`` units = 1.0), every division is
+integer division (Spark ``DIV`` ≡ DuckDB ``//`` on non-negative
+values), and integer addition is order-independent — so a fixed
+number of iterations produces BIT-IDENTICAL ranks on any engine and
+any partitioning.  Floating-point PageRank cannot make that promise
+(summation order changes the last bits), which is why the driver
+oracle for this family can replay all three iterations in SQL.
+
+100 TB posture: each iteration is the standard Pregel-on-DataFrames
+shape — one shuffle join (edges ⋈ ranks on src) + one keyed
+aggregation (sum by dst), both map-side combinable; edges and ranks
+are pre-partitioned on their join keys ONCE so every round reuses the
+same hash partitioning instead of re-shuffling the (static) edge
+table.  Hot dst keys (hub hosts) are absorbed by partial aggregation
+— a hub's incoming shares combine map-side exactly like any hot agg
+key.  Overflow budget: with ``scale=10**9`` the total mass is
+``n_nodes × 10^9``; BIGINT holds the 85× intermediate up to ~10^8
+nodes — shrink ``scale`` (or rank per shard) beyond that, documented
+here rather than discovered in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["synthesize_link_graph", "pagerank"]
+
+
+def synthesize_link_graph(
+    df: DataFrame, id_col: str = "doc_id", links_per_doc: int = 3
+) -> DataFrame:
+    """Deterministic (src_host, dst_host) edges from a documents table
+    (test/bench input — production feeds real crawl edges, e.g. from
+    ``urls.canonicalize_urls`` hosts + hrefs of ``html_extract``).
+
+    Each document links its source host to ``links_per_doc``
+    md5-derived destination hosts.  Destination skew is intentional:
+    the first hex char is ``least`` of two md5 digits, biasing toward
+    '0'-prefixed hosts, so in-degrees are hub-skewed like a real web
+    graph (uniform digits would rank every host equally and the test
+    would prove nothing).  Both twins synthesize byte-identical edges
+    in their own engine.
+    """
+    sid = F.col(id_col).cast("string")
+    src = F.concat(F.lit("h"), F.substring(F.md5(F.concat(F.lit("s:"), sid)), 1, 2))
+    edges = []
+    for k in range(links_per_doc):
+        h = F.md5(F.concat(F.lit(f"d{k}:"), sid))
+        d1 = F.substring(h, 1, 1)
+        d2 = F.substring(h, 2, 1)
+        dst = F.concat(F.lit("h"), F.least(d1, d2), F.substring(h, 3, 1))
+        edges.append(F.struct(src.alias("src"), dst.alias("dst")))
+    return df.select(
+        F.explode(F.array(*edges)).alias("e")
+    ).select("e.src", "e.dst")
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**9,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Integer-arithmetic PageRank over ``(src, dst)`` edges.
+
+    Semantics (the no-dangling-redistribution variant, standard in
+    map-reduce formulations): edges are deduplicated and self-loops
+    dropped; every node starts at ``scale`` units; each iteration a
+    node with out-degree ``deg`` sends ``rank DIV deg`` units along
+    each out-edge, and every node's new rank is
+    ``(den-num)·scale DIV den  +  num·(incoming sum) DIV den``.
+    Mass lost to dangling nodes and to the integer floors is NOT
+    redistributed — the trade for exact cross-engine reproducibility.
+
+    Plan shape: edges are cached and hash-partitioned on ``src`` once;
+    each of the ``iters`` rounds is one join + one partial-aggregated
+    shuffle on ``dst``.  The rank frame is localCheckpointed per round
+    to keep the lineage flat (the connected-components lesson,
+    ``dedup.py``).  Returns ``(node, rank, out_deg, in_deg)``.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if num_partitions:
+        e = e.repartition(num_partitions, "src")
+    e = e.localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    indeg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base = (damping_den - damping_num) * scale // damping_den
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank DIV out_deg").alias("share"),
+            )
+        )
+        incoming = contrib.groupBy("node").agg(F.sum("share").alias("inc"))
+        ranks = nodes.join(incoming, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"({damping_num} * coalesce(inc, 0L)) "
+                    f"DIV {damping_den}"
+                )
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return (
+        ranks.join(deg.withColumnRenamed("src", "node"), "node", "left")
+        .join(indeg, "node", "left")
+        .select(
+            "node",
+            "rank",
+            F.coalesce("out_deg", F.lit(0)).cast("int").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("int").alias("in_deg"),
+        )
+    )

@@ -97,10 +97,12 @@ def main() -> int:
     corpus = adversarial_corpus(
         spark, args.n_total, n_exact=1_000, n_near=1_000
     )
-    corpus.filter(F.col("doc_id").cast("long") % 10 == 0).write.mode(
+    # adversarial_corpus ids are "d%07d" — split on the numeric suffix
+    idnum = F.substring("doc_id", 2, 12).cast("long")
+    corpus.filter(idnum % 10 == 0).write.mode(
         "overwrite"
     ).parquet(bench_path)
-    corpus.filter(F.col("doc_id").cast("long") % 10 != 0).write.mode(
+    corpus.filter(idnum % 10 != 0).write.mode(
         "overwrite"
     ).parquet(train_path)
     n_bench = spark.read.parquet(bench_path).count()
