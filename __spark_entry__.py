@@ -3818,7 +3818,9 @@ def _q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(synthesize_link_graph(docs), iters=3)
 
 
-_Q_PAGERANK_DUCK = """
+# Shared by web_pagerank and web_domain_quality: synthesize the host
+# edges and replay the three integer iterations.
+_PAGERANK_CTE = """
 WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS sid FROM documents),
 e0 AS (
   SELECT 'h' || substr(md5('s:' || sid), 1, 2) AS src,
@@ -3866,11 +3868,84 @@ r3 AS (SELECT n.node,
               CAST(150000000 + (85 * coalesce(i.inc, 0)) // 100
                    AS BIGINT) AS rank
        FROM nodes n LEFT JOIN i3 i USING (node))
+"""
+
+_Q_PAGERANK_DUCK = _PAGERANK_CTE + """
 SELECT r3.node, r3.rank,
        CAST(coalesce(deg.out_deg, 0) AS INT) AS out_deg,
        CAST(coalesce(indeg.in_deg, 0) AS INT) AS in_deg
 FROM r3 LEFT JOIN deg ON r3.node = deg.src
         LEFT JOIN indeg ON r3.node = indeg.node
+"""
+
+
+def _q_web_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host authority × text quality → per-doc retention weight: the
+    composition a corpus-selection pipeline actually runs (domain
+    PageRank is a standard quality feature next to the text scorers).
+    Every step is INTEGER (rank units × basis-point distinct ratio,
+    DIV floors) so the oracle replays the whole composition — three
+    PageRank iterations included — bit-exactly.  The ranks table is
+    tiny (bounded host space) and explicitly broadcast: at 100 TB the
+    docs side never shuffles for this join."""
+    from jochre3_ocr_spark.operators.graphs import (
+        pagerank,
+        synthesize_link_graph,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ranks = pagerank(synthesize_link_graph(docs), iters=3).select(
+        F.col("node").alias("host"), F.col("rank").alias("host_rank")
+    )
+    feats = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("h"),
+            F.substring(
+                F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))),
+                1,
+                2,
+            ),
+        ).alias("host"),
+        F.expr(
+            "size(filter(split(text, ' '), x -> x <> ''))"
+        ).alias("n_tokens"),
+        F.expr(
+            "CAST(10000 * size(array_distinct(filter(split(text, ' '),"
+            " x -> x <> ''))) DIV size(filter(split(text, ' '),"
+            " x -> x <> '')) AS INT)"
+        ).alias("dr_bp"),
+    )
+    out = feats.join(F.broadcast(ranks), "host", "left").select(
+        "doc_id",
+        "host",
+        F.coalesce("host_rank", F.lit(0)).alias("host_rank"),
+        "n_tokens",
+        "dr_bp",
+        F.expr(
+            "coalesce(host_rank, 0) * dr_bp DIV 10000"
+        ).alias("weight"),
+    )
+    return out.withColumn("keep", F.col("weight") >= F.lit(500_000_000))
+
+
+_Q_DOMAIN_QUALITY_DUCK = _PAGERANK_CTE + """
+, feats AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'h' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 2) AS host,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS INT) AS n_tokens,
+         CAST((10000 * len(list_distinct(list_filter(
+                  string_split(text, ' '), x -> x <> ''))))
+              // len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS INT) AS dr_bp
+  FROM documents)
+SELECT f.doc_id, f.host,
+       coalesce(r3.rank, 0) AS host_rank,
+       f.n_tokens, f.dr_bp,
+       (coalesce(r3.rank, 0) * f.dr_bp) // 10000 AS weight,
+       (coalesce(r3.rank, 0) * f.dr_bp) // 10000 >= 500000000 AS keep
+FROM feats f LEFT JOIN r3 ON f.host = r3.node
 """
 
 
@@ -3962,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_canonical": _q_url_canonical,
         "web_host_stats": _q_host_stats,
         "web_pagerank": _q_web_pagerank,
+        "web_domain_quality": _q_web_domain_quality,
     }
 
 
@@ -4048,5 +4124,6 @@ def oracle_sql() -> dict[str, str]:
         "web_url_canonical": _Q_URL_CANONICAL_DUCK,
         "web_host_stats": _Q_HOST_STATS_DUCK,
         "web_pagerank": _Q_PAGERANK_DUCK,
+        "web_domain_quality": _Q_DOMAIN_QUALITY_DUCK,
         # every queries() entry is oracle-checked.
     }

@@ -103,7 +103,7 @@ def main(argv=None) -> int:
             "vocab-coverage", "mixture-plan", "inverted-index",
             "cms-tokens", "bloom-decontaminate",
             "bloom-decontaminate-packed", "dsir",
-            "url-canonical", "host-stats",
+            "url-canonical", "host-stats", "pagerank",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
         "lang, source]) parquet at --input: chunk = sliding token "
@@ -131,8 +131,12 @@ def main(argv=None) -> int:
         "vocabulary coverage summary; mixture-plan = per-source sampling "
         "fractions realising --weights (JSON) with max retention; "
         "inverted-index = positional index, postings capped at "
-        "--max-postings docs per term",
+        "--max-postings docs per term; pagerank = integer-arithmetic "
+        "PageRank over an (src, dst) edge parquet (or the docs host "
+        "graph), --pr-iters rounds",
     )
+    p.add_argument("--pr-iters", type=int, default=3,
+                   help="PageRank iterations (--corpus-op pagerank)")
     p.add_argument("--max-postings", type=int, default=64,
                    help="posting-list doc cap (--corpus-op "
                    "inverted-index); df_count stays exact")
@@ -629,6 +633,24 @@ def main(argv=None) -> int:
 
             u = docs if "url" in docs.columns else synthesize_urls(docs)
             out = host_stats(u)
+        elif args.corpus_op == "pagerank":
+            from jochre3_ocr_spark.operators.graphs import (
+                pagerank,
+                synthesize_link_graph,
+            )
+
+            # an (src, dst) edge table runs directly; a docs table is
+            # lifted to its host link graph first
+            e = (
+                docs
+                if {"src", "dst"} <= set(docs.columns)
+                else synthesize_link_graph(docs)
+            )
+            out = pagerank(
+                e,
+                iters=args.pr_iters,
+                num_partitions=args.shuffle_partitions,
+            )
         else:
             from jochre3_ocr_spark.operators.dedup import exact_dedup
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["synthesize_link_graph", "pagerank"]
+__all__ = ["synthesize_link_graph", "synthesize_page_graph", "pagerank"]
 
 
 def synthesize_link_graph(
@@ -64,6 +64,43 @@ def synthesize_link_graph(
     return df.select(
         F.explode(F.array(*edges)).alias("e")
     ).select("e.src", "e.dst")
+
+
+def synthesize_page_graph(
+    spark, n_pages: int, out_deg: int = 5, hub_fraction_hex: str = "8"
+) -> DataFrame:
+    """Deterministic PAGE-level graph that scales to any ``n_pages``
+    (the host graph above is bounded at ~256 nodes regardless of doc
+    count — fine for oracles, useless for soak-scale runs).
+
+    Two-tier web shape: each of ``n_pages`` pages emits ``out_deg``
+    links; a link lands on one of ``isqrt(n_pages)`` hub pages when
+    its md5 steering digit is < ``hub_fraction_hex`` (default: half
+    the links), else on a uniform page.  Hubs therefore collect
+    ``~out_deg·n/(2·sqrt(n))`` in-links — the hot reduce keys a real
+    link graph has, absorbed by partial aggregation in
+    :func:`pagerank`.  Built from ``spark.range`` + md5, so the same
+    (n_pages, out_deg) always yields byte-identical edges.
+    """
+    n_hubs = max(1, int(n_pages**0.5))
+    ids = spark.range(n_pages).select(F.col("id").cast("string").alias("sid"))
+    edges = []
+    for k in range(out_deg):
+        h = F.md5(F.concat(F.lit(f"e{k}:"), F.col("sid")))
+        steer = F.substring(h, 16, 1)
+        val = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+        dst_id = F.when(
+            steer < F.lit(hub_fraction_hex), val % F.lit(n_hubs)
+        ).otherwise(val % F.lit(n_pages))
+        edges.append(
+            F.struct(
+                F.concat(F.lit("p"), F.col("sid")).alias("src"),
+                F.concat(F.lit("p"), dst_id.cast("string")).alias("dst"),
+            )
+        )
+    return ids.select(F.explode(F.array(*edges)).alias("e")).select(
+        "e.src", "e.dst"
+    )
 
 
 def pagerank(

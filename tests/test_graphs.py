@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from jochre3_ocr_spark.operators.graphs import (
     pagerank,
     synthesize_link_graph,
+    synthesize_page_graph,
 )
 
 
@@ -107,6 +108,30 @@ class TestPagerank:
         assert in_degs[-1] >= 3 * max(in_degs[len(in_degs) // 2], 1)
         ranks = [r.rank for r in rows]
         assert max(ranks) > 2 * min(ranks)
+
+    def test_page_graph_scales_and_is_deterministic(self, spark):
+        """synthesize_page_graph: node count tracks n_pages (unlike the
+        host graph), regeneration is byte-identical, and hubs collect
+        far more in-links than the uniform tier."""
+        g1 = synthesize_page_graph(spark, 2000, out_deg=4)
+        g2 = synthesize_page_graph(spark, 2000, out_deg=4)
+        assert g1.count() == 2000 * 4
+        assert sorted(map(tuple, g1.collect())) == sorted(
+            map(tuple, g2.collect())
+        )
+        indeg = (
+            g1.groupBy("dst").count().orderBy(F.desc("count")).limit(1)
+        ).collect()[0]
+        # ~half of 8000 links over isqrt(2000)=44 hubs ≈ 90/hub vs ~2
+        # for the uniform tier
+        assert indeg["count"] > 20
+        n_nodes = (
+            g1.select(F.col("src").alias("n"))
+            .union(g1.select("dst"))
+            .distinct()
+            .count()
+        )
+        assert n_nodes > 1500  # scales with n_pages, not bounded at 256
 
     def test_mass_bound(self, spark, docs):
         """Integer floors only LOSE mass: total rank never exceeds
