@@ -3335,7 +3335,9 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(docs, n_merges=3)
 
 
-_Q_BPE_TRAIN_DUCK = """
+# Shared by corpus_bpe_train and corpus_bpe_encode: learn 3 merges
+# (count -> argmax -> replace, three rounds) over the word multiset.
+_BPE_TRAIN_CTE = """
 WITH w0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
             FROM (SELECT unnest(string_split(text, ' ')) AS w
                   FROM documents)),
@@ -3362,12 +3364,71 @@ p3 AS (SELECT t[i] AS l, t[i+1] AS r, count(*) AS cnt
        FROM t3, unnest(generate_series(1, len(t) - 1)) AS g(i)
        GROUP BY 1, 2),
 m3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1)
+"""
+
+_Q_BPE_TRAIN_DUCK = _BPE_TRAIN_CTE + """
 SELECT CAST(1 AS INTEGER) AS rnk, l AS "left", r AS "right",
        l || r AS merged, cnt FROM m1
 UNION ALL
 SELECT CAST(2 AS INTEGER), l, r, l || r, cnt FROM m2
 UNION ALL
 SELECT CAST(3 AS INTEGER), l, r, l || r, cnt FROM m3
+"""
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 3 BPE merges then ENCODE the whole corpus with them
+    (operators/bpe.apply_bpe) — the tokenizer's last mile: per-doc
+    token count and the full encoded segment stream (serialized to one
+    canonical string; nested arrays hash badly across engines).  The
+    oracle re-learns the same 3 merges and replays the replace chain
+    per (doc, word), reassembling word order with a keyed list().
+    Collecting the 3-row merge table on the driver is bounded (like
+    the CC convergence probes); application itself is one narrow
+    projection, zero shuffle."""
+    from jochre3_ocr_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = [
+        (r.left, r.right)
+        for r in train_bpe(docs, n_merges=3).orderBy("rnk").collect()
+    ]
+    return apply_bpe(docs, merges).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "n_bpe_tokens",
+        F.array_join("bpe_tokens", " ").alias("tokens_str"),
+    )
+
+
+_Q_BPE_ENCODE_DUCK = _BPE_TRAIN_CTE + """
+, d0 AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                string_split(text, ' ') AS ws
+         FROM documents),
+wd AS (SELECT doc_id, i AS wi,
+              ' ' || array_to_string(string_split(ws[i], ''), ' ') || ' '
+                AS s
+       FROM d0, unnest(generate_series(1, len(ws))) AS g(i)),
+wd1 AS (SELECT doc_id, wi, replace(s,
+          ' ' || (SELECT l FROM m1) || ' ' || (SELECT r FROM m1) || ' ',
+          ' ' || (SELECT l FROM m1) || (SELECT r FROM m1) || ' ') AS s
+        FROM wd),
+wd2 AS (SELECT doc_id, wi, replace(s,
+          ' ' || (SELECT l FROM m2) || ' ' || (SELECT r FROM m2) || ' ',
+          ' ' || (SELECT l FROM m2) || (SELECT r FROM m2) || ' ') AS s
+        FROM wd1),
+wd3 AS (SELECT doc_id, wi, replace(s,
+          ' ' || (SELECT l FROM m3) || ' ' || (SELECT r FROM m3) || ' ',
+          ' ' || (SELECT l FROM m3) || (SELECT r FROM m3) || ' ') AS s
+        FROM wd2),
+enc AS (SELECT doc_id,
+               array_to_string(list(trim(s) ORDER BY wi), ' ')
+                 AS tokens_str
+        FROM wd3 GROUP BY doc_id)
+SELECT doc_id,
+       CAST(len(string_split(tokens_str, ' ')) AS INTEGER)
+         AS n_bpe_tokens,
+       tokens_str
+FROM enc
 """
 
 
@@ -4025,6 +4086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_redact_pii": _q_redact_pii,
         "corpus_bpe_merges": _q_bpe_merge_candidates,
         "corpus_bpe_train": _q_bpe_train,
+        "corpus_bpe_encode": _q_bpe_encode,
         "corpus_vocab_coverage": _q_vocab_coverage,
         "corpus_mixture_plan": _q_mixture_plan,
         "corpus_inverted_index": _q_inverted_index,
@@ -4112,6 +4174,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_redact_pii": _Q_REDACT_DUCK,
         "corpus_bpe_merges": _Q_BPE_MERGE_DUCK,
         "corpus_bpe_train": _Q_BPE_TRAIN_DUCK,
+        "corpus_bpe_encode": _Q_BPE_ENCODE_DUCK,
         "corpus_vocab_coverage": _Q_VOCAB_COVERAGE_DUCK,
         "corpus_mixture_plan": _Q_MIXTURE_DUCK,
         "corpus_inverted_index": _Q_INVERTED_INDEX_DUCK,
