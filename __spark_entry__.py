@@ -4010,6 +4010,99 @@ FROM feats f LEFT JOIN r3 ON f.host = r3.node
 """
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental shard dedup (operators/dedup.py:
+    incremental_dedup_verdicts): docs with doc_id % 3 = 0 arrive as the
+    NEW shard and are deduped against the OTHER two-thirds' persisted
+    band table plus themselves — corpus text untouched, shard bands
+    broadcast.  The oracle replays the whole construction UNCAPPED
+    (bands for both splits, corpus-hit min, recursive-CTE components,
+    canonical-wins verdicts); its green row re-proves the bucket cap's
+    cluster invariance on this composition."""
+    from jochre3_ocr_spark.operators.dedup import (
+        incremental_dedup_verdicts,
+        minhash_band_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    band_table = minhash_band_table(docs.filter("doc_id % 3 <> 0"))
+    return incremental_dedup_verdicts(
+        docs.filter("doc_id % 3 = 0"), band_table
+    )
+
+
+_Q_DEDUP_INCREMENTAL_DUCK = """
+WITH RECURSIVE toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(doc_id AS BIGINT) % 3 = 0 AS is_shard,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, is_shard,
+         unnest(list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         )) AS shingle
+  FROM toks
+  WHERE len(t) >= 3
+),
+mh AS (
+  SELECT doc_id, is_shard, s,
+         min(md5(CAST(s AS VARCHAR) || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN range(0, 8) r(s)
+  GROUP BY doc_id, is_shard, s
+),
+bands AS (
+  SELECT doc_id, is_shard, CAST(s // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY s)) AS band_hash
+  FROM mh
+  GROUP BY doc_id, is_shard, CAST(s // 2 AS INT)
+),
+sb AS (SELECT doc_id, band, band_hash FROM bands WHERE is_shard),
+cb AS (SELECT doc_id, band, band_hash FROM bands WHERE NOT is_shard),
+hits AS (
+  SELECT s.doc_id, min(c.doc_id) AS corpus_dup
+  FROM sb s JOIN cb c
+    ON s.band = c.band AND s.band_hash = c.band_hash
+  GROUP BY s.doc_id
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM sb a JOIN sb b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION
+  SELECT doc2, doc1 FROM pairs
+),
+cc(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, cc.label FROM edges e JOIN cc ON cc.node = e.dst
+),
+comp AS (SELECT node, min(label) AS cid FROM cc GROUP BY node),
+fulls AS (
+  SELECT t.doc_id, coalesce(comp.cid, t.doc_id) AS cluster_id,
+         hits.corpus_dup
+  FROM (SELECT DISTINCT doc_id FROM toks WHERE is_shard) t
+  LEFT JOIN comp ON t.doc_id = comp.node
+  LEFT JOIN hits ON t.doc_id = hits.doc_id
+),
+ch AS (SELECT cluster_id, min(corpus_dup) AS ccd
+       FROM fulls GROUP BY cluster_id)
+SELECT f.doc_id, f.cluster_id,
+       CASE WHEN ch.ccd IS NOT NULL THEN FALSE
+            ELSE f.doc_id = f.cluster_id END AS keep,
+       CASE WHEN ch.ccd IS NOT NULL THEN ch.ccd
+            WHEN f.doc_id <> f.cluster_id THEN f.cluster_id
+            ELSE NULL END AS duplicate_of
+FROM fulls f JOIN ch USING (cluster_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the extraction engine over sf0.001 documents."""
     return _extract_processed_text(spark, "/root/testdata/sf0.001")
@@ -4100,6 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_stats": _q_host_stats,
         "web_pagerank": _q_web_pagerank,
         "web_domain_quality": _q_web_domain_quality,
+        "dedup_incremental_shard": _q_dedup_incremental,
     }
 
 
@@ -4188,5 +4282,6 @@ def oracle_sql() -> dict[str, str]:
         "web_host_stats": _Q_HOST_STATS_DUCK,
         "web_pagerank": _Q_PAGERANK_DUCK,
         "web_domain_quality": _Q_DOMAIN_QUALITY_DUCK,
+        "dedup_incremental_shard": _Q_DEDUP_INCREMENTAL_DUCK,
         # every queries() entry is oracle-checked.
     }

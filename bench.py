@@ -121,6 +121,7 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "web_pagerank",
         "web_domain_quality",
         "corpus_bpe_encode",
+        "dedup_incremental_shard",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can

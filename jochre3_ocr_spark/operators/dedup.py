@@ -1189,6 +1189,106 @@ def dedup_corpus(
     return out.withColumn("keep", F.col("is_canonical"))
 
 
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """The persistable dedup STATE: banded MinHash signatures
+    (doc_id, band, band_hash), ``num_hashes/band_size`` rows per doc.
+    Write this once for the standing corpus; every future shard dedups
+    against it via :func:`incremental_dedup_verdicts` without ever
+    re-reading corpus text — the 100 TB pattern where re-signaturing
+    the full corpus per crawl drop is the thing you must never do."""
+    return _minhash_bands(df, id_col, text_col, n, num_hashes, band_size)
+
+
+def incremental_dedup_verdicts(
+    new_docs: DataFrame,
+    band_table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = 64,
+    broadcast_shard: bool = True,
+) -> DataFrame:
+    """Dedup a NEW shard against an EXISTING corpus's band table plus
+    itself, touching corpus text zero times.
+
+    Semantics (replayed exactly by the driver's uncapped SQL oracle —
+    the cap preserves within-shard connectivity, so its green row is
+    the invariance proof again):
+
+    * within-shard LSH pairs → connected components; every shard doc
+      belongs to a component (singletons are their own);
+    * a component is *corpus-contaminated* if ANY member shares a band
+      with an existing doc; then every member is dropped with
+      ``duplicate_of`` = the smallest colliding corpus doc_id across
+      the component (the standing canonical wins — new near-dups of
+      it must not elect a second canonical among themselves);
+    * a clean component keeps exactly its minimum doc_id; the rest
+      point at that representative.
+
+    Returns (doc_id, cluster_id, keep, duplicate_of) over the full
+    shard domain.  Scale shape: the shard side of the corpus-probe
+    join is broadcast by default (``broadcast_shard``) — the
+    10¹²-row band table is never shuffled, each of its partitions
+    streams against the in-memory shard bands; within-shard candidate
+    generation is the usual capped-bucket construction.  Append the
+    kept docs' band rows to the state table afterwards
+    (:func:`minhash_band_table` over the kept subset).
+    """
+    bands_new = _minhash_bands(
+        new_docs, id_col, text_col, n, num_hashes, band_size
+    ).localCheckpoint(eager=False)
+    probe = F.broadcast(bands_new) if broadcast_shard else bands_new
+    hits = (
+        probe.alias("s")
+        .join(
+            band_table.alias("c"),
+            (F.col("s.band") == F.col("c.band"))
+            & (F.col("s.band_hash") == F.col("c.band_hash")),
+        )
+        .groupBy(F.col("s.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("c.doc_id")).alias("corpus_dup"))
+    )
+    pairs = _capped_bucket_pairs(
+        bands_new, ["band", "band_hash"], max_bucket
+    )
+    comp = connected_components(pairs)
+    full = (
+        new_docs.select(F.col(id_col).cast("string").alias("doc_id"))
+        .join(comp.withColumnRenamed("doc_id", "d"),
+              F.col("doc_id") == F.col("d"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .join(hits, "doc_id", "left")
+    )
+    cluster_hit = full.groupBy("cluster_id").agg(
+        F.min("corpus_dup").alias("cluster_corpus_dup")
+    )
+    return full.join(cluster_hit, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.col("cluster_corpus_dup").isNotNull(), F.lit(False))
+        .otherwise(F.col("doc_id") == F.col("cluster_id"))
+        .alias("keep"),
+        F.when(
+            F.col("cluster_corpus_dup").isNotNull(),
+            F.col("cluster_corpus_dup"),
+        )
+        .when(F.col("doc_id") != F.col("cluster_id"), F.col("cluster_id"))
+        .alias("duplicate_of"),
+    )
+
+
 def _warn_hot_buckets(
     rep_rows: DataFrame,
     method: str,
