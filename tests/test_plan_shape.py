@@ -283,6 +283,43 @@ def test_dsir_broadcasts_model_tables(spark):
     assert "SortMergeJoin [bucket" not in plan
 
 
+def test_incremental_dedup_broadcasts_shard_bands(spark):
+    """The corpus-probe join must broadcast the SHARD's bands: the
+    standing band table (10¹² rows at scale) streams in place and is
+    never shuffled for the probe."""
+    from jochre3_ocr_spark.operators.dedup import (
+        incremental_dedup_verdicts,
+        minhash_band_table,
+    )
+
+    bt = minhash_band_table(_text_docs(spark, 10))
+    plan = _plan(incremental_dedup_verdicts(_text_docs(spark, 6), bt))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin [band" not in plan
+
+
+def test_domain_quality_broadcasts_ranks(spark):
+    """The bounded host-rank table joins the docs side as a broadcast —
+    at 100 TB the documents never shuffle for the authority join."""
+    import __spark_entry__ as em
+
+    df = em.queries()["web_domain_quality"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert "BroadcastHashJoin" in _plan(df)
+    assert "SortMergeJoin [host" not in _plan(df)
+
+
+def test_apply_bpe_is_narrow(spark):
+    """Encoding with a learned merge list is one shuffle-free codegen
+    projection — no Exchange, no Python."""
+    from jochre3_ocr_spark.operators.bpe import apply_bpe
+
+    plan = _plan(apply_bpe(_text_docs(spark), [("t", "1"), ("t1", "2")]))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_url_canonicalization_is_narrow(spark):
     """Synthesis + canonicalization must be one shuffle-free codegen
     projection — no Exchange, no Python."""
