@@ -137,6 +137,15 @@ def main(argv=None) -> int:
     )
     p.add_argument("--pr-iters", type=int, default=3,
                    help="PageRank iterations (--corpus-op pagerank)")
+    p.add_argument("--table-op", default=None,
+                   choices=["upsert", "compact"],
+                   help="bucket-partitioned table maintenance at "
+                   "--output: upsert = MERGE the key-unique updates at "
+                   "--input (copy-on-write; only touched bucket dirs "
+                   "are rewritten); compact = rewrite fragmented "
+                   "bucket dirs only (--input ignored)")
+    p.add_argument("--n-buckets", type=int, default=64,
+                   help="bucket count of the --table-op upsert table")
     p.add_argument("--max-postings", type=int, default=64,
                    help="posting-list doc cap (--corpus-op "
                    "inverted-index); df_count stays exact")
@@ -336,6 +345,28 @@ def main(argv=None) -> int:
         else:
             out = X.transform_corpus(src)
         return _write_and_report(spark, out, args.output, "annotate", args.annotate)
+
+    if args.table_op:
+        import json as _json
+        import time as _time
+
+        from jochre3_ocr_spark.sources import upsert as U
+
+        t0 = _time.time()
+        if args.table_op == "upsert":
+            stats = U.merge_upsert(
+                spark,
+                args.output,
+                spark.read.parquet(args.input),
+                n_buckets=args.n_buckets,
+            )
+        else:
+            stats = U.compact_partitions(spark, args.output)
+        stats["table_op"] = args.table_op
+        stats["table"] = args.output
+        stats["sec"] = round(_time.time() - t0, 2)
+        print(_json.dumps(stats), flush=True)
+        return 0
 
     if args.corpus_op:
         docs = spark.read.parquet(args.input)
