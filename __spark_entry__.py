@@ -4010,6 +4010,55 @@ FROM feats f LEFT JOIN r3 ON f.host = r3.node
 """
 
 
+def _q_web_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host top-3 incoming anchor texts (operators/graphs.py:
+    anchor_text_topk) over the synthetic anchored link graph — what
+    the web SAYS a host is about.  One hot-key-absorbing count agg +
+    a window over the aggregated table; the oracle re-synthesizes the
+    same anchors and replays the ranking with QUALIFY."""
+    from jochre3_ocr_spark.operators.graphs import (
+        anchor_text_topk,
+        synthesize_anchor_edges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return anchor_text_topk(synthesize_anchor_edges(docs), k=3)
+
+
+def _anchor_branch(k: int) -> str:
+    h = f"md5('d{k}:' || sid)"
+    return f"""
+  SELECT 'h' || substr(md5('s:' || sid), 1, 2) AS src,
+         'h' || least(substr({h}, 1, 1), substr({h}, 2, 1))
+             || substr({h}, 3, 1) AS dst,
+         t[1 + (ascii(substr({h}, 4, 1)) * 31
+                + ascii(substr({h}, 5, 1))) % (len(t) - 1)]
+         || ' ' ||
+         t[2 + (ascii(substr({h}, 4, 1)) * 31
+                + ascii(substr({h}, 5, 1))) % (len(t) - 1)] AS anchor
+  FROM t0 WHERE len(t) >= 2"""
+
+
+_Q_ANCHOR_TEXTS_DUCK = (
+    """
+WITH t0 AS (SELECT CAST(doc_id AS VARCHAR) AS sid,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents),
+e0 AS ("""
+    + " UNION ALL ".join(_anchor_branch(k) for k in range(3))
+    + """),
+c AS (SELECT dst AS host, anchor, CAST(count(*) AS BIGINT) AS n_links
+      FROM e0 GROUP BY 1, 2)
+SELECT host, anchor, n_links,
+       CAST(row_number() OVER (PARTITION BY host
+                               ORDER BY n_links DESC, anchor) AS INT)
+         AS rnk
+FROM c
+QUALIFY rnk <= 3
+"""
+)
+
+
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental shard dedup (operators/dedup.py:
     incremental_dedup_verdicts): docs with doc_id % 3 = 0 arrive as the
@@ -4194,6 +4243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pagerank": _q_web_pagerank,
         "web_domain_quality": _q_web_domain_quality,
         "dedup_incremental_shard": _q_dedup_incremental,
+        "web_anchor_texts": _q_web_anchor_texts,
     }
 
 
@@ -4283,5 +4333,6 @@ def oracle_sql() -> dict[str, str]:
         "web_pagerank": _Q_PAGERANK_DUCK,
         "web_domain_quality": _Q_DOMAIN_QUALITY_DUCK,
         "dedup_incremental_shard": _Q_DEDUP_INCREMENTAL_DUCK,
+        "web_anchor_texts": _Q_ANCHOR_TEXTS_DUCK,
         # every queries() entry is oracle-checked.
     }

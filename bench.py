@@ -122,6 +122,7 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "web_domain_quality",
         "corpus_bpe_encode",
         "dedup_incremental_shard",
+        "web_anchor_texts",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can

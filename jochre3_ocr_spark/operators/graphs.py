@@ -34,7 +34,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["synthesize_link_graph", "synthesize_page_graph", "pagerank"]
+__all__ = [
+    "synthesize_link_graph",
+    "synthesize_page_graph",
+    "synthesize_anchor_edges",
+    "anchor_text_topk",
+    "pagerank",
+]
 
 
 def synthesize_link_graph(
@@ -64,6 +70,69 @@ def synthesize_link_graph(
     return df.select(
         F.explode(F.array(*edges)).alias("e")
     ).select("e.src", "e.dst")
+
+
+def synthesize_anchor_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    links_per_doc: int = 3,
+) -> DataFrame:
+    """Deterministic (src, dst, anchor) link edges: the same host
+    topology as :func:`synthesize_link_graph`, each edge carrying an
+    anchor text of two adjacent tokens lifted from the linking
+    document at an md5-steered position (production reads real
+    ``<a>`` text from ``html_extract`` spans).  Docs with fewer than
+    two tokens emit no anchored edges."""
+    sid = F.col(id_col).cast("string")
+    src = F.concat(F.lit("h"), F.substring(F.md5(F.concat(F.lit("s:"), sid)), 1, 2))
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    edges = []
+    for k in range(links_per_doc):
+        h = F.md5(F.concat(F.lit(f"d{k}:"), sid))
+        d1 = F.substring(h, 1, 1)
+        d2 = F.substring(h, 2, 1)
+        dst = F.concat(F.lit("h"), F.least(d1, d2), F.substring(h, 3, 1))
+        idx = F.lit(1) + F.pmod(
+            F.ascii(F.substring(h, 4, 1)) * 31 + F.ascii(F.substring(h, 5, 1)),
+            F.size(toks) - 1,
+        )
+        anchor = F.concat_ws(
+            " ", F.element_at(toks, idx), F.element_at(toks, idx + 1)
+        )
+        edges.append(
+            F.struct(src.alias("src"), dst.alias("dst"), anchor.alias("anchor"))
+        )
+    return (
+        df.where(F.size(toks) >= 2)
+        .select(F.explode(F.array(*edges)).alias("e"))
+        .select("e.src", "e.dst", "e.anchor")
+    )
+
+
+def anchor_text_topk(edges: DataFrame, k: int = 3) -> DataFrame:
+    """Per-host incoming-anchor summary: the ``k`` most frequent anchor
+    texts pointing AT each host, with deterministic ties (count desc,
+    anchor asc).  A standard corpus-quality / retrieval signal — what
+    the web says a host is about, independent of the host's own text.
+
+    Plan: one partial-aggregated count keyed by (dst, anchor) — hub
+    hosts are hot keys absorbed map-side — then a per-host window over
+    the already-aggregated (small) count table.  Returns
+    (host, anchor, n_links, rnk)."""
+    from pyspark.sql import Window
+
+    counts = edges.groupBy(
+        F.col("dst").alias("host"), "anchor"
+    ).agg(F.count(F.lit(1)).alias("n_links"))
+    w = Window.partitionBy("host").orderBy(
+        F.desc("n_links"), F.asc("anchor")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("host", "anchor", "n_links", "rnk")
+    )
 
 
 def synthesize_page_graph(
