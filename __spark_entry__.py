@@ -3863,6 +3863,61 @@ FROM canon GROUP BY host
 """
 
 
+def _q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy filtering (operators/urls.py:robots_verdicts):
+    per-host allow/disallow prefix rules applied to canonicalized urls
+    with RFC 9309 §2.2.2 longest-match-wins semantics (allow wins an
+    exact length tie).  The synthetic rules (md5(host)-steered) cover
+    all three cases — plain disallow, deeper allow override, and the
+    exact tie; the oracle re-synthesizes the rules and replays the
+    match ranking in SQL."""
+    from jochre3_ocr_spark.operators.urls import (
+        robots_verdicts,
+        synthesize_robots_rules,
+        synthesize_urls,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = synthesize_urls(docs, share_mod=400)
+    return robots_verdicts(u, synthesize_robots_rules(u))
+
+
+_Q_ROBOTS_DUCK = _URL_CTE + """
+, hosts AS (SELECT DISTINCT host FROM canon),
+hd AS (SELECT host, md5('r:' || host) AS h,
+       CASE WHEN substr(md5('r:' || host), 1, 1) < '6' THEN '1'
+            WHEN substr(md5('r:' || host), 1, 1) < 'b' THEN '2'
+            ELSE '3' END AS digit
+       FROM hosts),
+rules AS (
+  SELECT host, 'disallow' AS rule_type,
+         '/a/b/' || digit AS path_prefix FROM hd
+  UNION ALL
+  SELECT host, 'allow', '/a/b/' || digit || substr(h, 3, 1) FROM hd
+  WHERE substr(h, 2, 1) < '8'
+  UNION ALL
+  SELECT host, 'allow', '/a/b/' || digit FROM hd
+  WHERE substr(h, 4, 1) < '4'),
+c AS (SELECT doc_id, host,
+             regexp_extract(canonical_url,
+                            '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path
+      FROM canon),
+hits AS (SELECT c.doc_id, r.rule_type, r.path_prefix,
+                row_number() OVER (
+                  PARTITION BY c.doc_id
+                  ORDER BY length(r.path_prefix) DESC,
+                           r.rule_type ASC, r.path_prefix ASC) AS rk
+         FROM c JOIN rules r ON c.host = r.host
+          AND left(c.path, length(r.path_prefix)) = r.path_prefix),
+best AS (SELECT doc_id, rule_type AS matched_type,
+                path_prefix AS matched_prefix
+         FROM hits WHERE rk = 1)
+SELECT c.doc_id, c.host, c.path, b.matched_type, b.matched_prefix,
+       (b.matched_type IS NULL OR b.matched_type = 'allow') AS allowed
+FROM c LEFT JOIN best b USING (doc_id)
+"""
+
+
 def _q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-arithmetic PageRank over the synthetic host link graph
     (operators/graphs.py) — the canonical iterative web-scale
@@ -4240,6 +4295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_weights": _q_dsir_weights,
         "web_url_canonical": _q_url_canonical,
         "web_host_stats": _q_host_stats,
+        "web_robots_verdicts": _q_robots_verdicts,
         "web_pagerank": _q_web_pagerank,
         "web_domain_quality": _q_web_domain_quality,
         "dedup_incremental_shard": _q_dedup_incremental,
@@ -4330,6 +4386,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_dsir_weights": _Q_DSIR_DUCK,
         "web_url_canonical": _Q_URL_CANONICAL_DUCK,
         "web_host_stats": _Q_HOST_STATS_DUCK,
+        "web_robots_verdicts": _Q_ROBOTS_DUCK,
         "web_pagerank": _Q_PAGERANK_DUCK,
         "web_domain_quality": _Q_DOMAIN_QUALITY_DUCK,
         "dedup_incremental_shard": _Q_DEDUP_INCREMENTAL_DUCK,

@@ -23,10 +23,23 @@ import sys
 import time
 
 
-def _write_and_report(spark, out, output_path: str, key: str, mode: str) -> int:
+def _write_and_report(
+    spark, out, output_path: str, key: str, mode: str,
+    t0: float | None = None,
+) -> int:
     """Shared epilogue for the annotate / corpus-op modes: overwrite-
-    write the result, report one JSON line, stop the session."""
-    t0 = time.time()
+    write the result, report one JSON line, stop the session.
+
+    Callers whose operator does real work at CONSTRUCTION time must
+    pass ``t0`` from before the operator call: under AQE, a
+    ``localCheckpoint(eager=False)`` executes every upstream shuffle
+    stage when the plan is built (AdaptiveSparkPlanExec.execute()
+    finalizes all query stages), so for iterative operators
+    (pagerank, bpe-train, CC-based dedup) the rounds run BEFORE the
+    write action — a timer started here would miss ~90% of the job
+    (measured: 54 of 72 s at 1M-node pagerank/local[2])."""
+    if t0 is None:
+        t0 = time.time()
     out.write.mode("overwrite").parquet(output_path)
     n = spark.read.parquet(output_path).count()
     print(json.dumps({
@@ -103,7 +116,7 @@ def main(argv=None) -> int:
             "vocab-coverage", "mixture-plan", "inverted-index",
             "cms-tokens", "bloom-decontaminate",
             "bloom-decontaminate-packed", "dsir",
-            "url-canonical", "host-stats", "pagerank",
+            "url-canonical", "host-stats", "robots-verdicts", "pagerank",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
         "lang, source]) parquet at --input: chunk = sliding token "
@@ -370,6 +383,10 @@ def main(argv=None) -> int:
 
     if args.corpus_op:
         docs = spark.read.parquet(args.input)
+        # timer must start BEFORE the operator builds its plan: the
+        # iterative ops (pagerank, bpe-train, dedup CC) execute their
+        # rounds at construction time under AQE (see _write_and_report)
+        t_op = time.time()
         if args.corpus_op == "chunk":
             from jochre3_ocr_spark.operators.text_metrics import chunk_documents
 
@@ -664,6 +681,22 @@ def main(argv=None) -> int:
 
             u = docs if "url" in docs.columns else synthesize_urls(docs)
             out = host_stats(u)
+        elif args.corpus_op == "robots-verdicts":
+            from jochre3_ocr_spark.operators.urls import (
+                robots_verdicts,
+                synthesize_robots_rules,
+                synthesize_urls,
+            )
+
+            # a (host, rule_type, path_prefix) table at --train-input
+            # supplies real parsed robots rules; otherwise synthesize
+            u = docs if "url" in docs.columns else synthesize_urls(docs)
+            rules = (
+                spark.read.parquet(args.train_input)
+                if args.train_input
+                else synthesize_robots_rules(u)
+            )
+            out = robots_verdicts(u, rules)
         elif args.corpus_op == "pagerank":
             from jochre3_ocr_spark.operators.graphs import (
                 pagerank,
@@ -686,7 +719,9 @@ def main(argv=None) -> int:
             from jochre3_ocr_spark.operators.dedup import exact_dedup
 
             out = exact_dedup(docs)
-        return _write_and_report(spark, out, args.output, "corpus_op", args.corpus_op)
+        return _write_and_report(
+            spark, out, args.output, "corpus_op", args.corpus_op, t0=t_op
+        )
 
     if args.lexicon:
         with open(args.lexicon, encoding="utf-8") as f:

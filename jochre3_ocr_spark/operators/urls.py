@@ -24,9 +24,15 @@ list_filter/list_sort), so the oracle twin replays the full chain.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["synthesize_urls", "canonicalize_urls", "host_stats"]
+__all__ = [
+    "synthesize_urls",
+    "canonicalize_urls",
+    "host_stats",
+    "synthesize_robots_rules",
+    "robots_verdicts",
+]
 
 
 def synthesize_urls(
@@ -132,5 +138,129 @@ def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
             "n_docs",
             "n_canonical",
             (F.col("n_docs") - F.col("n_canonical")).alias("n_url_dupes"),
+        )
+    )
+
+
+def synthesize_robots_rules(urls_df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Deterministic per-host robots rules for the synthetic crawl
+    (production parses real robots.txt).  Canonical synthetic paths are
+    ``/a/b/<pid>/`` with decimal ``pid``, so the rules are keyed to the
+    pid's first digit to produce a real verdict mix instead of
+    all-match:
+
+    * every host disallows one first-digit subtree ``/a/b/{1|2|3}``
+      (digit steered by md5(host) — those digits cover ~28% of pages
+      each under ``share_mod=400``'s first-digit distribution);
+    * ~half the hosts add a one-char-deeper allow
+      ``/a/b/<digit><hex>`` — the longest-match override case;
+    * ~a quarter add an allow EQUAL to the disallow prefix — the
+      exact-length tie, where RFC 9309 says allow wins.
+
+    Returns (host, rule_type, path_prefix)."""
+    hosts = canonicalize_urls(urls_df, url_col).select("host").distinct()
+    h = F.md5(F.concat(F.lit("r:"), F.col("host")))
+    c1, c2, c3, c4 = [F.substring(h, i, 1) for i in (1, 2, 3, 4)]
+    digit = (
+        F.when(c1 < F.lit("6"), F.lit("1"))
+        .when(c1 < F.lit("b"), F.lit("2"))
+        .otherwise(F.lit("3"))
+    )
+    dis = F.concat(F.lit("/a/b/"), digit)
+    deep_allow = F.concat(dis, c3)
+    rules = hosts.select(
+        "host",
+        F.concat(
+            F.array(
+                F.struct(
+                    F.lit("disallow").alias("rule_type"),
+                    dis.alias("path_prefix"),
+                )
+            ),
+            F.when(
+                c2 < F.lit("8"),
+                F.array(
+                    F.struct(
+                        F.lit("allow").alias("rule_type"),
+                        deep_allow.alias("path_prefix"),
+                    )
+                ),
+            ).otherwise(F.array().cast(
+                "array<struct<rule_type:string,path_prefix:string>>"
+            )),
+            F.when(
+                c4 < F.lit("4"),
+                F.array(
+                    F.struct(
+                        F.lit("allow").alias("rule_type"),
+                        dis.alias("path_prefix"),
+                    )
+                ),
+            ).otherwise(F.array().cast(
+                "array<struct<rule_type:string,path_prefix:string>>"
+            )),
+        ).alias("rs"),
+    )
+    return rules.select("host", F.explode("rs").alias("r")).select(
+        "host", "r.rule_type", "r.path_prefix"
+    )
+
+
+def robots_verdicts(
+    urls_df: DataFrame, rules_df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Crawl-policy filter: apply per-host allow/disallow prefix rules
+    to canonicalized urls with the standard longest-match-wins
+    semantics (REP, RFC 9309 §2.2.2: most specific rule applies; on an
+    exact length tie the allow rule wins).  No matching rule = allowed.
+
+    Plan: the rule table is bounded by the host space — broadcast it;
+    the url side never shuffles.  Prefix match is a plain
+    ``left(path, n) = prefix`` predicate after the equi-join on host,
+    then one per-url argmax window over the (few) matched rules.
+    Returns (doc_id, host, path, matched_type, matched_prefix,
+    allowed)."""
+    c = canonicalize_urls(urls_df, url_col).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "host",
+        F.regexp_extract(
+            "canonical_url", r"^[a-z]+://[^/?#]*([^?#]*)", 1
+        ).alias("path"),
+    )
+    joined = c.join(F.broadcast(rules_df), "host", "left").withColumn(
+        "hit",
+        F.col("path_prefix").isNotNull()
+        & (
+            F.expr("left(path, length(path_prefix))")
+            == F.col("path_prefix")
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.length("path_prefix")),
+        F.asc("rule_type"),
+        F.asc("path_prefix"),
+    )
+    best = (
+        joined.where("hit")
+        .withColumn("rk", F.row_number().over(w))
+        .where("rk = 1")
+        .select(
+            "doc_id",
+            F.col("rule_type").alias("matched_type"),
+            F.col("path_prefix").alias("matched_prefix"),
+        )
+    )
+    return (
+        c.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            "matched_type",
+            "matched_prefix",
+            (
+                F.col("matched_type").isNull()
+                | (F.col("matched_type") == "allow")
+            ).alias("allowed"),
         )
     )

@@ -332,3 +332,21 @@ def test_url_canonicalization_is_narrow(spark):
     plan = _plan(canonicalize_urls(synthesize_urls(docs)))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_robots_verdicts_broadcasts_rules(spark):
+    """The robots rule table is bounded by the host space — the policy
+    join must broadcast it; the url side never shuffles for the match
+    (the only shuffle is the per-doc best-rule window over the handful
+    of matched rows)."""
+    from jochre3_ocr_spark.operators.urls import (
+        robots_verdicts,
+        synthesize_robots_rules,
+        synthesize_urls,
+    )
+
+    docs = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    u = synthesize_urls(docs)
+    plan = _plan(robots_verdicts(u, synthesize_robots_rules(u)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin [host" not in plan

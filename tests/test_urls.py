@@ -79,3 +79,93 @@ def test_host_stats(spark):
     assert agg.d == 200
     assert agg.dup == 100  # each of the 100 pages appears exactly twice
     assert hs.filter("n_url_dupes < 0").count() == 0
+
+
+def _verdicts(spark, urls, rules):
+    """Run robots_verdicts over literal (doc_id, url) rows and
+    (host, rule_type, path_prefix) rules."""
+    from jochre3_ocr_spark.operators.urls import robots_verdicts
+
+    u = spark.createDataFrame(urls, "doc_id string, url string")
+    r = spark.createDataFrame(
+        rules, "host string, rule_type string, path_prefix string"
+    )
+    return {
+        row.doc_id: row for row in robots_verdicts(u, r).collect()
+    }
+
+
+def test_robots_longest_match_wins(spark):
+    """RFC 9309 §2.2.2: the most specific (longest) rule applies —
+    a deeper allow overrides a broader disallow and vice versa."""
+    out = _verdicts(
+        spark,
+        [("1", "https://ex.com/a/b/x"), ("2", "https://ex.com/a/c/x")],
+        [
+            ("ex.com", "disallow", "/a/"),
+            ("ex.com", "allow", "/a/b/"),
+            ("ex.com", "disallow", "/a/c/"),
+        ],
+    )
+    assert out["1"].allowed and out["1"].matched_prefix == "/a/b/"
+    assert not out["2"].allowed and out["2"].matched_prefix == "/a/c/"
+
+
+def test_robots_tie_allow_wins_and_no_rule_allows(spark):
+    out = _verdicts(
+        spark,
+        [("1", "https://ex.com/a/x"), ("2", "https://other.com/a/x")],
+        [
+            ("ex.com", "disallow", "/a/"),
+            ("ex.com", "allow", "/a/"),
+        ],
+    )
+    # exact length tie → allow wins
+    assert out["1"].allowed and out["1"].matched_type == "allow"
+    # host with no rules at all → allowed, no match columns
+    assert out["2"].allowed and out["2"].matched_type is None
+
+
+def test_robots_prefix_is_literal_not_segment(spark):
+    """Prefix match is byte-wise (standard REP), not path-segment —
+    /a matches /abc; and an empty path never matches a non-empty
+    prefix."""
+    out = _verdicts(
+        spark,
+        [("1", "https://ex.com/abc"), ("2", "https://ex.com")],
+        [("ex.com", "disallow", "/a")],
+    )
+    assert not out["1"].allowed
+    assert out["2"].allowed  # path "" has no matching rule
+
+
+def test_robots_synthetic_rules_cover_all_cases(spark):
+    """The md5-steered synthesizer emits all three rule shapes and the
+    verdicts over the synthetic crawl hit every branch."""
+    from jochre3_ocr_spark.operators.urls import (
+        robots_verdicts,
+        synthesize_robots_rules,
+        synthesize_urls,
+    )
+
+    docs = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    u = synthesize_urls(docs, share_mod=200)
+    rules = synthesize_robots_rules(u)
+    # every host has exactly one disallow; allows are optional extras
+    per_host = {
+        r.host: r.n
+        for r in rules.where("rule_type = 'disallow'")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per_host.values()) == {1}
+    v = robots_verdicts(u, rules)
+    kinds = {
+        (row.allowed, row.matched_type)
+        for row in v.select("allowed", "matched_type").distinct().collect()
+    }
+    assert (False, "disallow") in kinds  # blocked pages exist
+    assert (True, None) in kinds  # unmatched pages exist
+    assert (True, "allow") in kinds  # allow-override fired somewhere
+    assert v.count() == 400
