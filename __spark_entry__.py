@@ -3782,13 +3782,16 @@ def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The synthesis + canonicalization chain shared by both web_url
+# The synthesis + canonicalization chain shared by the web_url
 # queries.  Note the 'g' flag on the slash-collapse regexp_replace —
 # DuckDB replaces the first match by default, Spark replaces all.
-_URL_CTE = """
-WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                    CAST(CAST(doc_id AS BIGINT) % 400 AS VARCHAR) AS pid
-             FROM documents),
+# Kept as a bare CTE body (no WITH) so web_frontier can splice it
+# after the PageRank CTEs; the uids name avoids the clash with
+# _PAGERANK_CTE's ids.
+_URL_CTE_BODY = """
+uids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                CAST(CAST(doc_id AS BIGINT) % 400 AS VARCHAR) AS pid
+         FROM documents),
 syn AS (SELECT doc_id,
   (CASE WHEN substr(md5('v:' || doc_id), 1, 1) < '8'
         THEN 'HTTPS://' ELSE 'https://' END)
@@ -3808,7 +3811,7 @@ syn AS (SELECT doc_id,
            ELSE 'a=1&z=' || substr(md5(pid), 5, 1) END)
   || (CASE WHEN substr(md5('v:' || doc_id), 7, 1) < '8'
            THEN '#frag' ELSE '' END) AS url
-  FROM ids),
+  FROM uids),
 parts AS (SELECT doc_id, url,
   lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
   lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS hostport,
@@ -3836,6 +3839,39 @@ canon AS (SELECT doc_id, url, host,
   scheme || '://' || norm_host || path
   || (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS canonical_url
   FROM norm)
+"""
+
+_URL_CTE = "WITH " + _URL_CTE_BODY
+
+# The robots rule synthesis + longest-match ranking, parameterized on
+# the CTE holding (page_key, host, path) rows — shared by the verdict
+# and frontier oracles.
+_ROBOTS_RULES_BODY = """
+rhosts AS (SELECT DISTINCT host FROM cpaths),
+hd AS (SELECT host, md5('r:' || host) AS h,
+       CASE WHEN substr(md5('r:' || host), 1, 1) < '6' THEN '1'
+            WHEN substr(md5('r:' || host), 1, 1) < 'b' THEN '2'
+            ELSE '3' END AS digit
+       FROM rhosts),
+rules AS (
+  SELECT host, 'disallow' AS rule_type,
+         '/a/b/' || digit AS path_prefix FROM hd
+  UNION ALL
+  SELECT host, 'allow', '/a/b/' || digit || substr(h, 3, 1) FROM hd
+  WHERE substr(h, 2, 1) < '8'
+  UNION ALL
+  SELECT host, 'allow', '/a/b/' || digit FROM hd
+  WHERE substr(h, 4, 1) < '4'),
+hits AS (SELECT c.page_key, r.rule_type, r.path_prefix,
+                row_number() OVER (
+                  PARTITION BY c.page_key
+                  ORDER BY length(r.path_prefix) DESC,
+                           r.rule_type ASC, r.path_prefix ASC) AS rk
+         FROM cpaths c JOIN rules r ON c.host = r.host
+          AND left(c.path, length(r.path_prefix)) = r.path_prefix),
+best AS (SELECT page_key, rule_type AS matched_type,
+                path_prefix AS matched_prefix
+         FROM hits WHERE rk = 1)
 """
 
 _Q_URL_CANONICAL_DUCK = (
@@ -3883,39 +3919,18 @@ def _q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_ROBOTS_DUCK = _URL_CTE + """
-, hosts AS (SELECT DISTINCT host FROM canon),
-hd AS (SELECT host, md5('r:' || host) AS h,
-       CASE WHEN substr(md5('r:' || host), 1, 1) < '6' THEN '1'
-            WHEN substr(md5('r:' || host), 1, 1) < 'b' THEN '2'
-            ELSE '3' END AS digit
-       FROM hosts),
-rules AS (
-  SELECT host, 'disallow' AS rule_type,
-         '/a/b/' || digit AS path_prefix FROM hd
-  UNION ALL
-  SELECT host, 'allow', '/a/b/' || digit || substr(h, 3, 1) FROM hd
-  WHERE substr(h, 2, 1) < '8'
-  UNION ALL
-  SELECT host, 'allow', '/a/b/' || digit FROM hd
-  WHERE substr(h, 4, 1) < '4'),
-c AS (SELECT doc_id, host,
+, cpaths AS (SELECT doc_id AS page_key, host,
              regexp_extract(canonical_url,
                             '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path
       FROM canon),
-hits AS (SELECT c.doc_id, r.rule_type, r.path_prefix,
-                row_number() OVER (
-                  PARTITION BY c.doc_id
-                  ORDER BY length(r.path_prefix) DESC,
-                           r.rule_type ASC, r.path_prefix ASC) AS rk
-         FROM c JOIN rules r ON c.host = r.host
-          AND left(c.path, length(r.path_prefix)) = r.path_prefix),
-best AS (SELECT doc_id, rule_type AS matched_type,
-                path_prefix AS matched_prefix
-         FROM hits WHERE rk = 1)
-SELECT c.doc_id, c.host, c.path, b.matched_type, b.matched_prefix,
+""" + _ROBOTS_RULES_BODY + """
+SELECT c.page_key AS doc_id, c.host, c.path,
+       b.matched_type, b.matched_prefix,
        (b.matched_type IS NULL OR b.matched_type = 'allow') AS allowed
-FROM c LEFT JOIN best b USING (doc_id)
+FROM cpaths c LEFT JOIN best b USING (page_key)
 """
+
+
 
 
 def _q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4063,6 +4078,64 @@ SELECT f.doc_id, f.host,
        (coalesce(r3.rank, 0) * f.dr_bp) // 10000 >= 500000000 AS keep
 FROM feats f LEFT JOIN r3 ON f.host = r3.node
 """
+
+
+def _q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier priorities (operators/urls.py:
+    frontier_priorities): the scheduler composition — canonical-page
+    dedup pressure × robots policy × link-graph host authority, all
+    integer.  Host authority comes from the 3-iteration integer
+    PageRank over the synthetic host graph, bridged onto url hosts by
+    the shared 2-hex host id; the oracle replays the ENTIRE
+    composition (canonicalization, rule ranking, and all three
+    PageRank iterations) in SQL."""
+    from jochre3_ocr_spark.operators.graphs import (
+        pagerank,
+        synthesize_link_graph,
+    )
+    from jochre3_ocr_spark.operators.urls import (
+        frontier_priorities,
+        synthesize_robots_rules,
+        synthesize_urls,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = synthesize_urls(docs, share_mod=400)
+    ranks = pagerank(synthesize_link_graph(docs), iters=3).select(
+        F.concat(
+            F.lit("site-"), F.substring("node", 2, 2), F.lit(".example.com")
+        ).alias("host"),
+        F.col("rank").alias("host_rank"),
+    )
+    return frontier_priorities(u, synthesize_robots_rules(u), ranks)
+
+
+_Q_FRONTIER_DUCK = (
+    _PAGERANK_CTE
+    + ", "
+    + _URL_CTE_BODY
+    + """,
+pages AS (SELECT canonical_url, host,
+                 CAST(count(*) AS BIGINT) AS n_variants,
+                 regexp_extract(canonical_url,
+                                '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path
+          FROM canon GROUP BY canonical_url, host),
+cpaths AS (SELECT canonical_url AS page_key, host, path FROM pages),
+"""
+    + _ROBOTS_RULES_BODY
+    + """
+SELECT p.canonical_url, p.host, p.n_variants,
+       CAST(coalesce(r3.rank, 0) AS BIGINT) AS host_rank,
+       (b.matched_type IS NULL OR b.matched_type = 'allow') AS allowed,
+       CAST(CASE WHEN (b.matched_type IS NULL OR b.matched_type = 'allow')
+                 THEN coalesce(r3.rank, 0) // p.n_variants
+                 ELSE 0 END AS BIGINT) AS priority
+FROM pages p
+LEFT JOIN best b ON p.canonical_url = b.page_key
+LEFT JOIN r3
+  ON p.host = 'site-' || substr(r3.node, 2, 2) || '.example.com'
+"""
+)
 
 
 def _q_web_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4296,6 +4369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_canonical": _q_url_canonical,
         "web_host_stats": _q_host_stats,
         "web_robots_verdicts": _q_robots_verdicts,
+        "web_frontier": _q_frontier,
         "web_pagerank": _q_web_pagerank,
         "web_domain_quality": _q_web_domain_quality,
         "dedup_incremental_shard": _q_dedup_incremental,
@@ -4387,6 +4461,7 @@ def oracle_sql() -> dict[str, str]:
         "web_url_canonical": _Q_URL_CANONICAL_DUCK,
         "web_host_stats": _Q_HOST_STATS_DUCK,
         "web_robots_verdicts": _Q_ROBOTS_DUCK,
+        "web_frontier": _Q_FRONTIER_DUCK,
         "web_pagerank": _Q_PAGERANK_DUCK,
         "web_domain_quality": _Q_DOMAIN_QUALITY_DUCK,
         "dedup_incremental_shard": _Q_DEDUP_INCREMENTAL_DUCK,

@@ -116,7 +116,8 @@ def main(argv=None) -> int:
             "vocab-coverage", "mixture-plan", "inverted-index",
             "cms-tokens", "bloom-decontaminate",
             "bloom-decontaminate-packed", "dsir",
-            "url-canonical", "host-stats", "robots-verdicts", "pagerank",
+            "url-canonical", "host-stats", "robots-verdicts", "frontier",
+            "pagerank",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
         "lang, source]) parquet at --input: chunk = sliding token "
@@ -697,6 +698,41 @@ def main(argv=None) -> int:
                 else synthesize_robots_rules(u)
             )
             out = robots_verdicts(u, rules)
+        elif args.corpus_op == "frontier":
+            from pyspark.sql import functions as F
+
+            from jochre3_ocr_spark.operators.graphs import (
+                pagerank,
+                synthesize_link_graph,
+            )
+            from jochre3_ocr_spark.operators.urls import (
+                frontier_priorities,
+                synthesize_robots_rules,
+                synthesize_urls,
+            )
+
+            u = docs if "url" in docs.columns else synthesize_urls(docs)
+            rules = (
+                spark.read.parquet(args.train_input)
+                if args.train_input
+                else synthesize_robots_rules(u)
+            )
+            # a (host, host_rank) table at --benchmark supplies real
+            # authority scores; otherwise rank the synthetic host graph
+            if args.benchmark:
+                ranks = spark.read.parquet(args.benchmark)
+            else:
+                ranks = pagerank(
+                    synthesize_link_graph(docs), iters=args.pr_iters
+                ).select(
+                    F.concat(
+                        F.lit("site-"),
+                        F.substring("node", 2, 2),
+                        F.lit(".example.com"),
+                    ).alias("host"),
+                    F.col("rank").alias("host_rank"),
+                )
+            out = frontier_priorities(u, rules, ranks)
         elif args.corpus_op == "pagerank":
             from jochre3_ocr_spark.operators.graphs import (
                 pagerank,

@@ -32,6 +32,7 @@ __all__ = [
     "host_stats",
     "synthesize_robots_rules",
     "robots_verdicts",
+    "frontier_priorities",
 ]
 
 
@@ -206,27 +207,13 @@ def synthesize_robots_rules(urls_df: DataFrame, url_col: str = "url") -> DataFra
     )
 
 
-def robots_verdicts(
-    urls_df: DataFrame, rules_df: DataFrame, url_col: str = "url"
-) -> DataFrame:
-    """Crawl-policy filter: apply per-host allow/disallow prefix rules
-    to canonicalized urls with the standard longest-match-wins
-    semantics (REP, RFC 9309 §2.2.2: most specific rule applies; on an
-    exact length tie the allow rule wins).  No matching rule = allowed.
-
-    Plan: the rule table is bounded by the host space — broadcast it;
-    the url side never shuffles.  Prefix match is a plain
-    ``left(path, n) = prefix`` predicate after the equi-join on host,
-    then one per-url argmax window over the (few) matched rules.
-    Returns (doc_id, host, path, matched_type, matched_prefix,
-    allowed)."""
-    c = canonicalize_urls(urls_df, url_col).select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        "host",
-        F.regexp_extract(
-            "canonical_url", r"^[a-z]+://[^/?#]*([^?#]*)", 1
-        ).alias("path"),
-    )
+def _best_rule_match(c: DataFrame, rules_df: DataFrame, key: str) -> DataFrame:
+    """(key, matched_type, matched_prefix) of the winning rule per row
+    of ``c`` (columns ``key``, host, path) under RFC 9309 §2.2.2
+    longest-match-wins (allow wins an exact length tie).  The rules
+    table is bounded by the host space — broadcast it; the url side
+    never shuffles for the match, and the per-key argmax window runs
+    over only the handful of matched rule rows."""
     joined = c.join(F.broadcast(rules_df), "host", "left").withColumn(
         "hit",
         F.col("path_prefix").isNotNull()
@@ -235,21 +222,42 @@ def robots_verdicts(
             == F.col("path_prefix")
         ),
     )
-    w = Window.partitionBy("doc_id").orderBy(
+    w = Window.partitionBy(key).orderBy(
         F.desc(F.length("path_prefix")),
         F.asc("rule_type"),
         F.asc("path_prefix"),
     )
-    best = (
+    return (
         joined.where("hit")
         .withColumn("rk", F.row_number().over(w))
         .where("rk = 1")
         .select(
-            "doc_id",
+            key,
             F.col("rule_type").alias("matched_type"),
             F.col("path_prefix").alias("matched_prefix"),
         )
     )
+
+
+def robots_verdicts(
+    urls_df: DataFrame, rules_df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Crawl-policy filter: apply per-host allow/disallow prefix rules
+    to canonicalized urls with the standard longest-match-wins
+    semantics (REP, RFC 9309 §2.2.2: most specific rule applies; on an
+    exact length tie the allow rule wins).  No matching rule = allowed.
+
+    Plan: see ``_best_rule_match`` — rule table broadcast, url side
+    unshuffled.  Returns (doc_id, host, path, matched_type,
+    matched_prefix, allowed)."""
+    c = canonicalize_urls(urls_df, url_col).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "host",
+        F.regexp_extract(
+            "canonical_url", r"^[a-z]+://[^/?#]*([^?#]*)", 1
+        ).alias("path"),
+    )
+    best = _best_rule_match(c, rules_df, "doc_id")
     return (
         c.join(best, "doc_id", "left")
         .select(
@@ -263,4 +271,65 @@ def robots_verdicts(
                 | (F.col("matched_type") == "allow")
             ).alias("allowed"),
         )
+    )
+
+
+def frontier_priorities(
+    urls_df: DataFrame,
+    rules_df: DataFrame,
+    host_ranks_df: DataFrame | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Crawl-frontier scheduling: one row per CANONICAL page with an
+    all-integer priority — the composition a crawl scheduler runs over
+    its discovered-url log before enqueueing fetches.
+
+    Per canonical page: ``n_variants`` = how many raw urls collapsed
+    onto it (already-seen pressure), ``host_rank`` = authority units
+    looked up from a (host, host_rank) table (e.g. the link-graph
+    PageRank, ``operators/graphs.py``; 0 when absent), ``allowed`` =
+    the robots verdict on the canonical path, and
+    ``priority = host_rank DIV n_variants`` for allowed pages, 0 for
+    disallowed.  All integer arithmetic → bit-identical across engines
+    and partitionings.
+
+    Plan: one groupBy on canonical_url (the only corpus-scale
+    shuffle), then two broadcast joins — rules (host-bounded) and
+    ranks (node-space-bounded); the robots match reuses
+    ``_best_rule_match`` keyed by canonical_url."""
+    c = canonicalize_urls(urls_df, url_col)
+    pages = c.groupBy("canonical_url", "host").agg(
+        F.count(F.lit(1)).alias("n_variants")
+    ).withColumn(
+        "path",
+        F.regexp_extract(
+            "canonical_url", r"^[a-z]+://[^/?#]*([^?#]*)", 1
+        ),
+    )
+    best = _best_rule_match(
+        pages.select("canonical_url", "host", "path"),
+        rules_df,
+        "canonical_url",
+    )
+    out = pages.join(best, "canonical_url", "left").withColumn(
+        "allowed",
+        F.col("matched_type").isNull() | (F.col("matched_type") == "allow"),
+    )
+    if host_ranks_df is not None:
+        out = out.join(F.broadcast(host_ranks_df), "host", "left")
+    else:
+        out = out.withColumn("host_rank", F.lit(None).cast("long"))
+    return out.select(
+        "canonical_url",
+        "host",
+        "n_variants",
+        F.coalesce("host_rank", F.lit(0)).alias("host_rank"),
+        "allowed",
+        F.when(
+            F.col("allowed"),
+            F.expr("coalesce(host_rank, 0) DIV n_variants"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("priority"),
     )

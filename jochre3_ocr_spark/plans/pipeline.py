@@ -648,6 +648,36 @@ def ocr_documents(
 
 
 # ------------------------------------------- lineage / partition metrics
+def _is_missing_read(e: Exception, path: str | None = None) -> bool:
+    """True when an AnalysisException means "nothing written here yet".
+
+    Prefers the structured error class (Spark ≥3.4 ``getCondition`` /
+    3.3 ``getErrorClass``) over message text — vendor builds word the
+    message differently and a missed match fails a legitimate first
+    run (ADVICE r4); falls back to the message, then to a literal
+    local-path existence probe."""
+    cond = None
+    for getter in ("getCondition", "getErrorClass"):
+        fn_ = getattr(e, getter, None)
+        if callable(fn_):
+            try:
+                cond = fn_()
+            except Exception:  # noqa: BLE001 — probe only
+                cond = None
+            if cond:
+                break
+    probe = f"{cond or ''} {e}"
+    return (
+        "PATH_NOT_FOUND" in probe
+        or "UNABLE_TO_INFER_SCHEMA" in probe
+        or (
+            path is not None
+            and path.startswith("/")
+            and not os.path.exists(path)
+        )
+    )
+
+
 def doc_lineage(spark: SparkSession, output_path: str) -> DataFrame:
     """Per-document lineage: which committed task file holds each doc
     (north_rule: per-partition checkpointed lineage). Task files are the
@@ -695,7 +725,7 @@ def write_partition_metrics(
         try:
             seen = spark.read.parquet(metrics_path).select("file").distinct()
         except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            if _is_missing_read(e):
                 seen = None  # racing first run / empty dir: nothing seen yet
             else:
                 raise
@@ -755,31 +785,7 @@ def run_job(
         )
         done.schema  # force analysis inside the guarded region
     except AnalysisException as e:
-        # Prefer the structured error class (Spark ≥3.4 getCondition /
-        # 3.3 getErrorClass) over message text — vendor builds and older
-        # engines word the message differently, and a missed match here
-        # would fail a legitimate first run (ADVICE r4). Fall back to the
-        # message, then to a literal output-path existence probe.
-        cond = None
-        for getter in ("getCondition", "getErrorClass"):
-            fn_ = getattr(e, getter, None)
-            if callable(fn_):
-                try:
-                    cond = fn_()
-                except Exception:  # noqa: BLE001 — probe only
-                    cond = None
-                if cond:
-                    break
-        probe = f"{cond or ''} {e}"
-        first_run = (
-            "PATH_NOT_FOUND" in probe
-            or "UNABLE_TO_INFER_SCHEMA" in probe
-            or (
-                output_path.startswith("/")
-                and not os.path.exists(output_path)
-            )
-        )
-        if first_run:
+        if _is_missing_read(e, output_path):
             done = None  # first run: nothing committed yet
         else:
             raise

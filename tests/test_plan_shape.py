@@ -350,3 +350,24 @@ def test_robots_verdicts_broadcasts_rules(spark):
     plan = _plan(robots_verdicts(u, synthesize_robots_rules(u)))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin [host" not in plan
+
+
+def test_frontier_broadcasts_rules_and_ranks(spark):
+    """Both small sides of the frontier composition — robots rules
+    (host-bounded) and host ranks (node-space-bounded) — must
+    broadcast; the only corpus-scale shuffle is the canonical-url
+    groupBy."""
+    from jochre3_ocr_spark.operators.urls import (
+        frontier_priorities,
+        synthesize_robots_rules,
+        synthesize_urls,
+    )
+
+    docs = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    u = synthesize_urls(docs)
+    ranks = spark.createDataFrame(
+        [("site-aa.example.com", 10)], "host string, host_rank long"
+    )
+    plan = _plan(frontier_priorities(u, synthesize_robots_rules(u), ranks))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin [host" not in plan

@@ -169,3 +169,52 @@ def test_robots_synthetic_rules_cover_all_cases(spark):
     assert (True, None) in kinds  # unmatched pages exist
     assert (True, "allow") in kinds  # allow-override fired somewhere
     assert v.count() == 400
+
+
+def test_frontier_priorities_hand_semantics(spark):
+    """Variants collapse to one row; disallowed pages get priority 0;
+    priority = host_rank DIV n_variants; unknown host rank → 0."""
+    from jochre3_ocr_spark.operators.urls import frontier_priorities
+
+    u = spark.createDataFrame(
+        [
+            ("1", "https://ex.com/a/x"),
+            ("2", "HTTPS://EX.COM/a/x"),  # variant of the same page
+            ("3", "https://ex.com/blocked/x"),
+            ("4", "https://norank.com/p"),
+        ],
+        "doc_id string, url string",
+    )
+    rules = spark.createDataFrame(
+        [("ex.com", "disallow", "/blocked/")],
+        "host string, rule_type string, path_prefix string",
+    )
+    ranks = spark.createDataFrame(
+        [("ex.com", 1000)], "host string, host_rank long"
+    )
+    rows = {
+        r.canonical_url: r
+        for r in frontier_priorities(u, rules, ranks).collect()
+    }
+    assert len(rows) == 3  # 4 urls → 3 canonical pages
+    page = rows["https://ex.com/a/x"]
+    assert page.n_variants == 2 and page.allowed
+    assert page.priority == 500  # 1000 DIV 2
+    blocked = rows["https://ex.com/blocked/x"]
+    assert not blocked.allowed and blocked.priority == 0
+    assert blocked.host_rank == 1000  # rank reported even when blocked
+    norank = rows["https://norank.com/p"]
+    assert norank.allowed and norank.host_rank == 0 and norank.priority == 0
+
+
+def test_frontier_without_ranks(spark):
+    from jochre3_ocr_spark.operators.urls import frontier_priorities
+
+    u = spark.createDataFrame(
+        [("1", "https://ex.com/p")], "doc_id string, url string"
+    )
+    rules = spark.createDataFrame(
+        [], "host string, rule_type string, path_prefix string"
+    )
+    [row] = frontier_priorities(u, rules).collect()
+    assert row.allowed and row.host_rank == 0 and row.priority == 0
