@@ -2382,6 +2382,25 @@ def _ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.pq_adc_topk;
+    Jégou et al., TPAMI 2011) in the EXACT regime: with ``ksub`` ≥ the
+    number of distinct subvectors every codeword equals its subvector,
+    so reconstruction is lossless and the whole train → encode →
+    LUT-broadcast → ADC-score machinery is provably equal to
+    brute-force cosine top-k — which is what the oracle checks.  The
+    compressed regime (ksub ≪ n, the 32× memory win) is pinned by
+    tests/test_pq.py."""
+    from jochre3_ocr_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_adc_topk(
+        emb, "vec_id < 5", k=3, m=8, ksub=4096, iters=1, sample_size=4096
+    )
+
+
+# brute-force cosine top-k — the shared oracle for every exact-regime
+# ANN query (IVF exhaustive probe, PQ lossless codebooks)
 _Q_IVF_KMEANS_DUCK = """
 WITH q AS (
   SELECT vec_id AS qid,
@@ -4338,6 +4357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_page_scan": _pdf_page_scan,
         "token_counts_bpe": _token_counts_bpe,
         "ann_ivf_kmeans_topk": _ann_ivf_kmeans_topk,
+        "ann_pq_topk": _ann_pq_topk,
         "media_av_features": _media_av_features,
         "corpus_word_crop_labels": _corpus_word_crop_labels,
         "layout_predict_boxes": _layout_predict_boxes,
@@ -4431,6 +4451,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_neardup": _Q_SIMHASH_ND_DUCK,
         "token_counts_bpe": _Q_BPE_DUCK,
         "ann_ivf_kmeans_topk": _Q_IVF_KMEANS_DUCK,
+        "ann_pq_topk": _Q_IVF_KMEANS_DUCK,
         "skew_eval_stats": _Q_SKEW_DUCK,
         "layout_predict_boxes": _Q_LAYOUT_BOXES_DUCK,
         "q_events_asof_join": _Q_ASOF_DUCK,

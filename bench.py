@@ -123,6 +123,9 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "corpus_bpe_encode",
         "dedup_incremental_shard",
         "web_anchor_texts",
+        "web_robots_verdicts",
+        "web_frontier",
+        "ann_pq_topk",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can

@@ -194,26 +194,7 @@ def kmeans_centroids_sampled(
         .collect()
     )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
-    # farthest-first init
-    cents = [x[0]]
-    d2 = ((x - cents[0]) ** 2).sum(axis=1)
-    while len(cents) < k:
-        i = int(np.argmax(d2))  # ties: lowest index (argmax first-max)
-        cents.append(x[i])
-        d2 = np.minimum(d2, ((x - cents[-1]) ** 2).sum(axis=1))
-    c = np.stack(cents)
-    for _ in range(iters):
-        dists = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        assign = dists.argmin(axis=1)
-        new_c = c.copy()
-        for j in range(k):
-            members = x[assign == j]
-            if len(members):
-                new_c[j] = members.mean(axis=0)
-        if np.array_equal(new_c, c):
-            break
-        c = new_c
-    return [list(map(float, row)) for row in c]
+    return [list(map(float, row)) for row in _lloyd(x, k, iters)]
 
 
 def kmeans_centroids(
@@ -623,6 +604,210 @@ def lsh_topk(
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
         pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "rank")
+    )
+
+
+# ------------------------------------------------------------------ PQ
+def _lloyd(xs, k: int, iters: int):
+    """Deterministic Lloyd's over a numpy array (farthest-first init,
+    argmin/argmax first-index ties) — the shared driver-side trainer of
+    kmeans_centroids_sampled, reused per PQ subspace."""
+    import numpy as np
+
+    cents = [xs[0]]
+    d2 = ((xs - cents[0]) ** 2).sum(axis=1)
+    while len(cents) < k:
+        i = int(np.argmax(d2))
+        cents.append(xs[i])
+        d2 = np.minimum(d2, ((xs - cents[-1]) ** 2).sum(axis=1))
+    c = np.stack(cents)
+    for _ in range(iters):
+        dists = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = dists.argmin(axis=1)
+        new_c = c.copy()
+        for j in range(k):
+            members = xs[assign == j]
+            if len(members):
+                new_c[j] = members.mean(axis=0)
+        if np.array_equal(new_c, c):
+            break
+        c = new_c
+    return c
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Product-quantization codebooks (Jégou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    unit-normalized vector into ``m`` subspaces and train an
+    independent ``ksub``-codeword k-means in each — ONE deterministic
+    sample collect (lowest ids), all training driver-side numpy.
+    Returns ``list[m]`` of ``ksub × (dim/m)`` codeword lists.
+
+    With ``ksub`` ≥ the number of distinct subvectors the quantizer is
+    EXACT (every subvector is its own codeword) — the regime the
+    oracle uses to prove the encode→ADC machinery equals brute force;
+    production runs ksub ≪ n for the memory win."""
+    import numpy as np
+
+    rows = (
+        df.orderBy(id_col)
+        .limit(sample_size)
+        .select(_unit_vec(vec_col).alias("v"))
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [
+            list(map(float, row))
+            for row in _lloyd(x[:, s * dsub:(s + 1) * dsub], ksub, iters)
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-codeword ids — the 100 TB
+    representation: ``m`` small ints (+ one reconstruction norm) per
+    vector instead of ``dim`` floats (32× at dim=64/m=8/float32).  One
+    mapInPandas pass; codebooks travel as a Spark broadcast, never as
+    plan literals.  Returns (vid, codes array<int>, cnorm double) where
+    ``cnorm`` = ‖reconstruction‖ (the ADC cosine denominator)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    books = np.array(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    bc = spark.sparkContext.broadcast(books)
+    m, _, dsub = books.shape
+
+    def run(batches):
+        b = bc.value
+        norms2 = (b ** 2).sum(axis=2)  # (m, ksub)
+        for pdf in batches:
+            vids = pdf["vid"].to_numpy()
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            n = np.sqrt((x ** 2).sum(axis=1, keepdims=True))
+            x = x / np.where(n == 0.0, 1.0, n)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            rec2 = np.zeros(len(x))
+            for s in range(m):
+                xs = x[:, s * dsub:(s + 1) * dsub]
+                # ‖xs−c‖² = ‖xs‖² − 2·xs·c + ‖c‖²; argmin drops ‖xs‖²
+                d = norms2[s][None, :] - 2.0 * (xs @ b[s].T)
+                codes[:, s] = d.argmin(axis=1)
+                rec2 += norms2[s][codes[:, s]]
+            yield pd.DataFrame(
+                {
+                    "vid": vids,
+                    "codes": list(codes),
+                    "cnorm": np.sqrt(rec2),
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias("vid"), _unit_vec(vec_col).alias("v")
+    )
+    return src.mapInPandas(
+        run, schema="vid long, codes array<int>, cnorm double"
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_filter: str,
+    k: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: queries stay exact vectors, the
+    corpus is scanned as codes, and each (query, candidate) score is
+    ``m`` lookup-table adds instead of ``dim`` multiplies.
+
+    Plan shape: the corpus crosses the plan ONCE as (vid, m codes,
+    cnorm) — the raw embedding column is dropped after the encode pass,
+    so the scan that dominates at 100 TB moves 32× fewer bytes; the
+    per-query lookup tables (m·ksub doubles each) live on the tiny
+    filtered side and BROADCAST to the scorer; scoring is a pure JVM
+    ``aggregate`` over the code array.  Returns (qid, cid, rank)."""
+    from pyspark.sql.window import Window
+
+    books = pq_codebooks(df, m, ksub, iters, sample_size, id_col, vec_col)
+    codes = pq_encode(df, books, id_col, vec_col)
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    b = np.array(books, dtype=np.float64)  # (m, ksub, dsub)
+    bc = spark.sparkContext.broadcast(b)
+    dsub = b.shape[2]
+
+    def luts(batches):
+        bb = bc.value
+        for pdf in batches:
+            out = []
+            for vid, v in zip(pdf["vid"], pdf["v"]):
+                x = np.asarray(v, dtype=np.float64)
+                n = np.sqrt((x ** 2).sum())
+                x = x / (n if n else 1.0)
+                lut = np.concatenate(
+                    [
+                        bb[s] @ x[s * dsub:(s + 1) * dsub]
+                        for s in range(m)
+                    ]
+                )
+                out.append((vid, list(map(float, lut))))
+            yield pd.DataFrame(out, columns=["qid", "lut"])
+
+    q_luts = (
+        df.filter(query_filter)
+        .select(F.col(id_col).alias("vid"), _unit_vec(vec_col).alias("v"))
+        .mapInPandas(luts, schema="qid long, lut array<double>")
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q_luts))
+        .filter("qid <> vid")
+        .select(
+            "qid",
+            F.col("vid").alias("cid"),
+            (
+                F.expr(
+                    f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
+                    f" (acc, s) -> acc + element_at(lut,"
+                    f" s * {ksub} + element_at(codes, s + 1) + 1))"
+                )
+                / F.col("cnorm")
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "rank")
     )

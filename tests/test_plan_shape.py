@@ -371,3 +371,25 @@ def test_frontier_broadcasts_rules_and_ranks(spark):
     plan = _plan(frontier_priorities(u, synthesize_robots_rules(u), ranks))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin [host" not in plan
+
+
+def test_pq_adc_broadcasts_query_luts(spark):
+    """The PQ scorer's only join is the corpus-codes × query-LUT cross
+    join with the tiny LUT side broadcast; the raw embedding column
+    must not reach the scorer (the corpus crosses as m ints + a norm)."""
+    from jochre3_ocr_spark.operators.similarity import pq_adc_topk
+
+    import hashlib
+
+    rows = []
+    for vid in range(24):
+        v = [0.05] * 16
+        for p in range(16):
+            h = hashlib.md5(f"{vid}:{p}".encode()).hexdigest()
+            v[p] += int(h[:4], 16) / 65535.0
+        rows.append((vid, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = _plan(pq_adc_topk(df, "vec_id < 3", k=2, m=4, ksub=4,
+                             sample_size=24))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
