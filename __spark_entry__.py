@@ -1312,6 +1312,59 @@ SELECT qid, cid, rank FROM (
 ) t WHERE rank <= 3
 """
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semantic_dedup; Abbas et al.,
+    arXiv:2303.09540): cluster-then-compare semantic deduplication in
+    the oracle-replayable configuration (first-8 deterministic
+    centroids) — the DuckDB twin replays the ENTIRE pipeline:
+    assignment argmax, within-cell cosine pairs above eps, transitive
+    closure (recursive CTE vs the engine's star/propagation CC), and
+    the min-id keeper rule over the full domain."""
+    from jochre3_ocr_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, eps=0.3, n_cells=8)
+
+
+_Q_SEMDEDUP_DUCK = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+cent AS (SELECT vec_id AS cell, pos, v FROM e WHERE vec_id < 8),
+adots AS (
+  SELECT e.vec_id, c.cell,
+         sum(e.v * c.v) / (sqrt(sum(e.v * e.v)) * sqrt(sum(c.v * c.v)))
+           AS cos
+  FROM e JOIN cent c ON e.pos = c.pos GROUP BY e.vec_id, c.cell),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+    FROM adots) t WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2
+  FROM e a JOIN assign aa ON a.vec_id = aa.vec_id
+       JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+       JOIN assign ab ON b.vec_id = ab.vec_id AND ab.cell = aa.cell
+  GROUP BY a.vec_id, b.vec_id
+  HAVING sum(a.v * b.v)
+         / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))) > 0.3),
+edges AS (SELECT v1 AS src, v2 AS dst FROM pairs
+          UNION SELECT v2, v1 FROM pairs),
+cc(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e2.src, cc.label FROM edges e2 JOIN cc ON cc.node = e2.dst),
+comp AS (SELECT node, min(label) AS cid FROM cc GROUP BY node)
+SELECT s.vec_id, s.cell,
+       CAST(coalesce(comp.cid, s.vec_id) AS BIGINT) AS cluster_id,
+       (comp.cid IS NULL OR comp.cid = s.vec_id) AS keep
+FROM assign s LEFT JOIN comp ON s.vec_id = comp.node
+"""
+
+
 # embedding-cosine near-duplicate pairs over a label-blocked candidate set
 _Q_EMB_NEARDUP_SPARK = """
 WITH e AS (
@@ -4358,6 +4411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": _token_counts_bpe,
         "ann_ivf_kmeans_topk": _ann_ivf_kmeans_topk,
         "ann_pq_topk": _ann_pq_topk,
+        "dedup_semantic": _q_semantic_dedup,
         "media_av_features": _media_av_features,
         "corpus_word_crop_labels": _corpus_word_crop_labels,
         "layout_predict_boxes": _layout_predict_boxes,
@@ -4452,6 +4506,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_bpe": _Q_BPE_DUCK,
         "ann_ivf_kmeans_topk": _Q_IVF_KMEANS_DUCK,
         "ann_pq_topk": _Q_IVF_KMEANS_DUCK,
+        "dedup_semantic": _Q_SEMDEDUP_DUCK,
         "skew_eval_stats": _Q_SKEW_DUCK,
         "layout_predict_boxes": _Q_LAYOUT_BOXES_DUCK,
         "q_events_asof_join": _Q_ASOF_DUCK,

@@ -117,7 +117,7 @@ def main(argv=None) -> int:
             "cms-tokens", "bloom-decontaminate",
             "bloom-decontaminate-packed", "dsir",
             "url-canonical", "host-stats", "robots-verdicts", "frontier",
-            "pagerank",
+            "pagerank", "semantic-dedup",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
         "lang, source]) parquet at --input: chunk = sliding token "
@@ -733,6 +733,20 @@ def main(argv=None) -> int:
                     F.col("rank").alias("host_rank"),
                 )
             out = frontier_priorities(u, rules, ranks)
+        elif args.corpus_op == "semantic-dedup":
+            from jochre3_ocr_spark.operators.similarity import (
+                kmeans_centroids_sampled,
+                semantic_dedup,
+            )
+
+            if "embedding" not in docs.columns:
+                raise SystemExit(
+                    "--corpus-op semantic-dedup needs an embeddings table "
+                    "(vec_id, embedding array<float>)"
+                )
+            # production mode: sample-trained k-means centroids
+            cents = kmeans_centroids_sampled(docs, k=args.n_buckets or 8)
+            out = semantic_dedup(docs, eps=0.3, centroids=cents)
         elif args.corpus_op == "pagerank":
             from jochre3_ocr_spark.operators.graphs import (
                 pagerank,

@@ -811,3 +811,106 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "rank")
     )
+
+
+# ------------------------------------------------------------ SemDeDup
+def semantic_dedup(
+    df: DataFrame,
+    eps: float = 0.7,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list | None = None,
+) -> DataFrame:
+    """Semantic deduplication (Abbas et al., "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication",
+    arXiv:2303.09540): cluster embeddings, compare pairs ONLY within a
+    cluster (the paper's trick that turns all-pairs cosine into
+    |cell|²-bounded work), connect pairs above ``eps`` into semantic
+    groups, keep one representative per group.
+
+    Returns the FULL domain: (vec_id, cell, cluster_id, keep) — keep is
+    True for the lowest vec_id of each semantic group and for
+    singletons (the deterministic keeper rule shared with
+    ``dedup.duplicate_clusters``).
+
+    ``centroids=None`` assigns to the first ``n_cells`` vectors by id
+    (deterministic AND SQL-replayable — the configuration the DuckDB
+    oracle replays end-to-end, assignment through transitive closure);
+    production passes ``kmeans_centroids_sampled`` output.
+
+    100 TB shape: assignment is one bounded-side join (first-K) or
+    broadcast argmin (k-means list); the pair join's key is
+    (pos, cell) so no cosine is ever aggregated across cells;
+    components come from the star/propagation CC (diameter-independent,
+    refuses to lie); the keeper rule is one agg over (node, cluster)."""
+    from pyspark.sql.window import Window
+
+    from jochre3_ocr_spark.operators.dedup import connected_components
+
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("emb"))
+    if centroids is None:
+        e = _exploded(base, "vid", "emb", "vid").alias("e")
+        cent = _exploded(
+            base.orderBy("vid").limit(n_cells), "vid", "emb", "cell"
+        ).alias("cent")
+        w0 = Window.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cell"))
+        assign = (
+            _cosines(e, cent, "vid", "cell")
+            .withColumn("rn", F.row_number().over(w0))
+            .filter("rn = 1")
+            .select("vid", "cell")
+        )
+    else:
+        assign = assign_cells(base, centroids, "vid", "emb").select(
+            "vid", "cell"
+        )
+
+    ex = _exploded(base, "vid", "emb", "vid")
+    a = (
+        ex.join(assign, "vid")
+        .select(F.col("vid").alias("v1"), "pos", F.col("v").alias("x1"),
+                "cell")
+        .alias("a")
+    )
+    b = (
+        ex.join(assign, "vid")
+        .select(F.col("vid").alias("v2"), "pos", F.col("v").alias("x2"),
+                F.col("cell").alias("cell2"))
+        .alias("b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.cell") == F.col("b.cell2"))
+            & (F.col("a.v1") < F.col("b.v2")),
+        )
+        .groupBy("v1", "v2")
+        .agg(
+            (
+                F.sum(F.col("a.x1") * F.col("b.x2"))
+                / (
+                    F.sqrt(F.sum(F.col("a.x1") * F.col("a.x1")))
+                    * F.sqrt(F.sum(F.col("b.x2") * F.col("b.x2")))
+                )
+            ).alias("cos")
+        )
+        .filter(F.col("cos") > eps)
+        .select("v1", "v2")
+    )
+    comp = connected_components(pairs, left="v1", right="v2").select(
+        F.col("doc_id").alias("vid"), "cluster_id"
+    )
+    return (
+        assign.join(comp, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.coalesce("cluster_id", F.col("vid")).alias("cluster_id"),
+            (
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col("vid"))
+            ).alias("keep"),
+        )
+    )
