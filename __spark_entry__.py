@@ -2452,6 +2452,22 @@ def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (faiss's IVFADC: coarse k-means cells pruning the PQ
+    code scan) in the exact regime — exhaustive probe
+    (n_probe = n_cells) + lossless codebooks (ksub ≥ distinct
+    subvectors) make the composed two-stage index provably equal to
+    brute force, which the oracle checks; the pruned/compressed regime
+    is pinned by tests/test_pq.py."""
+    from jochre3_ocr_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_adc_topk(
+        emb, "vec_id < 5", k=3, m=8, ksub=4096, iters=1,
+        sample_size=4096, n_cells=8, n_probe=8,
+    )
+
+
 # brute-force cosine top-k — the shared oracle for every exact-regime
 # ANN query (IVF exhaustive probe, PQ lossless codebooks)
 _Q_IVF_KMEANS_DUCK = """
@@ -4412,6 +4428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans_topk": _ann_ivf_kmeans_topk,
         "ann_pq_topk": _ann_pq_topk,
         "dedup_semantic": _q_semantic_dedup,
+        "ann_ivfpq_topk": _ann_ivfpq_topk,
         "media_av_features": _media_av_features,
         "corpus_word_crop_labels": _corpus_word_crop_labels,
         "layout_predict_boxes": _layout_predict_boxes,
@@ -4507,6 +4524,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_kmeans_topk": _Q_IVF_KMEANS_DUCK,
         "ann_pq_topk": _Q_IVF_KMEANS_DUCK,
         "dedup_semantic": _Q_SEMDEDUP_DUCK,
+        "ann_ivfpq_topk": _Q_IVF_KMEANS_DUCK,
         "skew_eval_stats": _Q_SKEW_DUCK,
         "layout_predict_boxes": _Q_LAYOUT_BOXES_DUCK,
         "q_events_asof_join": _Q_ASOF_DUCK,

@@ -126,6 +126,7 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "web_robots_verdicts",
         "web_frontier",
         "ann_pq_topk",
+        "ann_ivfpq_topk",
         "dedup_semantic",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg

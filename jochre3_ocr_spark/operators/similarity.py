@@ -743,6 +743,8 @@ def pq_adc_topk(
     sample_size: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_cells: int | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: queries stay exact vectors, the
     corpus is scanned as codes, and each (query, candidate) score is
@@ -753,7 +755,15 @@ def pq_adc_topk(
     so the scan that dominates at 100 TB moves 32× fewer bytes; the
     per-query lookup tables (m·ksub doubles each) live on the tiny
     filtered side and BROADCAST to the scorer; scoring is a pure JVM
-    ``aggregate`` over the code array.  Returns (qid, cid, rank)."""
+    ``aggregate`` over the code array.  Returns (qid, cid, rank).
+
+    ``n_cells`` adds the IVF coarse stage on top (faiss's IVFADC):
+    candidates are indexed under their nearest of ``n_cells`` sampled
+    k-means centroids, queries multi-probe ``n_probe`` cells, and the
+    broadcast scoring join keys on the cell — only |n_probe·cell| of
+    the code table is ever scored per query.  ``n_probe = n_cells``
+    (exhaustive) with lossless codebooks degenerates to brute force —
+    the oracle regime."""
     from pyspark.sql.window import Window
 
     books = pq_codebooks(df, m, ksub, iters, sample_size, id_col, vec_col)
@@ -789,22 +799,37 @@ def pq_adc_topk(
         .select(F.col(id_col).alias("vid"), _unit_vec(vec_col).alias("v"))
         .mapInPandas(luts, schema="qid long, lut array<double>")
     )
-    scored = (
-        codes.crossJoin(F.broadcast(q_luts))
-        .filter("qid <> vid")
-        .select(
-            "qid",
-            F.col("vid").alias("cid"),
-            (
-                F.expr(
-                    f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
-                    f" (acc, s) -> acc + element_at(lut,"
-                    f" s * {ksub} + element_at(codes, s + 1) + 1))"
-                )
-                / F.col("cnorm")
-            ).alias("cos"),
+    adc = (
+        F.expr(
+            f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
+            f" (acc, s) -> acc + element_at(lut,"
+            f" s * {ksub} + element_at(codes, s + 1) + 1))"
         )
-    )
+        / F.col("cnorm")
+    ).alias("cos")
+    if n_cells:
+        coarse = kmeans_centroids_sampled(
+            df, n_cells, iters, sample_size, id_col, vec_col
+        )
+        cand = codes.join(
+            assign_cells(df, coarse, id_col, vec_col), "vid"
+        )
+        q_cells = assign_cells(
+            df.filter(query_filter), coarse, id_col, vec_col,
+            n_probe=n_probe,
+        ).select(F.col("vid").alias("qid"), "cell")
+        probe = q_luts.join(q_cells, "qid")
+        scored = (
+            cand.join(F.broadcast(probe), "cell")
+            .filter("qid <> vid")
+            .select("qid", F.col("vid").alias("cid"), adc)
+        )
+    else:
+        scored = (
+            codes.crossJoin(F.broadcast(q_luts))
+            .filter("qid <> vid")
+            .select("qid", F.col("vid").alias("cid"), adc)
+        )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -102,3 +102,31 @@ def test_pq_rejects_indivisible_dim(spark):
     df = _clustered(spark, dim=16)
     with pytest.raises(ValueError):
         pq_codebooks(df, m=5, ksub=4, sample_size=64)
+
+
+def test_ivfpq_exhaustive_equals_brute_force(spark):
+    """IVF stage composed on: exhaustive probe + lossless codebooks ==
+    exact cosine top-k (the ann_ivfpq_topk oracle regime)."""
+    df = _clustered(spark)
+    exact = {tuple(r) for r in cosine_topk(df, "vec_id < 4", k=3).collect()}
+    got = {
+        tuple(r)
+        for r in pq_adc_topk(
+            df, "vec_id < 4", k=3, m=4, ksub=32, iters=1,
+            sample_size=64, n_cells=3, n_probe=3,
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ivfpq_pruned_searches_own_cluster(spark):
+    """n_probe=1 on clustered data: neighbors come from the query's own
+    cluster and match the exact ranking within it."""
+    df = _clustered(spark)
+    out = pq_adc_topk(
+        df, "vec_id < 4", k=3, m=4, ksub=32, iters=3,
+        sample_size=64, n_cells=3, n_probe=1,
+    ).collect()
+    labels = {r.vec_id: r.label for r in df.collect()}
+    assert len(out) == 12  # 4 queries x k
+    assert all(labels[r.qid] == labels[r.cid] for r in out)
