@@ -3213,6 +3213,59 @@ FROM toks t LEFT JOIN s ON t.doc_id = s.doc_id
 """
 
 
+def _q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes language classification (operators/classifier.py —
+    the fasttext-shaped supervised filter slot in CCNet/Dolma/FineWeb):
+    train on the even-doc_id half's ``lang`` labels, predict the whole
+    corpus.  The oracle replays train AND predict — token-label
+    counts, doc priors, add-1 smoothing, per-label ln-sums rounded to
+    6 decimals, argmax with label tiebreak — in one SQL statement."""
+    from jochre3_ocr_spark.operators.classifier import nb_classify
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return nb_classify(
+        docs, docs.where("doc_id % 2 = 0"), label_col="lang"
+    )
+
+
+_Q_NB_LANGID_DUCK = """
+WITH ttoks AS (
+  SELECT doc_id, lang AS label,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents WHERE doc_id % 2 = 0),
+tc AS (SELECT w, label, count(*) AS c FROM ttoks GROUP BY w, label),
+dc AS (SELECT lang AS label, count(*) AS n FROM documents
+       WHERE doc_id % 2 = 0 GROUP BY lang),
+nt AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM dc),
+lt AS (SELECT t.label, t.tot, ln(dc.n / nt.nt) AS ln_prior
+       FROM (SELECT label, CAST(sum(c) AS BIGINT) AS tot
+             FROM tc GROUP BY label) t
+       JOIN dc USING (label) CROSS JOIN nt),
+v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM ttoks),
+dtoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents),
+pt AS (SELECT d.doc_id, l.label,
+              ln((coalesce(tc.c, 0) + 1.0)
+                 / (l.tot + 1.0 * (SELECT v FROM v))) AS lp
+       FROM dtoks d CROSS JOIN lt l
+       LEFT JOIN tc ON d.w = tc.w AND l.label = tc.label),
+ds AS (SELECT doc_id, label, sum(lp) AS s FROM pt GROUP BY doc_id, label),
+sc AS (SELECT ds.doc_id, ds.label, round(ds.s + lt.ln_prior, 6) AS score
+       FROM ds JOIN lt USING (label)),
+em AS (SELECT doc_id, l.label, round(l.ln_prior, 6) AS score
+       FROM documents CROSS JOIN lt l
+       WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) = 0)
+SELECT doc_id, label AS pred_label, score FROM (
+  SELECT doc_id, label, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+  FROM (SELECT * FROM sc UNION ALL SELECT * FROM em)) t
+WHERE rn = 1
+"""
+
+
 def _q_decontaminate_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded whole-doc decontamination (dedup.decontaminate_jaccard):
     best benchmark match by exact 5-gram Jaccard, keep iff < 0.05."""
@@ -4441,6 +4494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_contamination_stats": _q_contamination_stats,
         "corpus_repetition_features": _q_repetition_features,
         "corpus_lm_scores": _q_bigram_lm_scores,
+        "corpus_nb_langid": _q_nb_langid,
         "corpus_tfidf_terms": _q_tfidf_top_terms,
         "corpus_decontaminate_jaccard": _q_decontaminate_jaccard,
         "q_pivot_orders": _q_pivot_orders,
@@ -4536,6 +4590,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_contamination_stats": _Q_CONTAM_STATS_DUCK,
         "corpus_repetition_features": _Q_REPETITION_DUCK,
         "corpus_lm_scores": _Q_BIGRAM_LM_DUCK,
+        "corpus_nb_langid": _Q_NB_LANGID_DUCK,
         "corpus_tfidf_terms": _Q_TFIDF_DUCK,
         "corpus_decontaminate_jaccard": _Q_DECONTAM_JACCARD_DUCK,
         "q_pivot_orders": _Q_PIVOT_DUCK,

@@ -117,7 +117,7 @@ def main(argv=None) -> int:
             "cms-tokens", "bloom-decontaminate",
             "bloom-decontaminate-packed", "dsir",
             "url-canonical", "host-stats", "robots-verdicts", "frontier",
-            "pagerank", "semantic-dedup",
+            "pagerank", "semantic-dedup", "nb-classify",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
         "lang, source]) parquet at --input: chunk = sliding token "
@@ -733,6 +733,15 @@ def main(argv=None) -> int:
                     F.col("rank").alias("host_rank"),
                 )
             out = frontier_priorities(u, rules, ranks)
+        elif args.corpus_op == "nb-classify":
+            from jochre3_ocr_spark.operators.classifier import nb_classify
+
+            train = (
+                spark.read.parquet(args.train_input)
+                if args.train_input
+                else docs.where("doc_id % 2 = 0")
+            )
+            out = nb_classify(docs, train, label_col="lang")
         elif args.corpus_op == "semantic-dedup":
             from jochre3_ocr_spark.operators.similarity import (
                 kmeans_centroids_sampled,

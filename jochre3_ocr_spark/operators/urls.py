@@ -208,33 +208,44 @@ def synthesize_robots_rules(urls_df: DataFrame, url_col: str = "url") -> DataFra
 
 
 def _best_rule_match(c: DataFrame, rules_df: DataFrame, key: str) -> DataFrame:
-    """(key, matched_type, matched_prefix) of the winning rule per row
-    of ``c`` (columns ``key``, host, path) under RFC 9309 §2.2.2
-    longest-match-wins (allow wins an exact length tie).  The rules
-    table is bounded by the host space — broadcast it; the url side
-    never shuffles for the match, and the per-key argmax window runs
-    over only the handful of matched rule rows."""
+    """All columns of ``c`` (one row per ``key``) plus
+    (matched_type, matched_prefix) of the winning rule — NULL when no
+    rule matches — under RFC 9309 §2.2.2 longest-match-wins (allow
+    wins an exact length tie).
+
+    Plan: the rules table is bounded by the host space — broadcast it;
+    one window ranked hits-first picks the winner AND keeps unmatched
+    keys in the same pass, so there is no page-scale join-back (the
+    naive best-rows ⋈ pages self-join re-shuffled the whole page table
+    a second time — measured on the 10M-url soak).  When ``c`` arrives
+    hash-partitioned on ``key`` (the frontier's canonical groupBy) the
+    window adds only a sort, not an Exchange."""
     joined = c.join(F.broadcast(rules_df), "host", "left").withColumn(
         "hit",
-        F.col("path_prefix").isNotNull()
-        & (
-            F.expr("left(path, length(path_prefix))")
-            == F.col("path_prefix")
+        F.coalesce(
+            F.col("path_prefix").isNotNull()
+            & (
+                F.expr("left(path, length(path_prefix))")
+                == F.col("path_prefix")
+            ),
+            F.lit(False),
         ),
     )
     w = Window.partitionBy(key).orderBy(
+        F.desc("hit"),
         F.desc(F.length("path_prefix")),
         F.asc("rule_type"),
         F.asc("path_prefix"),
     )
     return (
-        joined.where("hit")
-        .withColumn("rk", F.row_number().over(w))
+        joined.withColumn("rk", F.row_number().over(w))
         .where("rk = 1")
         .select(
-            key,
-            F.col("rule_type").alias("matched_type"),
-            F.col("path_prefix").alias("matched_prefix"),
+            *[F.col(col) for col in c.columns],
+            F.when(F.col("hit"), F.col("rule_type")).alias("matched_type"),
+            F.when(F.col("hit"), F.col("path_prefix")).alias(
+                "matched_prefix"
+            ),
         )
     )
 
@@ -257,20 +268,16 @@ def robots_verdicts(
             "canonical_url", r"^[a-z]+://[^/?#]*([^?#]*)", 1
         ).alias("path"),
     )
-    best = _best_rule_match(c, rules_df, "doc_id")
-    return (
-        c.join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            "host",
-            "path",
-            "matched_type",
-            "matched_prefix",
-            (
-                F.col("matched_type").isNull()
-                | (F.col("matched_type") == "allow")
-            ).alias("allowed"),
-        )
+    return _best_rule_match(c, rules_df, "doc_id").select(
+        "doc_id",
+        "host",
+        "path",
+        "matched_type",
+        "matched_prefix",
+        (
+            F.col("matched_type").isNull()
+            | (F.col("matched_type") == "allow")
+        ).alias("allowed"),
     )
 
 
@@ -293,25 +300,22 @@ def frontier_priorities(
     disallowed.  All integer arithmetic → bit-identical across engines
     and partitionings.
 
-    Plan: one groupBy on canonical_url (the only corpus-scale
-    shuffle), then two broadcast joins — rules (host-bounded) and
-    ranks (node-space-bounded); the robots match reuses
-    ``_best_rule_match`` keyed by canonical_url."""
+    Plan: ONE corpus-scale Exchange total — the canonical groupBy
+    (keyed on canonical_url alone so the best-rule window reuses its
+    partitioning and only adds a sort) — then two broadcast joins:
+    rules (host-bounded, inside ``_best_rule_match``) and ranks
+    (node-space-bounded)."""
     c = canonicalize_urls(urls_df, url_col)
-    pages = c.groupBy("canonical_url", "host").agg(
-        F.count(F.lit(1)).alias("n_variants")
+    pages = c.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.max("host").alias("host"),  # constant per canonical url
     ).withColumn(
         "path",
         F.regexp_extract(
             "canonical_url", r"^[a-z]+://[^/?#]*([^?#]*)", 1
         ),
     )
-    best = _best_rule_match(
-        pages.select("canonical_url", "host", "path"),
-        rules_df,
-        "canonical_url",
-    )
-    out = pages.join(best, "canonical_url", "left").withColumn(
+    out = _best_rule_match(pages, rules_df, "canonical_url").withColumn(
         "allowed",
         F.col("matched_type").isNull() | (F.col("matched_type") == "allow"),
     )

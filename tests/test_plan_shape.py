@@ -371,6 +371,12 @@ def test_frontier_broadcasts_rules_and_ranks(spark):
     plan = _plan(frontier_priorities(u, synthesize_robots_rules(u), ranks))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin [host" not in plan
+    # ONE corpus-scale Exchange: the canonical groupBy keys on
+    # canonical_url alone so the best-rule window reuses its
+    # partitioning (the only other hash Exchange is the rule
+    # synthesizer's bounded host-distinct); no page-scale join-back
+    assert plan.count("Exchange hashpartitioning(canonical_url") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_pq_adc_broadcasts_query_luts(spark):
@@ -393,3 +399,18 @@ def test_pq_adc_broadcasts_query_luts(spark):
                              sample_size=24))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_nb_predict_broadcasts_model_tables(spark):
+    """The NB model tables are (vocab x labels)-bounded — prediction
+    must broadcast them (token-label counts, label totals, vocab); a
+    shuffle join on w would move every corpus token row."""
+    from jochre3_ocr_spark.operators.classifier import nb_classify
+
+    docs = spark.createDataFrame(
+        [(i, "a b c", "x" if i % 2 else "y") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    plan = _plan(nb_classify(docs, docs))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin [w" not in plan
