@@ -3231,7 +3231,8 @@ def _q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_NB_LANGID_DUCK = """
 WITH ttoks AS (
   SELECT doc_id, lang AS label,
-         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                            x -> x <> '')) AS w
   FROM documents WHERE doc_id % 2 = 0),
 tc AS (SELECT w, label, count(*) AS c FROM ttoks GROUP BY w, label),
 dc AS (SELECT lang AS label, count(*) AS n FROM documents
@@ -3244,7 +3245,8 @@ lt AS (SELECT t.label, t.tot, ln(dc.n / nt.nt) AS ln_prior
 v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM ttoks),
 dtoks AS (
   SELECT doc_id,
-         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                            x -> x <> '')) AS w
   FROM documents),
 pt AS (SELECT d.doc_id, l.label,
               ln((coalesce(tc.c, 0) + 1.0)
@@ -3256,7 +3258,8 @@ sc AS (SELECT ds.doc_id, ds.label, round(ds.s + lt.ln_prior, 6) AS score
        FROM ds JOIN lt USING (label)),
 em AS (SELECT doc_id, l.label, round(l.ln_prior, 6) AS score
        FROM documents CROSS JOIN lt l
-       WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) = 0)
+       WHERE len(list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> x <> '')) = 0)
 SELECT doc_id, label AS pred_label, score FROM (
   SELECT doc_id, label, score,
          row_number() OVER (
@@ -4235,6 +4238,7 @@ def _q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_link_graph,
     )
     from jochre3_ocr_spark.operators.urls import (
+        bridge_node_ranks,
         frontier_priorities,
         synthesize_robots_rules,
         synthesize_urls,
@@ -4242,12 +4246,7 @@ def _q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     u = synthesize_urls(docs, share_mod=400)
-    ranks = pagerank(synthesize_link_graph(docs), iters=3).select(
-        F.concat(
-            F.lit("site-"), F.substring("node", 2, 2), F.lit(".example.com")
-        ).alias("host"),
-        F.col("rank").alias("host_rank"),
-    )
+    ranks = bridge_node_ranks(pagerank(synthesize_link_graph(docs), iters=3))
     return frontier_priorities(u, synthesize_robots_rules(u), ranks)
 
 

@@ -699,13 +699,12 @@ def main(argv=None) -> int:
             )
             out = robots_verdicts(u, rules)
         elif args.corpus_op == "frontier":
-            from pyspark.sql import functions as F
-
             from jochre3_ocr_spark.operators.graphs import (
                 pagerank,
                 synthesize_link_graph,
             )
             from jochre3_ocr_spark.operators.urls import (
+                bridge_node_ranks,
                 frontier_priorities,
                 synthesize_robots_rules,
                 synthesize_urls,
@@ -722,15 +721,9 @@ def main(argv=None) -> int:
             if args.benchmark:
                 ranks = spark.read.parquet(args.benchmark)
             else:
-                ranks = pagerank(
-                    synthesize_link_graph(docs), iters=args.pr_iters
-                ).select(
-                    F.concat(
-                        F.lit("site-"),
-                        F.substring("node", 2, 2),
-                        F.lit(".example.com"),
-                    ).alias("host"),
-                    F.col("rank").alias("host_rank"),
+                ranks = bridge_node_ranks(
+                    pagerank(synthesize_link_graph(docs),
+                             iters=args.pr_iters)
                 )
             out = frontier_priorities(u, rules, ranks)
         elif args.corpus_op == "nb-classify":
@@ -748,7 +741,7 @@ def main(argv=None) -> int:
                 semantic_dedup,
             )
 
-            if "embedding" not in docs.columns:
+            if not {"vec_id", "embedding"} <= set(docs.columns):
                 raise SystemExit(
                     "--corpus-op semantic-dedup needs an embeddings table "
                     "(vec_id, embedding array<float>)"

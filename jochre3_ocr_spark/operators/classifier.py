@@ -36,12 +36,23 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["nb_train", "nb_predict", "nb_classify"]
 
 
-def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _tokens(text_col: str):
+    """NULL-safe token array: a NULL text tokenizes like an empty text
+    (split(NULL) is NULL and would silently DROP the document from
+    explode/size paths — the NULL-text bug class from the packing op)."""
+    return F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda x: x != "",
+    )
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str, *extra: str) -> DataFrame:
+    """(id, *extra, w) — one row per non-empty token, extra columns
+    carried from the same row (no join needed to recover them)."""
     return df.select(
         F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-        ).alias("w"),
+        *[F.col(e) for e in extra],
+        F.explode(_tokens(text_col)).alias("w"),
     )
 
 
@@ -56,8 +67,11 @@ def nb_train(
     token_counts = (w, label, c); label_totals = (label, tot, ln_prior)
     with the prior over training DOCS; vocab = one-row (v).  All stay
     DataFrames so prediction never collects a scalar."""
-    toks = _doc_tokens(train, id_col, text_col).join(
-        train.select(id_col, F.col(label_col).alias("label")), id_col
+    # label rides the explode from the same row — a join back onto
+    # train to recover it would shuffle every token row (review r5)
+    toks = _doc_tokens(
+        train.withColumn("label", F.col(label_col)), id_col, text_col,
+        "label",
     )
     token_counts = toks.groupBy("w", "label").agg(
         F.count(F.lit(1)).alias("c")
@@ -115,10 +129,10 @@ def nb_predict(
     scored = doc_scores.join(F.broadcast(labels), "label").select(
         id_col, "label", F.round(F.col("__s") + F.col("ln_prior"), 6).alias("score")
     )
-    # token-less docs: prior-only scores for every label
+    # token-less docs (incl. NULL text): prior-only scores per label
     empties = (
-        docs.select(id_col, F.split(F.col(text_col), " ").alias("__t"))
-        .where(F.size(F.filter("__t", lambda x: x != "")) == 0)
+        docs.select(id_col, _tokens(text_col).alias("__t"))
+        .where(F.size("__t") == 0)
         .crossJoin(F.broadcast(labels))
         .select(id_col, "label", F.round("ln_prior", 6).alias("score"))
     )

@@ -185,6 +185,19 @@ def kmeans_centroids_sampled(
     FULL corpus distributed (assign_cells). Farthest-first init, same
     semantics as the all-distributed variant but one Spark job instead of
     k+iters."""
+    return [
+        list(map(float, row))
+        for row in _lloyd(
+            _sample_matrix(df, sample_size, id_col, vec_col), k, iters
+        )
+    ]
+
+
+def _sample_matrix(df, sample_size: int, id_col: str, vec_col: str):
+    """Unit-normalized numpy matrix of the deterministic training
+    sample (lowest ``sample_size`` ids) — ONE collect, shared by every
+    sampled trainer in a composed call (IVF-PQ trains the coarse
+    quantizer and all PQ subspaces from the same sample)."""
     import numpy as np
 
     rows = (
@@ -193,8 +206,7 @@ def kmeans_centroids_sampled(
         .select(_unit_vec(vec_col).alias("v"))
         .collect()
     )
-    x = np.array([r["v"] for r in rows], dtype=np.float64)
-    return [list(map(float, row)) for row in _lloyd(x, k, iters)]
+    return np.array([r["v"] for r in rows], dtype=np.float64)
 
 
 def kmeans_centroids(
@@ -645,6 +657,7 @@ def pq_codebooks(
     sample_size: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample=None,
 ) -> list:
     """Product-quantization codebooks (Jégou, Douze, Schmid, "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): split the
@@ -652,20 +665,18 @@ def pq_codebooks(
     independent ``ksub``-codeword k-means in each — ONE deterministic
     sample collect (lowest ids), all training driver-side numpy.
     Returns ``list[m]`` of ``ksub × (dim/m)`` codeword lists.
+    ``sample`` short-circuits the collect with a precomputed
+    ``_sample_matrix`` (IVF-PQ shares one sample across trainers).
 
     With ``ksub`` ≥ the number of distinct subvectors the quantizer is
     EXACT (every subvector is its own codeword) — the regime the
     oracle uses to prove the encode→ADC machinery equals brute force;
     production runs ksub ≪ n for the memory win."""
-    import numpy as np
-
-    rows = (
-        df.orderBy(id_col)
-        .limit(sample_size)
-        .select(_unit_vec(vec_col).alias("v"))
-        .collect()
+    x = (
+        _sample_matrix(df, sample_size, id_col, vec_col)
+        if sample is None
+        else sample
     )
-    x = np.array([r["v"] for r in rows], dtype=np.float64)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -725,9 +736,9 @@ def pq_encode(
                 }
             )
 
-    src = df.select(
-        F.col(id_col).alias("vid"), _unit_vec(vec_col).alias("v")
-    )
+    # raw vectors cross to Python; the numpy side normalizes (a JVM
+    # _unit_vec here would be a second full normalization pass per row)
+    src = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     return src.mapInPandas(
         run, schema="vid long, codes array<int>, cnorm double"
     )
@@ -766,7 +777,12 @@ def pq_adc_topk(
     the oracle regime."""
     from pyspark.sql.window import Window
 
-    books = pq_codebooks(df, m, ksub, iters, sample_size, id_col, vec_col)
+    # ONE deterministic sample collect feeds every trainer (PQ
+    # subspaces AND, below, the IVF coarse quantizer)
+    sample = _sample_matrix(df, sample_size, id_col, vec_col)
+    books = pq_codebooks(
+        df, m, ksub, iters, sample_size, id_col, vec_col, sample=sample
+    )
     codes = pq_encode(df, books, id_col, vec_col)
 
     import numpy as np
@@ -796,7 +812,7 @@ def pq_adc_topk(
 
     q_luts = (
         df.filter(query_filter)
-        .select(F.col(id_col).alias("vid"), _unit_vec(vec_col).alias("v"))
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
         .mapInPandas(luts, schema="qid long, lut array<double>")
     )
     adc = (
@@ -808,9 +824,9 @@ def pq_adc_topk(
         / F.col("cnorm")
     ).alias("cos")
     if n_cells:
-        coarse = kmeans_centroids_sampled(
-            df, n_cells, iters, sample_size, id_col, vec_col
-        )
+        coarse = [
+            list(map(float, row)) for row in _lloyd(sample, n_cells, iters)
+        ]
         cand = codes.join(
             assign_cells(df, coarse, id_col, vec_col), "vid"
         )
@@ -876,8 +892,11 @@ def semantic_dedup(
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("emb"))
     if centroids is None:
         e = _exploded(base, "vid", "emb", "vid").alias("e")
+        # id-VALUE filter, not orderBy().limit(): the oracle's cent CTE
+        # is `WHERE vec_id < n_cells`, and the two constructions only
+        # coincide while ids are 0-contiguous (ivf_topk's convention)
         cent = _exploded(
-            base.orderBy("vid").limit(n_cells), "vid", "emb", "cell"
+            base.filter(F.col("vid") < n_cells), "vid", "emb", "cell"
         ).alias("cent")
         w0 = Window.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cell"))
         assign = (

@@ -24,7 +24,7 @@ list_filter/list_sort), so the oracle twin replays the full chain.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "synthesize_urls",
@@ -33,6 +33,7 @@ __all__ = [
     "synthesize_robots_rules",
     "robots_verdicts",
     "frontier_priorities",
+    "bridge_node_ranks",
 ]
 
 
@@ -211,41 +212,55 @@ def _best_rule_match(c: DataFrame, rules_df: DataFrame, key: str) -> DataFrame:
     """All columns of ``c`` (one row per ``key``) plus
     (matched_type, matched_prefix) of the winning rule — NULL when no
     rule matches — under RFC 9309 §2.2.2 longest-match-wins (allow
-    wins an exact length tie).
+    wins an exact length tie).  Zero-length prefixes never match: a
+    real robots.txt ``Disallow:`` (empty value) means NO restriction,
+    and a naive ``left(path, 0) = ''`` would invert it into
+    block-everything.
 
-    Plan: the rules table is bounded by the host space — broadcast it;
-    one window ranked hits-first picks the winner AND keeps unmatched
-    keys in the same pass, so there is no page-scale join-back (the
-    naive best-rows ⋈ pages self-join re-shuffled the whole page table
-    a second time — measured on the 10M-url soak).  When ``c`` arrives
-    hash-partitioned on ``key`` (the frontier's canonical groupBy) the
-    window adds only a sort, not an Exchange."""
-    joined = c.join(F.broadcast(rules_df), "host", "left").withColumn(
-        "hit",
-        F.coalesce(
-            F.col("path_prefix").isNotNull()
-            & (
-                F.expr("left(path, length(path_prefix))")
-                == F.col("path_prefix")
-            ),
-            F.lit(False),
-        ),
+    Plan: ZERO shuffle on the url side.  The rules table is bounded by
+    the host space, so it collapses to one array row per host and
+    broadcast-joins; the winner is picked per url row by a pure
+    codegen array expression (filter hits → sort by the RFC ranking →
+    take the head).  The earlier window formulations paid a
+    corpus-scale Exchange whenever ``key`` was the row id — the
+    CLAUDE.md per-row-math-in-a-shuffle-costume rule (and the
+    first-cut join-back re-shuffled the page table a second time,
+    +39% on the 10M-url soak)."""
+    per_host = rules_df.where(F.length("path_prefix") > 0).groupBy(
+        "host"
+    ).agg(
+        F.collect_list(
+            F.struct(F.col("rule_type"), F.col("path_prefix"))
+        ).alias("__rules")
     )
-    w = Window.partitionBy(key).orderBy(
-        F.desc("hit"),
-        F.desc(F.length("path_prefix")),
-        F.asc("rule_type"),
-        F.asc("path_prefix"),
+    hits = F.expr(
+        "filter(__rules, r ->"
+        " left(path, length(r.path_prefix)) = r.path_prefix)"
+    )
+    # RFC ranking: longest prefix first, allow before disallow on a
+    # length tie, then prefix text for full determinism
+    best = F.get(
+        F.array_sort(
+            hits,
+            lambda a, b: F.when(
+                F.length(a.path_prefix) != F.length(b.path_prefix),
+                F.length(b.path_prefix) - F.length(a.path_prefix),
+            )
+            .when(a.rule_type < b.rule_type, F.lit(-1))
+            .when(a.rule_type > b.rule_type, F.lit(1))
+            .when(a.path_prefix < b.path_prefix, F.lit(-1))
+            .when(a.path_prefix > b.path_prefix, F.lit(1))
+            .otherwise(F.lit(0)),
+        ),
+        0,
     )
     return (
-        joined.withColumn("rk", F.row_number().over(w))
-        .where("rk = 1")
+        c.join(F.broadcast(per_host), "host", "left")
+        .withColumn("__best", best)
         .select(
             *[F.col(col) for col in c.columns],
-            F.when(F.col("hit"), F.col("rule_type")).alias("matched_type"),
-            F.when(F.col("hit"), F.col("path_prefix")).alias(
-                "matched_prefix"
-            ),
+            F.col("__best.rule_type").alias("matched_type"),
+            F.col("__best.path_prefix").alias("matched_prefix"),
         )
     )
 
@@ -278,6 +293,21 @@ def robots_verdicts(
             F.col("matched_type").isNull()
             | (F.col("matched_type") == "allow")
         ).alias("allowed"),
+    )
+
+
+def bridge_node_ranks(ranks: DataFrame) -> DataFrame:
+    """(host, host_rank) view of a link-graph rank table
+    (``operators/graphs.pagerank`` output) over the SYNTHETIC host
+    space: graph node ``hXY`` ↔ url host ``site-XY.example.com``
+    share the 2-hex id.  One definition keeps the three Python
+    call-sites (job, entry query, soak) in lockstep with the oracle
+    SQL's mirrored join condition."""
+    return ranks.select(
+        F.concat(
+            F.lit("site-"), F.substring("node", 2, 2), F.lit(".example.com")
+        ).alias("host"),
+        F.col("rank").alias("host_rank"),
     )
 
 

@@ -49,13 +49,14 @@ def main() -> int:
     urls_path = f"{WORK}/urls.parquet"
     ranks_path = f"{WORK}/ranks.parquet"
 
-    from pyspark.sql import functions as F
-
     from jochre3_ocr_spark.operators.graphs import (
         pagerank,
         synthesize_link_graph,
     )
-    from jochre3_ocr_spark.operators.urls import synthesize_urls
+    from jochre3_ocr_spark.operators.urls import (
+        bridge_node_ranks,
+        synthesize_urls,
+    )
     from jochre3_ocr_spark.plans.pipeline import get_spark
 
     t0 = time.time()
@@ -68,11 +69,8 @@ def main() -> int:
     ).parquet(urls_path)
     # host authority precomputed once (the frontier job's --benchmark
     # input) — node → url-host bridge over the shared 2-hex id
-    pagerank(synthesize_link_graph(ids), iters=3).select(
-        F.concat(
-            F.lit("site-"), F.substring("node", 2, 2), F.lit(".example.com")
-        ).alias("host"),
-        F.col("rank").alias("host_rank"),
+    bridge_node_ranks(
+        pagerank(synthesize_link_graph(ids), iters=3)
     ).write.mode("overwrite").parquet(ranks_path)
     n_urls = spark.read.parquet(urls_path).count()
     spark.stop()

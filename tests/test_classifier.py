@@ -78,3 +78,16 @@ def test_nb_partitioning_invariance(spark):
         for r in nb_classify(docs.repartition(11, "doc_id"), train).collect()
     )
     assert a == b
+
+
+def test_nb_null_text_doc_is_kept_with_prior(spark):
+    """A NULL-text document must appear in the output with the
+    prior-fallback prediction, not silently vanish (split(NULL) is
+    NULL — the NULL-text bug class)."""
+    train = _corpus(spark)
+    probe = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "ja")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.pred_label for r in nb_classify(probe, train).collect()}
+    assert set(out) == {10, 11, 12}
+    assert out[10] == "en" and out[11] == "en" and out[12] == "de"

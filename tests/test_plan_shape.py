@@ -350,6 +350,12 @@ def test_robots_verdicts_broadcasts_rules(spark):
     plan = _plan(robots_verdicts(u, synthesize_robots_rules(u)))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin [host" not in plan
+    # ZERO url-side shuffle: the winner is an array expression over the
+    # broadcast per-host rule list — a doc_id-keyed window here would be
+    # per-row math in a shuffle costume (review round 5); the only hash
+    # Exchange left is the rule synthesizer's bounded host-distinct
+    assert "Exchange hashpartitioning(doc_id" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
 
 
 def test_frontier_broadcasts_rules_and_ranks(spark):

@@ -218,3 +218,14 @@ def test_frontier_without_ranks(spark):
     )
     [row] = frontier_priorities(u, rules).collect()
     assert row.allowed and row.host_rank == 0 and row.priority == 0
+
+
+def test_robots_empty_prefix_never_matches(spark):
+    """RFC 9309: a real robots.txt `Disallow:` with an EMPTY value means
+    no restriction — an empty prefix must not block everything."""
+    out = _verdicts(
+        spark,
+        [("1", "https://ex.com/a/x")],
+        [("ex.com", "disallow", "")],
+    )
+    assert out["1"].allowed and out["1"].matched_type is None
