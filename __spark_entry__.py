@@ -4278,6 +4278,57 @@ LEFT JOIN r3
 )
 
 
+def _q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl snapshot diffing (operators/urls.py:snapshot_delta):
+    old = the documents table; new = a deterministic recrawl of it
+    (doc_id%7==0 vanished, doc_id%5==0 changed text, doc_id%11==0
+    spawned a fresh page under id+1000000).  The oracle re-synthesizes
+    the recrawl and replays the full-outer fingerprint compare."""
+    from jochre3_ocr_spark.operators.urls import snapshot_delta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    survivors = docs.where("doc_id % 7 != 0").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" recrawled")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where("doc_id % 11 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new page "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    return snapshot_delta(docs, survivors.unionByName(added))
+
+
+_Q_SNAPSHOT_DELTA_DUCK = """
+WITH o AS (SELECT doc_id, md5(coalesce(text, '')) AS old_fp
+           FROM documents),
+n AS (
+  SELECT doc_id,
+         md5(coalesce(CASE WHEN doc_id % 5 = 0 THEN text || ' recrawled'
+                           ELSE text END, '')) AS new_fp
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000,
+         md5('new page ' || CAST(doc_id AS VARCHAR))
+  FROM documents WHERE doc_id % 11 = 0)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.old_fp = n.new_fp THEN 'unchanged'
+            ELSE 'changed' END AS verdict,
+       o.old_fp, n.new_fp
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
 def _q_web_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host top-3 incoming anchor texts (operators/graphs.py:
     anchor_text_topk) over the synthetic anchored link graph — what
@@ -4514,6 +4565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_stats": _q_host_stats,
         "web_robots_verdicts": _q_robots_verdicts,
         "web_frontier": _q_frontier,
+        "web_snapshot_delta": _q_snapshot_delta,
         "web_pagerank": _q_web_pagerank,
         "web_domain_quality": _q_web_domain_quality,
         "dedup_incremental_shard": _q_dedup_incremental,
@@ -4610,6 +4662,7 @@ def oracle_sql() -> dict[str, str]:
         "web_host_stats": _Q_HOST_STATS_DUCK,
         "web_robots_verdicts": _Q_ROBOTS_DUCK,
         "web_frontier": _Q_FRONTIER_DUCK,
+        "web_snapshot_delta": _Q_SNAPSHOT_DELTA_DUCK,
         "web_pagerank": _Q_PAGERANK_DUCK,
         "web_domain_quality": _Q_DOMAIN_QUALITY_DUCK,
         "dedup_incremental_shard": _Q_DEDUP_INCREMENTAL_DUCK,

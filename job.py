@@ -117,7 +117,7 @@ def main(argv=None) -> int:
             "cms-tokens", "bloom-decontaminate",
             "bloom-decontaminate-packed", "dsir",
             "url-canonical", "host-stats", "robots-verdicts", "frontier",
-            "pagerank", "semantic-dedup", "nb-classify",
+            "pagerank", "semantic-dedup", "nb-classify", "snapshot-delta",
         ],
         help="training-data corpus operation over a (doc_id, text[, "
         "lang, source]) parquet at --input: chunk = sliding token "
@@ -726,6 +726,17 @@ def main(argv=None) -> int:
                              iters=args.pr_iters)
                 )
             out = frontier_priorities(u, rules, ranks)
+        elif args.corpus_op == "snapshot-delta":
+            from jochre3_ocr_spark.operators.urls import snapshot_delta
+
+            if not args.train_input:
+                raise SystemExit(
+                    "--corpus-op snapshot-delta needs the NEW snapshot at "
+                    "--train-input (docs at --input are the OLD one)"
+                )
+            out = snapshot_delta(
+                docs, spark.read.parquet(args.train_input)
+            )
         elif args.corpus_op == "nb-classify":
             from jochre3_ocr_spark.operators.classifier import nb_classify
 

@@ -34,6 +34,7 @@ __all__ = [
     "robots_verdicts",
     "frontier_priorities",
     "bridge_node_ranks",
+    "snapshot_delta",
 ]
 
 
@@ -366,4 +367,41 @@ def frontier_priorities(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("priority"),
+    )
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Recrawl delta: classify every document across two crawl
+    snapshots as ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    by comparing content fingerprints — the incremental-crawl
+    primitive that decides what re-enters the pipeline (pairs with
+    ``dedup.incremental_dedup_verdicts`` and ``sources/upsert``: only
+    the added+changed slice needs re-extraction and re-dedup).
+
+    Returns (id_col, verdict, old_fp, new_fp).  Fingerprints are
+    md5(text) with NULL text fingerprinting like empty (the NULL-text
+    rule); the verdict depends only on row content, never on
+    partitioning.
+
+    100 TB shape: one full-outer equi-join on the id — both sides
+    shuffle once on the same key, or ZERO times when the snapshots
+    live in the bucketed table layout (``sources/upsert.py``), which
+    is exactly how successive crawl snapshots should be stored."""
+    fp = lambda c: F.md5(F.coalesce(F.col(c), F.lit("")))  # noqa: E731
+    o = old.select(F.col(id_col), fp(text_col).alias("old_fp"))
+    n = new.select(F.col(id_col), fp(text_col).alias("new_fp"))
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("verdict"),
+        "old_fp",
+        "new_fp",
     )

@@ -229,3 +229,45 @@ def test_robots_empty_prefix_never_matches(spark):
         [("ex.com", "disallow", "")],
     )
     assert out["1"].allowed and out["1"].matched_type is None
+
+
+def test_snapshot_delta_all_verdicts(spark):
+    from jochre3_ocr_spark.operators.urls import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (5, "fresh"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.verdict for r in snapshot_delta(old, new).collect()}
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        5: "added",
+        # NULL text fingerprints like empty (the NULL-text rule), so a
+        # NULL -> '' recrawl is NOT a change
+        4: "unchanged",
+    }
+
+
+def test_snapshot_delta_partitioning_invariance(spark):
+    from jochre3_ocr_spark.operators.urls import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(i, f"t{i % 5}") for i in range(60)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"t{i % 7}") for i in range(10, 70)], "doc_id long, text string"
+    )
+    a = sorted(tuple(r) for r in snapshot_delta(old, new).collect())
+    b = sorted(
+        tuple(r)
+        for r in snapshot_delta(
+            old.repartition(7, "doc_id"), new.repartition(3)
+        ).collect()
+    )
+    assert a == b
