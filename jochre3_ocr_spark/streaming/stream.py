@@ -412,3 +412,43 @@ def stream_dedup_exact(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def stream_web_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    rules_df,
+    output_dir: str,
+    checkpoint_dir: str,
+    await_termination: bool = True,
+):
+    """Incremental crawl-policy ingest: canonicalize newly-landed urls
+    and apply robots verdicts as ONE stateless streaming projection —
+    the crawl's front door as a stream.
+
+    Works unchanged on a stream precisely because the best-rule match
+    is an array expression over the broadcast per-host rule list (a
+    per-url window would be an unsupported/stateful streaming op —
+    the batch-side shuffle-costume fix bought streaming support for
+    free).  ``rules_df`` is a STATIC (host, rule_type, path_prefix)
+    table; the join is the standard stream-static broadcast.
+    Exactly-once from the file-sink checkpoint; re-running picks up
+    only NEW url files."""
+    from jochre3_ocr_spark.operators.urls import robots_verdicts
+
+    urls = (
+        spark.readStream.schema("doc_id string, url string")
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    verdicts = robots_verdicts(urls, rules_df)
+    query = (
+        verdicts.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

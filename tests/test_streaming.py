@@ -351,3 +351,46 @@ def test_stream_dedup_exact_state_survives_reruns(spark, tmp_path):
     final = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert 5 in final and 4 not in final
     assert len(final) == 3
+
+
+def test_stream_web_ingest_matches_batch_twin(spark, tmp_path):
+    """Crawl-policy ingest stream (canonicalize -> robots verdicts):
+    incremental url files, row-for-row equality with the batch
+    operator over the same static rules table."""
+    from jochre3_ocr_spark.operators.urls import robots_verdicts
+    from jochre3_ocr_spark.streaming.stream import stream_web_ingest
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rules = spark.createDataFrame(
+        [
+            ("ex.com", "disallow", "/a/"),
+            ("ex.com", "allow", "/a/b/"),
+        ],
+        "host string, rule_type string, path_prefix string",
+    )
+
+    def _batch(rows):
+        spark.createDataFrame(rows, "doc_id string, url string").coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+
+    _batch([("1", "https://EX.com/a/x"), ("2", "https://ex.com/a/b/y")])
+    stream_web_ingest(spark, inp, rules, out, ckpt)
+    assert spark.read.parquet(out).count() == 2
+
+    _batch([("3", "https://other.com/p"), ("4", "https://ex.com/ok")])
+    stream_web_ingest(spark, inp, rules, out, ckpt)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            robots_verdicts(spark.read.parquet(inp), rules).collect(),
+        )
+    )
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id["1"][5] is False  # /a/x disallowed
+    assert by_id["2"][5] is True   # deeper allow overrides
+    assert by_id["3"][5] is True   # no rules for host
