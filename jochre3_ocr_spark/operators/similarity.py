@@ -625,14 +625,27 @@ def lsh_topk(
 def _lloyd(xs, k: int, iters: int):
     """Deterministic Lloyd's over a numpy array (farthest-first init,
     argmin/argmax first-index ties) — the shared driver-side trainer of
-    kmeans_centroids_sampled, reused per PQ subspace."""
+    kmeans_centroids_sampled, reused per PQ subspace.
+
+    Once every remaining point is distance-0 from a chosen centroid,
+    all further farthest-first picks are copies of ``xs[0]`` — pad them
+    in one shot instead of looping (the exact PQ regime sets
+    k ≥ n, and a 4096-iteration python loop of tiny numpy calls was
+    the dominant cost of the sf0.1 ann_pq query); the returned SET of
+    centroids (hence every assignment/reconstruction) is unchanged."""
     import numpy as np
 
+    if k >= len(xs):
+        pad = np.repeat(xs[:1], k - len(xs), axis=0)
+        return np.concatenate([xs, pad]) if k > len(xs) else xs.copy()
     cents = [xs[0]]
     d2 = ((xs - cents[0]) ** 2).sum(axis=1)
     while len(cents) < k:
-        i = int(np.argmax(d2))
-        cents.append(xs[i])
+        mx = int(np.argmax(d2))
+        if d2[mx] == 0.0:
+            cents.extend([xs[0]] * (k - len(cents)))
+            break
+        cents.append(xs[mx])
         d2 = np.minimum(d2, ((xs - cents[-1]) ** 2).sum(axis=1))
     c = np.stack(cents)
     for _ in range(iters):
