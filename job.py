@@ -151,6 +151,13 @@ def main(argv=None) -> int:
     )
     p.add_argument("--pr-iters", type=int, default=3,
                    help="PageRank iterations (--corpus-op pagerank)")
+    p.add_argument("--eps", type=float, default=0.3,
+                   help="cosine threshold (--corpus-op semantic-dedup)")
+    p.add_argument("--pair-backend", default="pandas",
+                   choices=["pandas", "join"],
+                   help="semantic-dedup within-cell pair stage: pandas "
+                   "= vectorized per-cell gram matrix (production); "
+                   "join = exploded equi-join (the oracle shape)")
     p.add_argument("--table-op", default=None,
                    choices=["upsert", "compact"],
                    help="bucket-partitioned table maintenance at "
@@ -757,9 +764,15 @@ def main(argv=None) -> int:
                     "--corpus-op semantic-dedup needs an embeddings table "
                     "(vec_id, embedding array<float>)"
                 )
-            # production mode: sample-trained k-means centroids
+            # production mode: sample-trained k-means centroids +
+            # vectorized per-cell pair backend (the join form is the
+            # oracle configuration; its |cell|^2*dim intermediate does
+            # not survive corpus scale)
             cents = kmeans_centroids_sampled(docs, k=args.n_buckets or 8)
-            out = semantic_dedup(docs, eps=0.3, centroids=cents)
+            out = semantic_dedup(
+                docs, eps=args.eps, centroids=cents,
+                pair_backend=args.pair_backend,
+            )
         elif args.corpus_op == "pagerank":
             from jochre3_ocr_spark.operators.graphs import (
                 pagerank,

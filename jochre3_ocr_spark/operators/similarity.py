@@ -868,6 +868,51 @@ def pq_adc_topk(
 
 
 # ------------------------------------------------------------ SemDeDup
+_GRAM_CHUNK = 1024  # rows of the gram matrix evaluated at once
+
+
+def _cell_pairs_pandas(base: DataFrame, assign: DataFrame, eps: float):
+    """(v1, v2) above-eps cosine pairs within each cell — the
+    vectorized production backend of :func:`semantic_dedup`: one
+    applyInPandas per cell, gram matrix in numpy, row-chunked so only
+    ``_GRAM_CHUNK × |cell|`` floats live at once; only qualifying
+    pairs are ever emitted (the join backend materializes
+    |cell|²·dim intermediate rows before its aggregate)."""
+    import numpy as np
+    import pandas as pd
+
+    # captured into the closure HERE (a module-global lookup would
+    # re-import the default on the python worker, silently ignoring a
+    # test's monkeypatch — the chunk size must be forceable)
+    chunk = _GRAM_CHUNK
+
+    def gram(key, pdf: pd.DataFrame):
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        ids = pdf["vid"].to_numpy()
+        x = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["emb"]]
+        )
+        n = np.sqrt((x ** 2).sum(axis=1, keepdims=True))
+        x = x / np.where(n == 0.0, 1.0, n)
+        out1, out2 = [], []
+        for lo in range(0, len(x), chunk):
+            hi = min(lo + chunk, len(x))
+            g = x[lo:hi] @ x.T  # (chunk, n)
+            rows, cols = np.nonzero(g > eps)
+            keep = ids[lo + rows] < ids[cols]  # i<j, drops self
+            out1.append(ids[lo + rows][keep])
+            out2.append(ids[cols][keep])
+        return pd.DataFrame(
+            {"v1": np.concatenate(out1), "v2": np.concatenate(out2)}
+        )
+
+    return (
+        base.join(assign, "vid")
+        .groupBy("cell")
+        .applyInPandas(gram, schema="v1 long, v2 long")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     eps: float = 0.7,
@@ -875,6 +920,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list | None = None,
+    pair_backend: str = "join",
 ) -> DataFrame:
     """Semantic deduplication (Abbas et al., "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication",
@@ -894,10 +940,22 @@ def semantic_dedup(
     production passes ``kmeans_centroids_sampled`` output.
 
     100 TB shape: assignment is one bounded-side join (first-K) or
-    broadcast argmin (k-means list); the pair join's key is
-    (pos, cell) so no cosine is ever aggregated across cells;
+    broadcast argmin (k-means list); pairs form ONLY within a cell;
     components come from the star/propagation CC (diameter-independent,
-    refuses to lie); the keeper rule is one agg over (node, cluster)."""
+    refuses to lie); the keeper rule is one agg over (node, cluster).
+
+    ``pair_backend`` picks how within-cell pairs materialize:
+    ``"join"`` (default, the oracle configuration) explodes vectors and
+    equi-joins on (pos, cell) — pure SQL, replayable, but the join
+    intermediate is |cell|²·dim rows; ``"pandas"`` runs one
+    applyInPandas per cell computing the gram matrix in numpy with a
+    row-chunked loop (|chunk|·|cell| floats live at once) and emits
+    ONLY the above-eps pairs — the production path at corpus scale,
+    where |cell|²·dim through a shuffle is the difference between
+    minutes and never (measured: the join form cannot finish 1M docs,
+    the pandas form does — BENCH.md round-5 semantic soak).  Both
+    backends are row-identical (tested) because the pair SET feeding
+    CC is the same."""
     from pyspark.sql.window import Window
 
     from jochre3_ocr_spark.operators.dedup import connected_components
@@ -923,39 +981,43 @@ def semantic_dedup(
             "vid", "cell"
         )
 
-    ex = _exploded(base, "vid", "emb", "vid")
-    a = (
-        ex.join(assign, "vid")
-        .select(F.col("vid").alias("v1"), "pos", F.col("v").alias("x1"),
-                "cell")
-        .alias("a")
-    )
-    b = (
-        ex.join(assign, "vid")
-        .select(F.col("vid").alias("v2"), "pos", F.col("v").alias("x2"),
-                F.col("cell").alias("cell2"))
-        .alias("b")
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.cell") == F.col("b.cell2"))
-            & (F.col("a.v1") < F.col("b.v2")),
+    if pair_backend == "pandas":
+        pairs = _cell_pairs_pandas(base, assign, eps)
+    else:
+        ex = _exploded(base, "vid", "emb", "vid")
+        a = (
+            ex.join(assign, "vid")
+            .select(F.col("vid").alias("v1"), "pos",
+                    F.col("v").alias("x1"), "cell")
+            .alias("a")
         )
-        .groupBy("v1", "v2")
-        .agg(
-            (
-                F.sum(F.col("a.x1") * F.col("b.x2"))
-                / (
-                    F.sqrt(F.sum(F.col("a.x1") * F.col("a.x1")))
-                    * F.sqrt(F.sum(F.col("b.x2") * F.col("b.x2")))
-                )
-            ).alias("cos")
+        b = (
+            ex.join(assign, "vid")
+            .select(F.col("vid").alias("v2"), "pos",
+                    F.col("v").alias("x2"),
+                    F.col("cell").alias("cell2"))
+            .alias("b")
         )
-        .filter(F.col("cos") > eps)
-        .select("v1", "v2")
-    )
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.pos") == F.col("b.pos"))
+                & (F.col("a.cell") == F.col("b.cell2"))
+                & (F.col("a.v1") < F.col("b.v2")),
+            )
+            .groupBy("v1", "v2")
+            .agg(
+                (
+                    F.sum(F.col("a.x1") * F.col("b.x2"))
+                    / (
+                        F.sqrt(F.sum(F.col("a.x1") * F.col("a.x1")))
+                        * F.sqrt(F.sum(F.col("b.x2") * F.col("b.x2")))
+                    )
+                ).alias("cos")
+            )
+            .filter(F.col("cos") > eps)
+            .select("v1", "v2")
+        )
     comp = connected_components(pairs, left="v1", right="v2").select(
         F.col("doc_id").alias("vid"), "cluster_id"
     )
@@ -970,4 +1032,69 @@ def semantic_dedup(
                 | (F.col("cluster_id") == F.col("vid"))
             ).alias("keep"),
         )
+    )
+
+
+def synthesize_embeddings(
+    spark,
+    n: int,
+    dim: int = 16,
+    n_groups: int = 10,
+    member_every: int = 100,
+    noise: float = 0.005,
+) -> DataFrame:
+    """Deterministic synthetic embedding corpus for macro drives: every
+    ``member_every``-th id belongs to one of ``n_groups`` TIGHT
+    semantic-duplicate families (base direction + ``noise``-scaled
+    jitter, within-family cosine ≥ 0.9999), everything else gets an
+    independent pseudo-random direction (16-dim uniform cosines
+    concentrate near 0, so cross-pair cosines above ~0.95 are rare).
+    Components derive from an xorshift-mixed hash of (id, pos) — fully
+    vectorized, partition-independent, resume-stable (the linear-hash
+    alignment lesson, ``corpus.adversarial_corpus``)."""
+    import numpy as np
+    import pandas as pd
+
+    n_g, m_e, nz, d = n_groups, member_every, noise, dim
+
+    def _mix(a: "np.ndarray") -> "np.ndarray":
+        x = a.astype(np.uint64)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
+        return x
+
+    def _unit_rows(keys: "np.ndarray") -> "np.ndarray":
+        # (len(keys), d) uniform [-1, 1] rows from mixed (key, pos)
+        grid = keys[:, None] * np.uint64(d) + np.arange(d, dtype=np.uint64)
+        u = _mix(grid.astype(np.uint64)).astype(np.float64) / 2.0**64
+        return u * 2.0 - 1.0
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            base = _unit_rows(_mix(ids.astype(np.uint64)))
+            member = ids % m_e == 0
+            g = (ids // m_e) % n_g
+            gbase = _unit_rows(
+                _mix(np.uint64(0xBEEF) + g.astype(np.uint64))
+            )
+            jitter = _unit_rows(
+                _mix(np.uint64(0xFACE) + ids.astype(np.uint64))
+            )
+            vecs = np.where(
+                member[:, None], gbase + nz * jitter, base
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "embedding": [row.astype(np.float32) for row in vecs],
+                    "label": np.where(member, g, -1).astype(np.int32),
+                }
+            )
+
+    return spark.range(n).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>, label int"
     )

@@ -117,3 +117,43 @@ def test_semdedup_partitioning_invariance(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_semdedup_pandas_backend_matches_join(spark):
+    """The vectorized gram-matrix pair backend must produce the
+    identical full-domain output as the oracle-checked join backend."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(
+        tuple(r) for r in semantic_dedup(emb, eps=0.3, n_cells=8).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            emb, eps=0.3, n_cells=8, pair_backend="pandas"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_semdedup_pandas_backend_multi_chunk(spark, monkeypatch):
+    """Row-chunked gram loop: forcing chunk=3 must not change pairs
+    (the _overlap_map_sweep chunk-boundary lesson — make chunking
+    testable and test it)."""
+    from jochre3_ocr_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "_GRAM_CHUNK", 3)
+    rows = [
+        (i, [1.0 + 0.001 * i, 0.01 * (i % 7), 0.02 * (i % 3)])
+        for i in range(40)
+    ]
+    df = _vecs(spark, rows)
+    a = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            df, eps=0.999, n_cells=4, pair_backend="pandas"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in semantic_dedup(df, eps=0.999, n_cells=4).collect()
+    )
+    assert a == b
