@@ -161,8 +161,16 @@ def main() -> int:
     )
     try:
         out_s, _ = child.communicate(timeout=args.join_budget_sec)
-        join_res = {"finished": True, "sec": round(time.time() - t0, 1),
-                    "tail": out_s[-300:]}
+        produced = os.path.exists(
+            f"{WORK}/verdicts_join.parquet/_SUCCESS"
+        )
+        join_res = {
+            "finished": child.returncode == 0 and produced,
+            "rc": child.returncode,
+            "output_committed": produced,
+            "sec": round(time.time() - t0, 1),
+            "tail": out_s[-300:],
+        }
     except subprocess.TimeoutExpired:
         child.kill()
         child.communicate()
