@@ -4278,6 +4278,30 @@ LEFT JOIN r3
 )
 
 
+def _q_frontier_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl budget (operators/urls.py:frontier_budget): the
+    top-3 allowed canonical pages per host by (priority DESC, url ASC)
+    — the polite scheduler's per-round enqueue.  The oracle replays
+    the whole frontier composition and ranks with QUALIFY."""
+    from jochre3_ocr_spark.operators.urls import frontier_budget
+
+    return frontier_budget(_q_frontier(spark, sf_dir), per_host=3)
+
+
+_Q_FRONTIER_BUDGET_DUCK = (
+    "WITH f AS (" + _Q_FRONTIER_DUCK + """)
+SELECT canonical_url, host, n_variants, host_rank, allowed, priority,
+       CAST(host_rank_pos AS INT) AS host_rank_pos
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY host
+           ORDER BY priority DESC, canonical_url ASC) AS host_rank_pos
+  FROM f WHERE allowed) t
+WHERE host_rank_pos <= 3
+"""
+)
+
+
 def _q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl snapshot diffing (operators/urls.py:snapshot_delta):
     old = the documents table; new = a deterministic recrawl of it
@@ -4566,6 +4590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_verdicts": _q_robots_verdicts,
         "web_frontier": _q_frontier,
         "web_snapshot_delta": _q_snapshot_delta,
+        "web_frontier_budget": _q_frontier_budget,
         "web_pagerank": _q_web_pagerank,
         "web_domain_quality": _q_web_domain_quality,
         "dedup_incremental_shard": _q_dedup_incremental,
@@ -4663,6 +4688,7 @@ def oracle_sql() -> dict[str, str]:
         "web_robots_verdicts": _Q_ROBOTS_DUCK,
         "web_frontier": _Q_FRONTIER_DUCK,
         "web_snapshot_delta": _Q_SNAPSHOT_DELTA_DUCK,
+        "web_frontier_budget": _Q_FRONTIER_BUDGET_DUCK,
         "web_pagerank": _Q_PAGERANK_DUCK,
         "web_domain_quality": _Q_DOMAIN_QUALITY_DUCK,
         "dedup_incremental_shard": _Q_DEDUP_INCREMENTAL_DUCK,

@@ -35,6 +35,7 @@ __all__ = [
     "frontier_priorities",
     "bridge_node_ranks",
     "snapshot_delta",
+    "frontier_budget",
 ]
 
 
@@ -404,4 +405,31 @@ def snapshot_delta(
         .alias("verdict"),
         "old_fp",
         "new_fp",
+    )
+
+
+def frontier_budget(
+    frontier_df: DataFrame, per_host: int = 4
+) -> DataFrame:
+    """Crawl-politeness budget: of the allowed canonical pages, keep
+    the top ``per_host`` per host by priority — what a scheduler
+    actually enqueues per fetch round (per-host caps are the polite
+    crawl's core constraint).  Deterministic ranking:
+    (priority DESC, canonical_url ASC).
+
+    Plan: one window keyed by host over the ALLOWED subset — host
+    counts are Zipfian but the window input is already the
+    canonical-page table (not raw urls), and Spark's rank-limit
+    pushdown (WindowGroupLimit) keeps only ``per_host`` rows per host
+    per partition before the shuffle.  Returns the frontier columns
+    plus ``host_rank_pos``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("canonical_url")
+    )
+    return (
+        frontier_df.where("allowed")
+        .withColumn("host_rank_pos", F.row_number().over(w))
+        .where(F.col("host_rank_pos") <= per_host)
     )

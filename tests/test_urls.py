@@ -271,3 +271,27 @@ def test_snapshot_delta_partitioning_invariance(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_frontier_budget_caps_per_host(spark):
+    from jochre3_ocr_spark.operators.urls import frontier_budget
+
+    rows = [
+        ("https://a.com/p1", "a.com", 1, 100, True, 100),
+        ("https://a.com/p2", "a.com", 1, 100, True, 90),
+        ("https://a.com/p3", "a.com", 1, 100, True, 80),
+        ("https://a.com/blocked", "a.com", 1, 100, False, 0),
+        ("https://b.com/p1", "b.com", 1, 50, True, 50),
+    ]
+    f = spark.createDataFrame(
+        rows,
+        "canonical_url string, host string, n_variants long, "
+        "host_rank long, allowed boolean, priority long",
+    )
+    out = frontier_budget(f, per_host=2).collect()
+    got = {(r.host, r.canonical_url, r.host_rank_pos) for r in out}
+    assert got == {
+        ("a.com", "https://a.com/p1", 1),
+        ("a.com", "https://a.com/p2", 2),  # p3 over budget, blocked out
+        ("b.com", "https://b.com/p1", 1),
+    }
