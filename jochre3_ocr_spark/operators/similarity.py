@@ -868,23 +868,28 @@ def pq_adc_topk(
 
 
 # ------------------------------------------------------------ SemDeDup
-_GRAM_CHUNK = 1024  # rows of the gram matrix evaluated at once
+# per-task byte budget for one gram-chunk buffer: the chunk ROW count
+# derives from it (chunk = budget / (8 bytes × |cell|)), so the live
+# allocation stays bounded no matter how large or skewed a cell gets —
+# a fixed row count would grow 8·rows·|cell| without bound (review r5)
+_GRAM_BUDGET_BYTES = 256 * 2**20
 
 
 def _cell_pairs_pandas(base: DataFrame, assign: DataFrame, eps: float):
     """(v1, v2) above-eps cosine pairs within each cell — the
     vectorized production backend of :func:`semantic_dedup`: one
-    applyInPandas per cell, gram matrix in numpy, row-chunked so only
-    ``_GRAM_CHUNK × |cell|`` floats live at once; only qualifying
-    pairs are ever emitted (the join backend materializes
-    |cell|²·dim intermediate rows before its aggregate)."""
+    applyInPandas per cell, gram matrix in numpy, row-chunked under a
+    byte budget so only ``_GRAM_BUDGET_BYTES`` of gram buffer live at
+    once; only qualifying pairs are ever emitted (the join backend
+    materializes |cell|²·dim intermediate rows before its
+    aggregate)."""
     import numpy as np
     import pandas as pd
 
     # captured into the closure HERE (a module-global lookup would
     # re-import the default on the python worker, silently ignoring a
-    # test's monkeypatch — the chunk size must be forceable)
-    chunk = _GRAM_CHUNK
+    # test's monkeypatch — the budget must be forceable)
+    budget = _GRAM_BUDGET_BYTES
 
     def gram(key, pdf: pd.DataFrame):
         pdf = pdf.sort_values("vid").reset_index(drop=True)
@@ -894,6 +899,7 @@ def _cell_pairs_pandas(base: DataFrame, assign: DataFrame, eps: float):
         )
         n = np.sqrt((x ** 2).sum(axis=1, keepdims=True))
         x = x / np.where(n == 0.0, 1.0, n)
+        chunk = max(1, budget // (8 * max(1, len(x))))
         out1, out2 = [], []
         for lo in range(0, len(x), chunk):
             hi = min(lo + chunk, len(x))
@@ -954,8 +960,11 @@ def semantic_dedup(
     where |cell|²·dim through a shuffle is the difference between
     minutes and never (measured: the join form cannot finish 1M docs,
     the pandas form does — BENCH.md round-5 semantic soak).  Both
-    backends are row-identical (tested) because the pair SET feeding
-    CC is the same."""
+    backends emit the same pair SET (tested) up to float summation
+    order: a pair whose cosine lands within ~1 ulp of ``eps`` could in
+    principle cross the threshold in one backend only — pick ``eps``
+    with margin to the data, as any float-threshold operator
+    requires."""
     from pyspark.sql.window import Window
 
     from jochre3_ocr_spark.operators.dedup import connected_components
@@ -981,6 +990,10 @@ def semantic_dedup(
             "vid", "cell"
         )
 
+    if pair_backend not in ("pandas", "join"):
+        # a typo silently falling through to the join backend would
+        # die hours later at corpus scale with no hint why (review r5)
+        raise ValueError(f"unknown pair_backend {pair_backend!r}")
     if pair_backend == "pandas":
         pairs = _cell_pairs_pandas(base, assign, eps)
     else:

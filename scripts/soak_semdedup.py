@@ -120,8 +120,19 @@ def main() -> int:
                min(vec_id) = min(cluster_id) AS keeper_is_min,
                sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
         FROM m GROUP BY g ORDER BY g""").fetchall()
+    # expected members per family from the actual id grid (ids % 100
+    # == 0, family = (id // 100) % 10) — n // 1000 only when n is a
+    # multiple of 1000, so count instead of assuming
+    expected = [
+        sum(
+            1
+            for m in range(0, args.n, 100)
+            if (m // 100) % 10 == g
+        )
+        for g in range(10)
+    ]
     fam_ok = all(
-        r[1] == 1 and r[2] == args.n // 100 // 10 and r[3] and r[4] == 1
+        r[1] == 1 and r[2] == expected[int(r[0])] and r[3] and r[4] == 1
         for r in fam
     )
     extra = con.execute(f"""

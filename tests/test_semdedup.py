@@ -136,12 +136,13 @@ def test_semdedup_pandas_backend_matches_join(spark):
 
 
 def test_semdedup_pandas_backend_multi_chunk(spark, monkeypatch):
-    """Row-chunked gram loop: forcing chunk=3 must not change pairs
+    """Row-chunked gram loop: a byte budget that forces chunk=1 in
+    EVERY cell (the maximal-chunking boundary) must not change pairs
     (the _overlap_map_sweep chunk-boundary lesson — make chunking
     testable and test it)."""
     from jochre3_ocr_spark.operators import similarity as S
 
-    monkeypatch.setattr(S, "_GRAM_CHUNK", 3)
+    monkeypatch.setattr(S, "_GRAM_BUDGET_BYTES", 8)
     rows = [
         (i, [1.0 + 0.001 * i, 0.01 * (i % 7), 0.02 * (i % 3)])
         for i in range(40)
@@ -157,3 +158,11 @@ def test_semdedup_pandas_backend_multi_chunk(spark, monkeypatch):
         tuple(r) for r in semantic_dedup(df, eps=0.999, n_cells=4).collect()
     )
     assert a == b
+
+
+def test_semdedup_rejects_unknown_backend(spark):
+    import pytest
+
+    df = _vecs(spark, [(0, [1.0, 0.0])])
+    with pytest.raises(ValueError, match="pair_backend"):
+        semantic_dedup(df, pair_backend="Pandas")
