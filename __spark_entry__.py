@@ -2131,6 +2131,40 @@ def _dedup_clusters_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(docs, include_singletons=True)
 
 
+def _dedup_leakage_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment
+    (operators/dedup.leakage_safe_splits): splits are hashed at
+    CLUSTER granularity so a test document can never have a
+    near-duplicate in train — the leakage mode per-document hashing
+    silently permits.  The oracle replays the full clustering
+    construction plus the cumulative md5-hex-threshold banding."""
+    from jochre3_ocr_spark.operators.dedup import (
+        duplicate_clusters,
+        leakage_safe_splits,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return leakage_safe_splits(
+        duplicate_clusters(docs, include_singletons=True)
+    )
+
+
+# thresholds: sorted names (test, train, val) at cumulative
+# 0.05 / 0.95 of 16^6 → 0ccccd / f33333 (python round halves-to-even
+# matches these exact values)
+_Q_LEAKAGE_SPLITS_DUCK = (
+    "WITH cf AS (" + _Q_DEDUP_CLUSTERS_FULL_DUCK + """)
+SELECT doc_id, cluster_id, cluster_size, is_canonical,
+       CASE WHEN substr(md5('split:' || cluster_id), 1, 6) < '0ccccd'
+            THEN 'test'
+            WHEN substr(md5('split:' || cluster_id), 1, 6) < 'f33333'
+            THEN 'train'
+            ELSE 'val' END AS split
+FROM cf
+"""
+)
+
+
 def _dedup_corpus_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed scale-safe dedup pipeline (operators/dedup
     .dedup_corpus): exact-duplicate pre-collapse → capped MinHash-LSH
@@ -4539,6 +4573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _sql(_Q_LSH_SPARK),
         "dedup_duplicate_clusters": _dedup_clusters,
         "dedup_clusters_full": _dedup_clusters_full,
+        "dedup_leakage_splits": _dedup_leakage_splits,
         "dedup_corpus_verdicts": _dedup_corpus_verdicts,
         "dedup_adversarial_density": _dedup_adversarial_density,
         "html_main_content": _html_main_content,
@@ -4639,6 +4674,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _Q_LSH_DUCK,
         "dedup_duplicate_clusters": _Q_DEDUP_CLUSTERS_DUCK,
         "dedup_clusters_full": _Q_DEDUP_CLUSTERS_FULL_DUCK,
+        "dedup_leakage_splits": _Q_LEAKAGE_SPLITS_DUCK,
         "dedup_corpus_verdicts": _Q_DEDUP_CORPUS_DUCK,
         "dedup_adversarial_density": _Q_DEDUP_ADVERSARIAL_DUCK,
         "html_main_content": _Q_HTML_MAIN_DUCK,

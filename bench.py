@@ -131,6 +131,7 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
         "corpus_nb_langid",
         "web_snapshot_delta",
         "web_frontier_budget",
+        "dedup_leakage_splits",
     ]
     # min-of-N per query: this box takes EXTERNAL load spikes (load avg
     # 1→17 with no local processes, BENCH.md round 2) — a single shot can

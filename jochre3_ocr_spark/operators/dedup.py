@@ -1336,3 +1336,54 @@ def _warn_hot_buckets(
             f"{'lsh' if method == 'minhash' else 'simhash'}_bucket_stats.",
             stacklevel=3,
         )
+
+
+def leakage_safe_splits(
+    clusters: DataFrame,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test assignment at DEDUP-CLUSTER granularity: every
+    member of a near-duplicate cluster lands in the SAME split, so a
+    test document can never have a near-duplicate in train — the
+    leakage mode document-level hashing silently permits (a cluster's
+    members hash independently and straddle the split boundary).
+
+    ``clusters`` is (id_col, cluster_id, ...) — the full-domain output
+    of :func:`duplicate_clusters` (``include_singletons=True``) or
+    ``similarity.semantic_dedup``.  The split comes from the first 6
+    hex chars of md5(salt ":" cluster_id) against cumulative hex
+    thresholds — ``text_metrics.deterministic_sample``'s construction
+    one level up at cluster granularity: pure string comparison,
+    identical in any engine with md5, partition-independent,
+    resume-stable.  Split names are processed in sorted order so the
+    band layout is deterministic.
+
+    100 TB shape: one narrow codegen projection over the clusters
+    table — zero joins, zero shuffle, zero Python.
+    Returns the input columns plus ``split``."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions sum to {total}, expected 1.0")
+    key = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(salt), F.col("cluster_id").cast("string")
+            )
+        ),
+        1,
+        6,
+    )
+    expr = None
+    acc = 0.0
+    names = sorted(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = key < F.lit(format(round(acc * 16**6), "06x"))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return clusters.withColumn("split", split)

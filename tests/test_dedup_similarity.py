@@ -851,3 +851,47 @@ def test_decontaminate_jaccard_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_leakage_safe_splits_cluster_atomicity(spark):
+    """Every member of a cluster gets the SAME split (the property
+    doc-level hashing violates), fractions are roughly honored, and
+    unknown-summing fractions are rejected."""
+    import pytest
+
+    from jochre3_ocr_spark.operators.dedup import leakage_safe_splits
+
+    rows = [(f"d{i:03d}", f"c{i % 40:02d}") for i in range(400)]
+    clusters = spark.createDataFrame(rows, "doc_id string, cluster_id string")
+    out = leakage_safe_splits(
+        clusters, fractions={"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    counts = {}
+    for r in out:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts["val"]  # rough proportionality
+    with pytest.raises(ValueError, match="fractions"):
+        leakage_safe_splits(clusters, fractions={"train": 0.5})
+
+
+def test_leakage_safe_splits_partitioning_and_salt(spark):
+    from jochre3_ocr_spark.operators.dedup import leakage_safe_splits
+
+    rows = [(f"d{i:03d}", f"c{i % 17:02d}") for i in range(100)]
+    clusters = spark.createDataFrame(rows, "doc_id string, cluster_id string")
+    a = sorted(tuple(r) for r in leakage_safe_splits(clusters).collect())
+    b = sorted(
+        tuple(r)
+        for r in leakage_safe_splits(clusters.repartition(7)).collect()
+    )
+    assert a == b
+    c = sorted(
+        tuple(r)
+        for r in leakage_safe_splits(clusters, salt="other").collect()
+    )
+    assert a != c  # the salt really keys the assignment
