@@ -269,14 +269,15 @@ class NumpyLayoutModel:
             comps, rows, xs, xe = connected_components_runs(mask)
             boxes: list[PredictedBox] = []
             for comp in comps:
-                top = int(min(rows[k] for k in comp))
-                bottom = int(max(rows[k] for k in comp))
-                left = int(min(xs[k] for k in comp))
-                right = int(max(xe[k] for k in comp))
+                c = np.asarray(comp, dtype=np.int64)
+                top = int(rows[c].min())
+                bottom = int(rows[c].max())
+                left = int(xs[c].min())
+                right = int(xe[c].max())
                 w, h = right - left + 1, bottom - top + 1
                 if w * h < self.min_area:
                     continue
-                filled = sum(int(xe[k] - xs[k] + 1) for k in comp)
+                filled = int((xe[c] - xs[c] + 1).sum())
                 boxes.append(
                     PredictedBox(
                         self.label, left, top, w, h, filled / float(w * h)
