@@ -24,9 +24,24 @@ TABLES = (
 )
 
 
+#: marker conf key: registering the 10 driver views costs ~0.8 s per
+#: call (10 parquet schema inferences + py4j round trips), and every
+#: _sql query used to pay it on every invocation. The views are a pure
+#: function of sf_dir, so register once per (session, sf_dir); a
+#: different sf_dir on the same session re-registers (the marker holds
+#: the LAST registered dir, which is the only staleness that matters).
+_REGISTER_MARKER = "spark.jochre3.registered_sf_dir"
+
+
 def _register(spark: SparkSession, sf_dir: str) -> None:
+    try:
+        if spark.conf.get(_REGISTER_MARKER, None) == sf_dir:
+            return
+    except Exception:  # noqa: BLE001 — conf probe only
+        pass
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    spark.conf.set(_REGISTER_MARKER, sf_dir)
 
 
 def _sql(statement: str):
@@ -122,7 +137,7 @@ def _extract_yiddish_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from jochre3_ocr_spark.plans.pipeline import (
-        extract,
+        extract_text_df,
         extract_with_salting,
         text_to_spans,
     )
@@ -160,15 +175,22 @@ def _extract_yiddish_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     builder_schema = "doc_id string, spans_json string, n_in_spans int"
-    normal = (
-        docs.filter("n_est <= 600")
-        .mapInPandas(to_spans, schema=builder_schema)
+    # Normal branch: builder and kernel FUSED in one mapInPandas
+    # (extract_text_df runs text_to_spans → process_document in a single
+    # Python crossing) — the staged builder → JSON → kernel shape paid a
+    # second JVM↔Python round trip for ~93% of the corpus for no reason
+    # (the spans never touch the JVM between the two stages). The giant
+    # branch keeps the staged shape: the chunk splitter needs the span
+    # table to exist BEFORE the salt shuffle.
+    normal = extract_text_df(
+        docs.filter("n_est <= 600").select("doc_id", "text"),
+        lexicon_words(),
     )
     giant = (
         docs.filter("n_est > 600")
         .mapInPandas(to_spans, schema=builder_schema)
     )
-    out = extract(normal, lexicon_words()).unionByName(
+    out = normal.unionByName(
         extract_with_salting(giant, lexicon_words(), giant_threshold=600)
     )
     return out.selectExpr(
