@@ -761,6 +761,19 @@ def connected_components(
         F.col(left).alias("a"), F.col(right).alias("b")
     ).localCheckpoint(eager=True)
     if algorithm == "auto":
+        # small-graph fast path: every distributed CC round costs a
+        # fixed ~0.5 s of job/shuffle overhead regardless of edge count,
+        # so a pair table under the cap (≈10 MB of ids) resolves faster
+        # as ONE bounded driver union-find — the same bounded-collect
+        # class as the k-means sample trainer and the density probe.
+        # take(cap+1) both answers "is it small?" and, when yes, already
+        # holds the full edge list (one job, no separate count). Labels
+        # are identical on every path (min id per component); the
+        # explicit algorithm="star"/"propagation" selections are
+        # untouched so their round structure stays testable.
+        head = pairs.take(_CC_DRIVER_MAX_PAIRS + 1)
+        if len(head) <= _CC_DRIVER_MAX_PAIRS:
+            return _cc_driver(pairs.sparkSession, pairs.schema, head)
         labels = _cc_propagation(
             pairs, _AUTO_PROBE_ROUNDS, raise_on_fail=False
         )
@@ -772,6 +785,57 @@ def connected_components(
     if algorithm == "propagation":
         return _cc_propagation(pairs, max_iters)
     raise ValueError(f"unknown algorithm: {algorithm!r}")
+
+
+#: algorithm="auto" driver fast path cap: below this many candidate
+#: pairs the graph is a fixed-cost problem, not a scale problem —
+#: resolve it with one bounded collect instead of 2+ distributed rounds.
+#: 100k pairs ≈ 10 MB of string ids on the driver; at corpus scale the
+#: take() probe returns cap+1 rows from the first partitions and the
+#: distributed rounds run exactly as before.
+_CC_DRIVER_MAX_PAIRS = 100_000
+
+
+def _cc_driver(spark, pair_schema, rows) -> DataFrame:
+    """Union-find over a collected (bounded) pair list. Python string
+    comparison is code-point order == Spark's UTF8 binary order (UTF-8
+    preserves code-point ordering), so min-per-component labels are
+    identical to the distributed paths'."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    out = [(n, comp_min[find(n)]) for n in parent]
+    dtype = pair_schema["a"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", dtype),
+            T.StructField("cluster_id", dtype),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
 
 
 #: propagation-round budget for algorithm="auto": real near-dup graphs

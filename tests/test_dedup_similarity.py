@@ -636,13 +636,17 @@ def test_exact_dup_density_probe_and_auto_decision(spark):
     assert rows(auto) == rows(forced)
 
 
-def test_connected_components_auto_selects_per_graph(spark):
+def test_connected_components_auto_selects_per_graph(spark, monkeypatch):
     """algorithm="auto" (VERDICT r4 next-round item 5): identical labels
     on both regimes — a near-clique that converges inside the
     propagation probe budget, and a 60-diameter chain that exhausts the
-    probe and falls back to the diameter-independent star path."""
+    probe and falls back to the diameter-independent star path. The
+    driver fast path is disabled (cap 0) so this test keeps pinning the
+    distributed probe/fallback structure it documents."""
+    from jochre3_ocr_spark.operators import dedup
     from jochre3_ocr_spark.operators.dedup import connected_components
 
+    monkeypatch.setattr(dedup, "_CC_DRIVER_MAX_PAIRS", 0)
     clique = spark.createDataFrame(
         [(f"c{i}", f"c{j}") for i in range(8) for j in range(i)]
         + [("m", "n")],
@@ -664,6 +668,51 @@ def test_connected_components_auto_selects_per_graph(spark):
         for r in connected_components(chain, algorithm="auto").collect()
     }
     assert got == {f"n{i:03d}": "n000" for i in range(61)}
+
+
+def test_connected_components_driver_fast_path_matches_distributed(
+    spark, monkeypatch
+):
+    """The algorithm="auto" small-graph driver union-find (round-6 CC
+    fixed-cost optimization) returns EXACTLY the distributed labels on a
+    seeded random graph with self-loops, cliques, chains and singleton-
+    by-self-pair nodes — and the cap gate falls back to the distributed
+    path when exceeded."""
+    import random
+
+    from jochre3_ocr_spark.operators import dedup
+    from jochre3_ocr_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(f"d{rng.randrange(120):03d}", f"d{rng.randrange(120):03d}")
+             for _ in range(150)]
+    edges += [(f"x{i}", f"x{i}") for i in range(4)]  # self-pairs
+    edges += [(f"ch{i:02d}", f"ch{i + 1:02d}") for i in range(12)]
+    pairs = spark.createDataFrame(edges, "doc1 string, doc2 string")
+
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, algorithm="auto").collect()
+    }
+    star = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    prop = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(
+            pairs, algorithm="propagation"
+        ).collect()
+    }
+    assert fast == star == prop
+
+    # over-cap graphs take the distributed path and agree too
+    monkeypatch.setattr(dedup, "_CC_DRIVER_MAX_PAIRS", 10)
+    over = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, algorithm="auto").collect()
+    }
+    assert over == fast
 
 
 def _adversarial_tail_family(n=400):
