@@ -47,7 +47,25 @@ def _register(spark: SparkSession, sf_dir: str) -> None:
 def _sql(statement: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register(spark, sf_dir)
-        return spark.sql(statement)
+        stmt = statement
+        if "/*+ REBALANCE */" in stmt:
+            # The REBALANCE hint spreads the compact documents scan
+            # before the row-cost-bound shingle/token fan-out — but
+            # AQE's BYTE-based coalescing folds the ~2 MB table back to
+            # ONE partition, serializing the whole md5/aggregate stage
+            # on a single core (measured: simhash 1.9 s → 1.2 s after
+            # the fix at sf0.1/local[32]). An explicit user count is
+            # exempt from AQE coalescing; derive it from the session
+            # (cores locally, shuffle.partitions on a sized cluster) —
+            # never a constant.
+            n = max(
+                spark.sparkContext.defaultParallelism,
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            )
+            stmt = stmt.replace(
+                "/*+ REBALANCE */", f"/*+ REPARTITION({n}) */"
+            )
+        return spark.sql(stmt)
 
     return run
 
@@ -2262,7 +2280,13 @@ def _dedup_adversarial_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"), F.lit(" zq"), F.col("id").cast("string")
         ).alias("text"),
     )
-    corpus = base.unionByName(dup).unionByName(near)
+    # materialize the augmented corpus ONCE (5 420 rows): the dedup
+    # pipeline scans its input ~6 times (density probe, collapse reps +
+    # expand, candidates, full-domain verdict join), and each scan would
+    # otherwise re-run the single-partition rank window + crossJoins
+    corpus = (
+        base.unionByName(dup).unionByName(near).localCheckpoint(eager=True)
+    )
     return dedup_corpus(corpus)
 
 
