@@ -1363,7 +1363,10 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jochre3_ocr_spark.operators.similarity import semantic_dedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return semantic_dedup(emb, eps=0.3, n_cells=8)
+    # pair_backend="join" is pinned HERE (no longer the library
+    # default): it is the configuration the DuckDB oracle replays; the
+    # library defaults to the scale-safe pandas gram backend
+    return semantic_dedup(emb, eps=0.3, n_cells=8, pair_backend="join")
 
 
 _Q_SEMDEDUP_DUCK = """

@@ -53,13 +53,14 @@ def segment_words(
     )
 
 
-def _pair_counts(words: DataFrame) -> DataFrame:
-    """(left, right, cnt) over adjacent segments of every word."""
-    toks = (
-        words.select(F.explode("__words").alias("__w"))
-        .select(F.split(F.trim("__w"), " ").alias("__t"))
-        .where(F.size("__t") >= 2)
-    )
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(left, right, cnt) over adjacent segments of the WEIGHTED vocab:
+    ``vocab`` is (``__w`` segmented word string, ``__n`` corpus
+    occurrences); cnt = sum of weights = exactly the count over every
+    word instance."""
+    toks = vocab.select(
+        F.split(F.trim("__w"), " ").alias("__t"), "__n"
+    ).where(F.size("__t") >= 2)
     return (
         toks.select(
             F.explode(
@@ -70,10 +71,11 @@ def _pair_counts(words: DataFrame) -> DataFrame:
                         F.element_at("__t", i + 1).alias("right"),
                     ),
                 )
-            ).alias("__p")
+            ).alias("__p"),
+            "__n",
         )
         .groupBy("__p.left", "__p.right")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__n").alias("cnt"))
     )
 
 
@@ -90,15 +92,27 @@ def train_bpe(
     asc).  Stops early if no pair remains (every word fully merged).
     """
     spark = df.sparkSession
-    words = segment_words(df, text_col).select("__words")
+    # Train over the DISTINCT-WORD frequency table, not every word
+    # instance (the textbook word-dict optimization): pair counts are
+    # occurrence-weighted sums, bit-identical to counting instances,
+    # while each round's explode/replace runs over |vocab| rows instead
+    # of the corpus word count. Distinct words stay distinct under
+    # merges (the char sequence is invariant), so no re-grouping is
+    # needed between rounds.
+    vocab = (
+        segment_words(df, text_col)
+        .select(F.explode("__words").alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
     merges: list[tuple[int, str, str, str, int]] = []
     for rnk in range(1, n_merges + 1):
         # lazy checkpoint: the argmax job below materializes it, so each
         # round reads the PREVIOUS round's result instead of replaying
         # the whole replace chain from the source
-        words = words.localCheckpoint(eager=False)
+        vocab = vocab.localCheckpoint(eager=False)
         top = (
-            _pair_counts(words)
+            _pair_counts(vocab)
             .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
             .limit(1)
             .collect()
@@ -109,10 +123,8 @@ def train_bpe(
         merges.append((rnk, left, right, left + right, int(cnt)))
         pat = F.lit(f" {left} {right} ")
         repl = F.lit(f" {left}{right} ")
-        words = words.select(
-            F.transform(
-                "__words", lambda s: F.replace(s, pat, repl)
-            ).alias("__words")
+        vocab = vocab.select(
+            F.replace("__w", pat, repl).alias("__w"), "__n"
         )
     return spark.createDataFrame(
         merges, "rnk int, left string, right string, merged string, cnt bigint"

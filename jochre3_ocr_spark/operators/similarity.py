@@ -926,7 +926,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list | None = None,
-    pair_backend: str = "join",
+    pair_backend: str = "pandas",
 ) -> DataFrame:
     """Semantic deduplication (Abbas et al., "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication",
@@ -951,7 +951,7 @@ def semantic_dedup(
     refuses to lie); the keeper rule is one agg over (node, cluster).
 
     ``pair_backend`` picks how within-cell pairs materialize:
-    ``"join"`` (default, the oracle configuration) explodes vectors and
+    ``"join"`` (the oracle configuration) explodes vectors and
     equi-joins on (pos, cell) — pure SQL, replayable, but the join
     intermediate is |cell|²·dim rows; ``"pandas"`` runs one
     applyInPandas per cell computing the gram matrix in numpy with a
@@ -959,7 +959,12 @@ def semantic_dedup(
     ONLY the above-eps pairs — the production path at corpus scale,
     where |cell|²·dim through a shuffle is the difference between
     minutes and never (measured: the join form cannot finish 1M docs,
-    the pandas form does — BENCH.md round-5 semantic soak).  Both
+    the pandas form does — BENCH.md round-5 semantic soak). The pandas
+    form is therefore the DEFAULT (VERDICT r5 "what's wrong" item 1:
+    a library caller must not inherit the backend that cannot finish
+    at scale); the driver's dedup_semantic query pins "join"
+    explicitly because that is the configuration its DuckDB oracle
+    replays.  Both
     backends emit the same pair SET (tested) up to float summation
     order: a pair whose cosine lands within ~1 ulp of ``eps`` could in
     principle cross the threshold in one backend only — pick ``eps``
