@@ -984,8 +984,8 @@ def _precollapsed_pairs(
 #: is its own representative) and the collapse's extra groupBy+joins are
 #: pure overhead — the +40% dedup_clusters_full tax measured at sf0.1's
 #: ~0 duplicate density (BENCH.md round 4). The probe uses
-#: approx_count_distinct at rsd=0.01, so 5% clears the estimator noise
-#: band with an order of magnitude to spare.
+#: approx_count_distinct at rsd=0.05 (sketch cost note at the
+#: call site), so 5% clears the combined estimator+sampling noise band.
 _AUTO_PRECOLLAPSE_MIN_DENSITY = 0.05
 
 
@@ -1006,7 +1006,14 @@ def _exact_dup_density(
     projection; decision threshold in
     :data:`_AUTO_PRECOLLAPSE_MIN_DENSITY`."""
     agg = [
-        F.approx_count_distinct(F.md5(F.col(text_col)), 0.01).alias("d"),
+        # rsd 0.05, not 0.01: Spark sizes the HLL++ sketch ~(1/rsd)², so
+        # rsd 0.01 allocates a huge register array PER partial-agg
+        # buffer — measured 0.66 s vs 0.14 s for the same probe at
+        # sf0.1. The probe feeds a 5%-density GATE whose outcome is
+        # output-invariant either way; 5% relative error on the
+        # distinct count is far inside the sampling error it already
+        # tolerates.
+        F.approx_count_distinct(F.md5(F.col(text_col)), 0.05).alias("d"),
         F.count(F.col(text_col)).alias("n"),
     ]
     sampled = df.filter(
