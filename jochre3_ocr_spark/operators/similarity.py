@@ -405,7 +405,13 @@ def assign_cells(
     cent_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
-    dists = (
+    # nearest-n_probe as a pure array expression: struct(d, cell) sorts
+    # lexicographically, so array_sort + slice IS the window's
+    # orderBy(d asc, cell asc) rank filter — same rows, ZERO Exchange
+    # (the row_number window shuffled every vector by vid; best-of-few
+    # per bounded key as an array expr is the round-5 robots lesson,
+    # and it keeps this op legal inside Structured Streaming)
+    return (
         df.select(
             F.col(id_col).alias("vid"),
             _unit_vec(vec_col).alias("v"),
@@ -413,21 +419,22 @@ def assign_cells(
         .withColumn("_cents", cent_lit)
         .select(
             "vid",
-            F.posexplode(
-                F.expr(
-                    "transform(_cents, c -> aggregate(zip_with(v, c,"
-                    " (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x))"
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.expr(
+                            "transform(_cents, (c, i) -> struct("
+                            "aggregate(zip_with(v, c,"
+                            " (a, b) -> (a - b) * (a - b)), 0.0D,"
+                            " (acc, x) -> acc + x) AS d, i AS cell))"
+                        )
+                    ),
+                    1,
+                    max(1, n_probe),
                 )
-            ).alias("cell", "d"),
+            ).alias("s"),
         )
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("vid").orderBy(F.asc("d"), F.asc("cell"))
-    return (
-        dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= max(1, n_probe))
-        .select("vid", "cell")
+        .select("vid", F.col("s.cell").alias("cell"))
     )
 
 
@@ -751,7 +758,14 @@ def pq_encode(
 
     # raw vectors cross to Python; the numpy side normalizes (a JVM
     # _unit_vec here would be a second full normalization pass per row)
-    src = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    from jochre3_ocr_spark.plans.pipeline import _spread_small_input
+
+    # the encode argmin is m·ksub distances per vector — row-cost-bound,
+    # so a compact scan (few splits) serializes it; spread first (no-op
+    # when the input already has ≥ slots partitions)
+    src = _spread_small_input(
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    )
     return src.mapInPandas(
         run, schema="vid long, codes array<int>, cnorm double"
     )
