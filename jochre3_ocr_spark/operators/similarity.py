@@ -976,9 +976,10 @@ def semantic_dedup(
     the pandas form does — BENCH.md round-5 semantic soak). The pandas
     form is therefore the DEFAULT (VERDICT r5 "what's wrong" item 1:
     a library caller must not inherit the backend that cannot finish
-    at scale); the driver's dedup_semantic query pins "join"
-    explicitly because that is the configuration its DuckDB oracle
-    replays.  Both
+    at scale); the driver's dedup_semantic query also runs the
+    pandas backend (round 6) — its oracle replays the join
+    construction, and the green row doubles as the backend-equality
+    proof at driver scale.  Both
     backends emit the same pair SET (tested) up to float summation
     order: a pair whose cosine lands within ~1 ulp of ``eps`` could in
     principle cross the threshold in one backend only — pick ``eps``

@@ -38,9 +38,16 @@ __all__ = [
 
 def _windows(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(id, pos, whash) — one row per k-token window start position."""
-    toks = docs.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
-    ).where(F.size("__toks") >= k)
+    from jochre3_ocr_spark.plans.pipeline import _spread_small_input
+
+    # one md5 per window start is row-cost-bound work fused into the
+    # scan; a compact parquet input yields only a few splits, pinning it
+    # to as many cores — spread first (no-op at production split counts)
+    toks = _spread_small_input(
+        docs.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+        ).where(F.size("__toks") >= k)
+    )
     # sequence(0, n-k) is safe: n >= k is enforced above (Spark's sequence
     # DESCENDS when stop < start, which would fabricate windows).
     return toks.select(
