@@ -172,6 +172,53 @@ def synthesize_page_graph(
     )
 
 
+#: pagerank driver fast path cap: below this many deduped edges the
+#: graph is a fixed-cost problem (≈10 MB of id pairs on the driver);
+#: larger graphs run the distributed rounds unchanged.
+_PAGERANK_DRIVER_MAX_EDGES = 100_000
+
+
+def _pagerank_driver(
+    spark, edge_schema, rows, iters, damping_num, damping_den, scale
+) -> DataFrame:
+    """Exact integer PageRank over a collected (bounded) edge list —
+    bit-identical to the distributed rounds: same dedup/self-loop
+    semantics (rows are already deduped), same floors, no float."""
+    from pyspark.sql import types as T
+
+    edges = [(r[0], r[1]) for r in rows]
+    outdeg: dict = {}
+    indeg: dict = {}
+    nodes: set = set()
+    for s, d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        indeg[d] = indeg.get(d, 0) + 1
+        nodes.add(s)
+        nodes.add(d)
+    base = (damping_den - damping_num) * scale // damping_den
+    rank = {n: scale for n in nodes}
+    for _ in range(iters):
+        inc: dict = {}
+        for s, d in edges:
+            inc[d] = inc.get(d, 0) + rank[s] // outdeg[s]
+        rank = {
+            n: base + (damping_num * inc.get(n, 0)) // damping_den
+            for n in nodes
+        }
+    out = [
+        (n, rank[n], outdeg.get(n, 0), indeg.get(n, 0)) for n in nodes
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("node", edge_schema["src"].dataType),
+            T.StructField("rank", T.LongType()),
+            T.StructField("out_deg", T.IntegerType()),
+            T.StructField("in_deg", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,
@@ -205,6 +252,21 @@ def pagerank(
     if num_partitions:
         e = e.repartition(num_partitions, "src")
     e = e.localCheckpoint(eager=False)
+    # small-graph fast path (the CC driver-union-find pattern): every
+    # distributed round costs a join + shuffle of fixed ~0.5 s overhead,
+    # so a deduped edge list under the cap resolves faster as one
+    # bounded collect + exact integer arithmetic on the driver — the
+    # semantics above are pure non-negative integer ops (DIV == Python
+    # // for non-negatives), so ranks are bit-identical. take(cap+1)
+    # answers "is it small?" and already holds the edges when yes; at
+    # soak scale it returns cap+1 rows from the first partitions and
+    # the rounds run exactly as before.
+    head = e.take(_PAGERANK_DRIVER_MAX_EDGES + 1)
+    if len(head) <= _PAGERANK_DRIVER_MAX_EDGES:
+        return _pagerank_driver(
+            edges.sparkSession, e.schema, head, iters,
+            damping_num, damping_den, scale,
+        )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     indeg = e.groupBy(F.col("dst").alias("node")).agg(
         F.count(F.lit(1)).alias("in_deg")

@@ -142,3 +142,29 @@ class TestPagerank:
             F.sum("rank").alias("total"), F.count("*").alias("n")
         ).collect()[0]
         assert agg.total <= agg.n * 10**9
+
+
+def test_pagerank_driver_fast_path_matches_distributed(spark, monkeypatch):
+    """The small-graph driver fast path (round-6, same pattern as the
+    CC union-find) must be BIT-identical to the distributed rounds —
+    same dedup/self-loop handling, same integer floors — on a seeded
+    random graph with hubs, dangling nodes, self-loops and duplicate
+    edges; and the cap gate must fall back to the distributed path."""
+    import random
+
+    from jochre3_ocr_spark.operators import graphs as G
+
+    rng = random.Random(11)
+    edges = [
+        (f"n{rng.randrange(60):02d}", f"n{rng.randrange(60):02d}")
+        for _ in range(300)
+    ]
+    edges += [("n00", "n00"), ("n01", "n01")]          # self-loops
+    edges += [("n05", "n07")] * 4                       # duplicates
+    edges += [("dangling_src", "sink")]                 # dangling sink
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    fast = sorted(tuple(r) for r in G.pagerank(df, iters=3).collect())
+    monkeypatch.setattr(G, "_PAGERANK_DRIVER_MAX_EDGES", 0)
+    dist = sorted(tuple(r) for r in G.pagerank(df, iters=3).collect())
+    assert fast == dist
