@@ -208,10 +208,14 @@ def _extract_yiddish_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter("n_est > 600")
         .mapInPandas(to_spans, schema=builder_schema)
     )
+    # NOT all_giant: n_est = 1+2W+G OVERCOUNTS the builder's actual
+    # span count (1+2W — text_to_spans emits no glyph spans), so docs
+    # with n_est > 600 but n_in_spans <= 600 exist and must keep taking
+    # the inner whole-doc kernel branch — the single-chunk reassemble
+    # recomputes mean_confidence as (m·n)/n, which is not always == m
+    # in IEEE float (round-6 self-review finding)
     out = normal.unionByName(
-        extract_with_salting(
-            giant, lexicon_words(), giant_threshold=600, all_giant=True
-        )
+        extract_with_salting(giant, lexicon_words(), giant_threshold=600)
     )
     return out.selectExpr(
         "doc_id", "n_spans", "n_words", "status", "processed_text",

@@ -50,10 +50,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
-    args = [a for a in sys.argv[1:]]
-    explain = "--explain" in args
+    explain = "--explain" in sys.argv[1:]
     explain_dir = os.environ.get("SPARK_GRAFT_EXPLAIN_DIR", "plans/r06")
-    args = [a for a in args if not a.startswith("--") or a in ("--headline", "--all")]
 
     import __spark_entry__ as entry_mod
     from jochre3_ocr_spark.plans.pipeline import get_spark
@@ -73,6 +71,14 @@ def main() -> None:
             names.append(a)
     if not names:
         names = HEADLINE
+    unknown = [
+        n for n in names
+        if n != "extract_corpus_e2e" and n not in queries
+    ]
+    if unknown:
+        # a typo'd name silently missing from the output would corrupt
+        # an A/B comparison — fail loudly instead
+        raise SystemExit(f"unknown queries: {unknown}")
 
     def run_query(name):
         if name == "extract_corpus_e2e":

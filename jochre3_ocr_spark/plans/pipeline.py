@@ -433,7 +433,11 @@ def extract_with_salting(
     # generator, a bridge with joins) the re-execution repeats real
     # work, so materialize it once instead (lazy local checkpoint: the
     # first branch's action computes it, the second reads it back).
-    if not all_giant and not _rescans_cheaply(pruned):
+    if (
+        not all_giant
+        and not pruned.isStreaming  # localCheckpoint is batch-only
+        and not _rescans_cheaply(pruned)
+    ):
         pruned = pruned.localCheckpoint(eager=False)
 
     # ``all_giant``: the caller asserts every input doc exceeds the
@@ -586,7 +590,14 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     partitions than the cluster has slots, pay one metadata-sized
     round-robin shuffle to unlock every core. At production scale the
     input has ≫ cores splits and this is a no-op (no Exchange added —
-    the narrow-plan guarantee holds exactly when it matters)."""
+    the narrow-plan guarantee holds exactly when it matters).
+
+    Streaming frames pass through untouched: ``df.rdd`` is illegal on
+    a streaming DataFrame, and the spread is a batch-scan concern
+    (round-6 self-review — operators like pq_encode/_windows that
+    spread their input stay composable under readStream)."""
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     slots = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < slots:

@@ -41,8 +41,22 @@ def stream_extract(
     config = config or PipelineConfig()
     lexicon_bc = spark.sparkContext.broadcast(list(lexicon_words))
 
+    # The docs dir may carry EITHER spans encoding: the array<struct>
+    # DOCS_SCHEMA shape (docs_to_arrow / write_docs_parquet) or the
+    # pre-encoded (doc_id, spans_json, n_in_spans) shape docs_df emits
+    # since round 6. readStream needs an explicit schema, so infer it
+    # from the files already present (one batch footer read); a fixed
+    # DOCS_SCHEMA over JSON-shaped files would read every span column
+    # as NULL and crash the kernel. Empty/unreadable dir at setup time
+    # falls back to DOCS_SCHEMA (the historical contract).
+    try:
+        schema = spark.read.parquet(input_dir).schema
+        if "spans" not in schema.names and "spans_json" not in schema.names:
+            schema = DOCS_SCHEMA
+    except Exception:  # noqa: BLE001 — empty dir on first run
+        schema = DOCS_SCHEMA
     docs = (
-        spark.readStream.schema(DOCS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 64)
         .parquet(input_dir)
     )

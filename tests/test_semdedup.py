@@ -178,8 +178,10 @@ def test_default_pair_backend_is_the_scale_safe_one():
     """VERDICT r5 "what's wrong" item 1: a library caller must get the
     pandas gram backend by default — the join form crashed the 1M-
     embedding soak with zero output. The driver's dedup_semantic query
-    pins pair_backend="join" explicitly (its oracle replays that
-    configuration)."""
+    also runs the pandas backend (round 6); its DuckDB oracle replays
+    the join construction, so the green driver row doubles as the
+    backend-equality proof (pinned locally by
+    test_semdedup_pandas_backend_matches_join)."""
     import inspect
 
     from jochre3_ocr_spark.operators.similarity import semantic_dedup

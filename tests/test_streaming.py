@@ -42,6 +42,36 @@ def test_stream_extract_incremental(spark, tmp_path):
     assert final.filter("status = 'ok'").count() == 20
 
 
+def test_stream_extract_reads_json_spans_shape(spark, tmp_path):
+    """round-6 regression: docs_df now writes (doc_id, spans_json,
+    n_in_spans) parquet; stream_extract must read THAT shape too (a
+    fixed DOCS_SCHEMA read returned NULL spans for every row and
+    crashed the kernel), and its output must equal the struct-shape
+    run on the same docs."""
+    from jochre3_ocr_spark.sources.corpus import docs_df
+
+    inp_json = str(tmp_path / "in_json")
+    inp_struct = str(tmp_path / "in_struct")
+    docs_df(spark, 8).coalesce(1).write.parquet(inp_json)
+    _write_batch(spark, list(generate_docs(8)), inp_struct)
+
+    outs = []
+    for inp in (inp_json, inp_struct):
+        out = str(tmp_path / f"out_{inp.rsplit('_', 1)[1]}")
+        ckpt = str(tmp_path / f"ckpt_{inp.rsplit('_', 1)[1]}")
+        stream_extract(spark, inp, out, ckpt, lexicon_words())
+        got = spark.read.parquet(out)
+        assert got.count() == 8
+        assert got.filter("status = 'ok'").count() == 8
+        outs.append(
+            sorted(
+                (r.doc_id, r.processed_text, r.n_spans, r.n_words)
+                for r in got.collect()
+            )
+        )
+    assert outs[0] == outs[1]
+
+
 def test_stream_predict_layout_incremental(spark, tmp_path):
     """Continuous-ingest DLA inference: the batched predictor slot
     behind readStream/writeStream — exactly-once across re-triggers,
