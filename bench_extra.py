@@ -56,11 +56,11 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from jochre3_ocr_spark.plans.pipeline import get_spark
 
-    spark = get_spark("jochre3-bench-extra", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
+    # validate names BEFORE paying Spark session startup: a typo'd name
+    # silently missing from the output would corrupt an A/B comparison,
+    # and the loud failure should be near-instant (queries() needs no
+    # session)
     queries = entry_mod.queries()
-
     names: list[str] = []
     for a in sys.argv[1:]:
         if a == "--headline":
@@ -76,9 +76,11 @@ def main() -> None:
         if n != "extract_corpus_e2e" and n not in queries
     ]
     if unknown:
-        # a typo'd name silently missing from the output would corrupt
-        # an A/B comparison — fail loudly instead
         raise SystemExit(f"unknown queries: {unknown}")
+
+    spark = get_spark("jochre3-bench-extra", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
 
     def run_query(name):
         if name == "extract_corpus_e2e":
@@ -94,8 +96,6 @@ def main() -> None:
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for name in names:
-        if name != "extract_corpus_e2e" and name not in queries:
-            continue
         if explain:
             os.makedirs(explain_dir, exist_ok=True)
             plan = run_query(name)._jdf.queryExecution().explainString(

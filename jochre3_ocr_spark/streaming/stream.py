@@ -12,7 +12,7 @@ plans/pipeline.run_job).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from jochre3_ocr_spark.plans.pipeline import (
     PipelineConfig,
@@ -44,22 +44,47 @@ def stream_extract(
     # The docs dir may carry EITHER spans encoding: the array<struct>
     # DOCS_SCHEMA shape (docs_to_arrow / write_docs_parquet) or the
     # pre-encoded (doc_id, spans_json, n_in_spans) shape docs_df emits
-    # since round 6. readStream needs an explicit schema, so infer it
-    # from the files already present (one batch footer read); a fixed
-    # DOCS_SCHEMA over JSON-shaped files would read every span column
-    # as NULL and crash the kernel. Empty/unreadable dir at setup time
-    # falls back to DOCS_SCHEMA (the historical contract).
+    # since round 6 — or BOTH, mid-migration. readStream needs an
+    # explicit schema, so infer the UNION schema from the files already
+    # present (mergeSchema batch probe); a fixed DOCS_SCHEMA over
+    # JSON-shaped files would read every span column as NULL and crash
+    # the kernel. Only a genuinely missing/empty dir falls back to
+    # DOCS_SCHEMA (the historical contract); real read errors propagate
+    # (the broad-except-hides-the-cause lesson, CLAUDE.md session-5).
+    from pyspark.errors import AnalysisException
+
+    from jochre3_ocr_spark.plans.pipeline import _is_missing_read
+
     try:
-        schema = spark.read.parquet(input_dir).schema
+        schema = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(input_dir)
+            .schema
+        )
         if "spans" not in schema.names and "spans_json" not in schema.names:
             schema = DOCS_SCHEMA
-    except Exception:  # noqa: BLE001 — empty dir on first run
-        schema = DOCS_SCHEMA
+    except AnalysisException as e:
+        if not _is_missing_read(e, input_dir):
+            raise
+        schema = DOCS_SCHEMA  # first run, nothing written yet
     docs = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 64)
         .parquet(input_dir)
     )
+    if "spans" in docs.columns and "spans_json" in docs.columns:
+        # mixed-shape dir: per FILE only one encoding is populated —
+        # coalesce row-wise so the fast path below sees valid JSON for
+        # every row regardless of which producer wrote its file
+        docs = docs.select(
+            "doc_id",
+            F.coalesce("spans_json", F.to_json("spans")).alias(
+                "spans_json"
+            ),
+            F.coalesce(
+                F.col("n_in_spans").cast("int"), F.size("spans")
+            ).alias("n_in_spans"),
+        )
     pruned = _prune_to_json(docs).drop("n_in_spans")
     raw = pruned.mapInPandas(_make_extract_fn(lexicon_bc, config), schema=_RAW_OUT_DDL)
 

@@ -121,8 +121,11 @@ def test_yiddish_corpus_branches_before_python_builder(spark):
 
     df = em.queries()["extract_yiddish_corpus"](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
-    # normal fused stage + the giant chunk/kernel stages
-    assert plan.count("MapInPandas") >= 2
+    # normal FUSED stage + the giant side's (inner-normal kernel,
+    # chunk splitter, chunk kernel) = at most 4 MapInPandas; a
+    # regression of the normal branch back to the staged builder→JSON→
+    # kernel shape adds a 5th and must fail here
+    assert 2 <= plan.count("MapInPandas") <= 4, plan
     filters = [
         ln for ln in plan.splitlines()
         if "Filter" in ln and "size(filter(split" in ln

@@ -55,14 +55,25 @@ def test_stream_extract_reads_json_spans_shape(spark, tmp_path):
     docs_df(spark, 8).coalesce(1).write.parquet(inp_json)
     _write_batch(spark, list(generate_docs(8)), inp_struct)
 
+    # MIXED dir: both encodings side by side (mid-migration) — the
+    # merged-schema probe + row-wise coalesce must handle every file
+    inp_mixed = str(tmp_path / "in_mixed")
+    docs_df(spark, 8).coalesce(1).write.parquet(inp_mixed)
+    _write_batch(
+        spark,
+        [dict(d, doc_id=d["doc_id"] + "_s") for d in generate_docs(8)],
+        inp_mixed,
+    )
+
     outs = []
-    for inp in (inp_json, inp_struct):
-        out = str(tmp_path / f"out_{inp.rsplit('_', 1)[1]}")
-        ckpt = str(tmp_path / f"ckpt_{inp.rsplit('_', 1)[1]}")
+    for inp, n_expect in ((inp_json, 8), (inp_struct, 8), (inp_mixed, 16)):
+        tag = inp.rsplit("_", 1)[1]
+        out = str(tmp_path / f"out_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
         stream_extract(spark, inp, out, ckpt, lexicon_words())
         got = spark.read.parquet(out)
-        assert got.count() == 8
-        assert got.filter("status = 'ok'").count() == 8
+        assert got.count() == n_expect
+        assert got.filter("status = 'ok'").count() == n_expect
         outs.append(
             sorted(
                 (r.doc_id, r.processed_text, r.n_spans, r.n_words)
@@ -70,6 +81,8 @@ def test_stream_extract_reads_json_spans_shape(spark, tmp_path):
             )
         )
     assert outs[0] == outs[1]
+    # the mixed run contains the json-shape docs' rows verbatim
+    assert set(outs[0]).issubset(set(outs[2]))
 
 
 def test_stream_predict_layout_incremental(spark, tmp_path):
