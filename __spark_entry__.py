@@ -494,17 +494,23 @@ sh AS (
   ) x AS shingle
   WHERE size(t) >= 3
 ),
-seeds AS (SELECT explode(sequence(0, 7)) AS s),
+-- wide single-aggregation form: one groupBy(doc_id) with 8 min buffers
+-- instead of groupBy(doc_id, s) + groupBy(doc_id) — the map-side partial
+-- agg collapses to one row per doc before the shuffle and an Exchange
+-- disappears; per-seed md5 inputs and the seed-order concat are
+-- bit-identical to the exploded construction the oracle replays
 mh AS (
-  SELECT doc_id, s, min(md5(concat(CAST(s AS STRING), ':', shingle))) AS mh
-  FROM sh CROSS JOIN seeds
-  GROUP BY doc_id, s
+  SELECT doc_id,
+         min(md5('0:' || shingle)) AS m0, min(md5('1:' || shingle)) AS m1,
+         min(md5('2:' || shingle)) AS m2, min(md5('3:' || shingle)) AS m3,
+         min(md5('4:' || shingle)) AS m4, min(md5('5:' || shingle)) AS m5,
+         min(md5('6:' || shingle)) AS m6, min(md5('7:' || shingle)) AS m7
+  FROM sh
+  GROUP BY doc_id
 )
 SELECT doc_id,
-       md5(array_join(transform(sort_array(collect_list(struct(s, mh))),
-                                x -> x.mh), ',')) AS signature
+       md5(concat_ws(',', m0, m1, m2, m3, m4, m5, m6, m7)) AS signature
 FROM mh
-GROUP BY doc_id
 """
 _Q_MINHASH_DUCK = """
 WITH toks AS (
@@ -715,18 +721,26 @@ sh AS (
   ) x AS shingle
   WHERE size(t) >= 3
 ),
-seeds AS (SELECT explode(sequence(0, 7)) AS s),
+-- wide single-aggregation banding (same rewrite as _Q_MINHASH_SPARK and
+-- dedup._minhash_bands): one groupBy(doc_id) computes all 8 per-seed
+-- mins, then the 4 band rows fan out through a zero-shuffle posexplode —
+-- two Exchanges fewer, band hashes bit-identical (seed-order concat)
 mh AS (
-  SELECT doc_id, s, min(md5(concat(CAST(s AS STRING), ':', shingle))) AS mh
-  FROM sh CROSS JOIN seeds
-  GROUP BY doc_id, s
+  SELECT doc_id,
+         min(md5('0:' || shingle)) AS m0, min(md5('1:' || shingle)) AS m1,
+         min(md5('2:' || shingle)) AS m2, min(md5('3:' || shingle)) AS m3,
+         min(md5('4:' || shingle)) AS m4, min(md5('5:' || shingle)) AS m5,
+         min(md5('6:' || shingle)) AS m6, min(md5('7:' || shingle)) AS m7
+  FROM sh
+  GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, CAST(s / 2 AS INT) AS band,
-         md5(array_join(transform(sort_array(collect_list(struct(s, mh))),
-                                  x -> x.mh), ',')) AS band_hash
+  SELECT doc_id, band, band_hash
   FROM mh
-  GROUP BY doc_id, CAST(s / 2 AS INT)
+  LATERAL VIEW posexplode(array(
+    md5(concat_ws(',', m0, m1)), md5(concat_ws(',', m2, m3)),
+    md5(concat_ws(',', m4, m5)), md5(concat_ws(',', m6, m7))
+  )) x AS band, band_hash
 ),
 ranked AS (
   SELECT doc_id, band, band_hash,

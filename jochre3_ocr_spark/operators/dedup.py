@@ -254,29 +254,27 @@ def minhash_signatures(
     of md5(s:shingle); the signature is md5 of the ordered min-hashes.
     Returns (doc_id, signature)."""
     sh = _shingles(_tokens(df, id_col, text_col), n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("s")
-    mh = (
-        sh.select("doc_id", "shingle", seeds)
+    # ONE aggregation by doc_id with num_hashes min buffers (the wide
+    # form) instead of groupBy(doc_id, s) + groupBy(doc_id): the
+    # map-side partial agg collapses to one row per doc BEFORE the
+    # shuffle, and a whole Exchange disappears (guide §2.3/§2.4). The
+    # per-seed md5s are the identical strings the exploded construction
+    # hashed, and the concat order is seed order — the signature is
+    # bit-identical (pinned by test_minhash_matches_sql against the
+    # unchanged SQL oracle).
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("doc_id")
+        .agg(*mins)
         .select(
             "doc_id",
-            "s",
-            F.md5(F.concat(F.col("s").cast("string"), F.lit(":"), "shingle")).alias(
-                "h"
-            ),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"mh{s}") for s in range(num_hashes)])
+            ).alias("signature"),
         )
-        .groupBy("doc_id", "s")
-        .agg(F.min("h").alias("mh"))
-    )
-    return mh.groupBy("doc_id").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("s", "mh"))),
-                    lambda x: x["mh"],
-                ),
-                ",",
-            )
-        ).alias("signature")
     )
 
 
@@ -363,30 +361,44 @@ def _minhash_bands(
     num_hashes: int,
     band_size: int,
 ) -> DataFrame:
-    """(doc_id, band, band_hash) — the banded MinHash signature."""
+    """(doc_id, band, band_hash) — the banded MinHash signature.
+
+    Wide single-aggregation form: ONE groupBy(doc_id) computes every
+    per-seed min (map-side partial agg collapses to one row per doc
+    before the shuffle), and the band rows are derived afterwards by a
+    zero-shuffle posexplode — two Exchanges fewer than the exploded
+    groupBy(doc_id, s) → groupBy(doc_id, band) chain (guide §2.3/§2.4;
+    measured 1.8→1.2 s on the capped-candidates DAG at sf0.1, outputs
+    collect-equal). Seeds within a band are consecutive, so concat in
+    seed-index order reproduces the sorted-by-s array_join exactly; a
+    trailing band with fewer than ``band_size`` seeds (num_hashes not
+    divisible) concatenates only the seeds that exist, as before."""
     sh = _shingles(_tokens(df, id_col, text_col), n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("s")
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    n_bands = -(-num_hashes // band_size)
+    band_exprs = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{s}")
+                    for s in range(
+                        k * band_size, min((k + 1) * band_size, num_hashes)
+                    )
+                ],
+            )
+        )
+        for k in range(n_bands)
+    ]
     return (
-        sh.select("doc_id", "shingle", seeds)
+        sh.groupBy("doc_id")
+        .agg(*mins)
         .select(
             "doc_id",
-            "s",
-            F.md5(F.concat(F.col("s").cast("string"), F.lit(":"), "shingle")).alias("h"),
-        )
-        .groupBy("doc_id", "s")
-        .agg(F.min("h").alias("mh"))
-        .withColumn("band", (F.col("s") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("s", "mh"))),
-                        lambda x: x["mh"],
-                    ),
-                    ",",
-                )
-            ).alias("band_hash")
+            F.posexplode(F.array(*band_exprs)).alias("band", "band_hash"),
         )
     )
 
