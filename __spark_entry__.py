@@ -1090,6 +1090,20 @@ GROUP BY user_id, session_id
 # evaluation metrics (core/evaluation/CharacterErrorRate.scala:5-15,
 # BagOfWords.scala:9-28, TextEvaluationMetric.scala:9-13): pair each doc
 # with its successor as pred/gold and compute CER + bag-of-words cosine
+# Spark side restructured for execution shape ONLY (the DuckDB twin
+# keeps the original construction; strict float-repr parity verified at
+# sf0.01/sf0.1):
+# * cos: the original joins vec back to toks and sums dot_part over the
+#   JOINED rows — a shared token matches both its 'p' and 'g' toks row,
+#   so each dot product is counted twice. 2*sum(pc*gc) is the same
+#   number EXACTLY (all terms are BIGINT counts — integer math, no
+#   float-order sensitivity), with one aggregation instead of
+#   agg + self-join + agg: the whole toks subtree is evaluated once,
+#   not twice, and two Exchanges + a SortMergeJoin disappear.
+# * lev: levenshtein is O(|pred|·|gold|) per row and ran in the
+#   post-join projection, which AQE coalesces to ONE partition at this
+#   size — the REBALANCE marker (rewritten to an AQE-exempt
+#   REPARTITION(n) by _sql) spreads it across the session's cores.
 _Q_EVAL_SPARK = """
 WITH pairs AS (
   SELECT a.doc_id AS doc_id, a.text AS pred, b.text AS gold
@@ -1106,25 +1120,26 @@ toks AS (
   ) t GROUP BY doc_id, token, side
 ),
 vec AS (
-  SELECT doc_id,
-         sum(CASE WHEN side = 'p' THEN c ELSE 0 END)
-           * sum(CASE WHEN side = 'g' THEN c ELSE 0 END) AS dot_part,
-         token
+  SELECT doc_id, token,
+         sum(CASE WHEN side = 'p' THEN c ELSE 0 END) AS pc,
+         sum(CASE WHEN side = 'g' THEN c ELSE 0 END) AS gc
   FROM toks GROUP BY doc_id, token
 ),
 cos AS (
-  SELECT v.doc_id,
-         sum(v.dot_part) /
-         (sqrt(sum(CASE WHEN t.side='p' THEN t.c*t.c ELSE 0 END)) *
-          sqrt(sum(CASE WHEN t.side='g' THEN t.c*t.c ELSE 0 END))) AS cosine
-  FROM vec v JOIN toks t ON v.doc_id = t.doc_id AND v.token = t.token
-  GROUP BY v.doc_id
+  SELECT doc_id,
+         (2 * sum(pc * gc)) /
+         (sqrt(sum(pc * pc)) * sqrt(sum(gc * gc))) AS cosine
+  FROM vec GROUP BY doc_id
+),
+pairs_spread AS (SELECT /*+ REBALANCE */ * FROM pairs),
+lev AS (
+  SELECT doc_id,
+         round(levenshtein(pred, gold) / length(gold), 4) AS cer,
+         length(gold) AS char_count
+  FROM pairs_spread
 )
-SELECT p.doc_id,
-       round(levenshtein(p.pred, p.gold) / length(p.gold), 4) AS cer,
-       length(p.gold) AS char_count,
-       round(c.cosine, 4) AS bow_cosine
-FROM pairs p JOIN cos c ON p.doc_id = c.doc_id
+SELECT l.doc_id, l.cer, l.char_count, round(c.cosine, 4) AS bow_cosine
+FROM lev l JOIN cos c ON l.doc_id = c.doc_id
 """
 _Q_EVAL_DUCK = """
 WITH pairs AS (

@@ -847,7 +847,14 @@ def _cc_driver(spark, pair_schema, rows) -> DataFrame:
             T.StructField("cluster_id", dtype),
         ]
     )
-    return spark.createDataFrame(out, schema)
+    # createDataFrame is RDD-backed — no size stats, so a downstream
+    # join (e.g. the singletons anti-join in _cluster_verdicts) plans a
+    # SortMergeJoin and shuffles the CORPUS side against this ≤2·cap-row
+    # frame. The frame is bounded by construction (≤ ~200k ids ≈ 20 MB),
+    # so mark it broadcastable: consumers get a BroadcastHashJoin with
+    # zero exchange on the corpus side. Window consumers ignore the
+    # hint; rows are unchanged.
+    return F.broadcast(spark.createDataFrame(out, schema))
 
 
 #: propagation-round budget for algorithm="auto": real near-dup graphs
