@@ -243,6 +243,20 @@ def ngram_jaccard_pairs(
     )
 
 
+def _seed_min_exprs(num_hashes: int) -> list:
+    """The per-seed MinHash aggregate expressions of the wide
+    single-aggregation form: ``min(md5('<s>:' || shingle)) AS mh<s>``
+    for each seed.  ONE shared definition (the simhash
+    ``_simhash_vote_cols_sql`` lesson): the ``f"{s}:"`` prefix and the
+    md5-min construction are the bit-parity contract with the unchanged
+    SQL oracles (``md5(CAST(s AS VARCHAR) || ':' || shingle)``), so
+    signatures and bands must never drift apart on a one-sided edit."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -252,23 +266,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: for each seed s, the lexicographic min
     of md5(s:shingle); the signature is md5 of the ordered min-hashes.
-    Returns (doc_id, signature)."""
+    Returns (doc_id, signature).
+
+    Wide single-aggregation form: ONE groupBy(doc_id) with num_hashes
+    min buffers instead of groupBy(doc_id, s) + groupBy(doc_id) — the
+    map-side partial agg collapses to one row per doc BEFORE the
+    shuffle, and a whole Exchange disappears (guide §2.3/§2.4). The
+    per-seed md5s are the identical strings the exploded construction
+    hashed, and the concat order is seed order — the signature is
+    bit-identical (pinned by test_minhash_matches_sql against the
+    unchanged SQL oracle)."""
     sh = _shingles(_tokens(df, id_col, text_col), n)
-    # ONE aggregation by doc_id with num_hashes min buffers (the wide
-    # form) instead of groupBy(doc_id, s) + groupBy(doc_id): the
-    # map-side partial agg collapses to one row per doc BEFORE the
-    # shuffle, and a whole Exchange disappears (guide §2.3/§2.4). The
-    # per-seed md5s are the identical strings the exploded construction
-    # hashed, and the concat order is seed order — the signature is
-    # bit-identical (pinned by test_minhash_matches_sql against the
-    # unchanged SQL oracle).
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
-        for s in range(num_hashes)
-    ]
     return (
         sh.groupBy("doc_id")
-        .agg(*mins)
+        .agg(*_seed_min_exprs(num_hashes))
         .select(
             "doc_id",
             F.md5(
@@ -374,10 +385,7 @@ def _minhash_bands(
     trailing band with fewer than ``band_size`` seeds (num_hashes not
     divisible) concatenates only the seeds that exist, as before."""
     sh = _shingles(_tokens(df, id_col, text_col), n)
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
-        for s in range(num_hashes)
-    ]
+    mins = _seed_min_exprs(num_hashes)
     n_bands = -(-num_hashes // band_size)
     band_exprs = [
         F.md5(
