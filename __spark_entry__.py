@@ -2301,9 +2301,16 @@ def _dedup_adversarial_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    ranked = base.withColumn(
-        "rn", F.row_number().over(W.orderBy("doc_id"))
-    ).filter(F.col("rn") <= 2)
+    # top-2 BEFORE the rank window: orderBy(doc_id).limit(2) plans a
+    # TakeOrderedAndProject (per-partition top-2, merge) where the bare
+    # row_number() window sorted the WHOLE corpus — text included —
+    # into one partition. doc_id is unique, so the two surviving rows
+    # and their rn assignment are identical.
+    ranked = (
+        base.orderBy("doc_id")
+        .limit(2)
+        .withColumn("rn", F.row_number().over(W.orderBy("doc_id")))
+    )
     first = ranked.filter("rn = 1").select("text")
     second = ranked.filter("rn = 2").select("text")
     dup = first.crossJoin(spark.range(300)).select(

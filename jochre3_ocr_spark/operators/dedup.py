@@ -1098,7 +1098,19 @@ def _collapse_reps(
     """(star-link expand edges, representative rows) for the exact
     pre-collapse — factored out so callers can also run bucket-stats
     observability over the SAME representative frame the candidate
-    generator sees (:func:`dedup_corpus` ``warn_hot_buckets``)."""
+    generator sees (:func:`dedup_corpus` ``warn_hot_buckets``).
+
+    Shuffle shape (guide §2.3): ONE ``groupBy(th)`` computes the
+    representative id AND carries the representative's text via
+    ``min_by(text, doc_id)`` — every row in a ``th`` group has the
+    identical text (``th`` IS md5(text)), so ``min_by`` returns the
+    same bytes the old semi-join fetched, and doc_id ties are
+    impossible (unique ids). The map-side partial agg collapses a
+    giant boilerplate group to ONE (th, rep, text) row per task
+    before the exchange — the old shape shuffled every member's text
+    through a doc_id semi-join (3 Exchanges, text keyed by doc_id);
+    this one shuffles one text per (group, task) keyed by th
+    (1 Exchange + the no-text expand join)."""
     keyed = df.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -1107,18 +1119,19 @@ def _collapse_reps(
             F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
         ).alias("ntok"),
     )
-    ids = keyed.select("th", "doc_id", "ntok")
-    reps = ids.groupBy("th").agg(F.min("doc_id").alias("rep"))
+    reps = keyed.groupBy("th").agg(
+        F.min("doc_id").alias("rep"),
+        F.min_by("text", "doc_id").alias("text"),
+    )
     expand = (
-        ids.join(reps, "th")
+        keyed.select("th", "doc_id", "ntok")
+        .join(reps.select("th", "rep"), "th")
         .filter(
             (F.col("doc_id") != F.col("rep")) & (F.col("ntok") >= min_tokens)
         )
         .select(F.col("rep").alias("doc1"), F.col("doc_id").alias("doc2"))
     )
-    rep_rows = keyed.join(
-        reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
-    ).select("doc_id", "text")
+    rep_rows = reps.select(F.col("rep").alias("doc_id"), "text")
     return expand, rep_rows
 
 
