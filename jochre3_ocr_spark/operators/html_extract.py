@@ -511,6 +511,15 @@ def synthesize_html_corpus(df, id_col: str = "doc_id", text_col: str = "text",
     constant site name."""
     import pandas as pd
 
+    from jochre3_ocr_spark.plans.pipeline import _spread_small_input
+
+    # per-ROW Python cost downstream (synthesize + the parse that
+    # consumes this), but scan parallelism is per FILE SPLIT — a
+    # compact docs table pins the whole chained Python stage to the
+    # scan's 3-5 splits (measured 1.9 s for the sf0.1 parse on 32
+    # slots). Spread once here; no-op at production split counts and
+    # on streaming frames.
+    df = _spread_small_input(df)
     has_source = source_col in df.columns
 
     def run(batches):
