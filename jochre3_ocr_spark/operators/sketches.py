@@ -158,30 +158,37 @@ def bloom_decontaminate(
     rate is bounded by ``(bits_set / 16^w)^k``.
 
     Probe shape: one narrow scan of the corpus, shingle fan-out ×``k``,
-    broadcast-hash join against the fixed-size bits table, partial
+    ONE broadcast-hash LEFT join against the fixed-size bits table
+    (a marker column distinguishes set from unset slots), partial
     count back down to one row per doc — no corpus-side shuffle of
-    text, no benchmark-side explosion at probe time."""
+    text, no benchmark-side explosion at probe time. ``n_grams`` is
+    counted in the SAME aggregation tree as the hits (a left join
+    keeps every shingle row), so the shingle fan-out is evaluated
+    once instead of twice and the per-doc gram-count join disappears
+    (guide §2.3/§2.4)."""
     from jochre3_ocr_spark.operators.dedup import _shingles, _tokens
 
     toks = _tokens(df, id_col, text_col)
     sh = _shingles(toks, n)
-    hits = (
+    per_doc = (
         sh.select("doc_id", "shingle", _seeds(k))
         .withColumn("slot", _slot(F.col("seed"), F.col("shingle"), width_hex))
-        .join(F.broadcast(bits), ["seed", "slot"])
+        .join(
+            F.broadcast(bits.withColumn("__set", F.lit(1))),
+            ["seed", "slot"],
+            "left",
+        )
         .groupBy("doc_id", "shingle")
-        .agg(F.count(F.lit(1)).alias("n_set"))
-        .filter(F.col("n_set") == k)
+        .agg(F.count("__set").alias("n_set"))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    grams = (
-        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_grams"))
+        .agg(
+            F.count(F.lit(1)).alias("__n_grams"),
+            F.count_if(F.col("n_set") == k).alias("n_hits"),
+        )
     )
     return (
         toks.select("doc_id")
-        .join(grams, "doc_id", "left")
-        .join(hits, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("__n_grams", F.lit(0)).cast("int").alias("n_grams"),
@@ -271,6 +278,8 @@ def bloom_decontaminate_packed(
     import pandas as pd
     from pyspark.broadcast import Broadcast
 
+    from jochre3_ocr_spark.plans.pipeline import _spread_small_input
+
     spark = df.sparkSession
     bc = (
         bitmap
@@ -278,6 +287,10 @@ def bloom_decontaminate_packed(
         else spark.sparkContext.broadcast(bytes(bitmap))
     )
     m = 16 ** width_hex
+    # the per-row Python probe (k md5s per gram) chains straight onto
+    # the corpus scan — spread a compact input so it is not pinned to
+    # the scan's 3-5 file splits (no-op at production split counts)
+    df = _spread_small_input(df)
 
     def probe(batches):
         buf = bc.value
