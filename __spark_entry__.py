@@ -110,16 +110,14 @@ _TO26 = (_YID_ALEPH * 2)[:26]
 def _yiddish_docs(spark: SparkSession, sf_dir: str):
     from pyspark.sql import functions as SF
 
-    from jochre3_ocr_spark.plans.pipeline import _spread_small_input
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # the driver parquet is one row group → 1-2 scan splits; spread it
-    # BEFORE the Python stages so builders and kernels use every core
-    return _spread_small_input(
-        docs.select(
-            SF.col("doc_id").cast("string").alias("doc_id"),
-            SF.translate("text", _FROM26, _TO26).alias("text"),
-        )
+    # NO spread here: every consumer (extract_text_df, ocr_documents,
+    # the giant branch's salt shuffle) spreads at its own Python stage,
+    # and an outer Repartition makes each branch's construction-time
+    # checkpoint/probe re-execute a full-corpus shuffle stage under AQE
+    return docs.select(
+        SF.col("doc_id").cast("string").alias("doc_id"),
+        SF.translate("text", _FROM26, _TO26).alias("text"),
     )
 
 

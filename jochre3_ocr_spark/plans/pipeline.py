@@ -582,15 +582,56 @@ def _rescans_cheaply(df: DataFrame) -> bool:
     return not any(m in plan for m in markers)
 
 
+#: logical-plan markers whose presence means the frame's partitioning is
+#: produced by a stage boundary (shuffle/Python/AQE-sized), not by the
+#: file scan — ``df.rdd`` on such a frame EXECUTES the upstream stages
+#: under AQE (AdaptiveSparkPlanExec materializes every shuffle stage at
+#: RDD-construction time), so the partition-count probe below must never
+#: touch it.
+_WIDE_PLAN_MARKERS = (
+    "Repartition",
+    "Aggregate",
+    "Join",
+    "Window",
+    "Sort",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "MapInArrow",
+    "EvalPython",
+    "Generate",
+    "Union",
+    "GlobalLimit",
+)
+
+
 def _spread_small_input(df: DataFrame) -> DataFrame:
     """Kernel cost is per ROW, but scan parallelism is per FILE SPLIT —
     and a parquet file is splittable only at row-group boundaries, so a
     small/compact input (one row group) pins the whole fused
-    scan→kernel stage to 1-2 cores. When the scan yields fewer
+    scan→kernel stage to 1-2 cores. When the input would yield fewer
     partitions than the cluster has slots, pay one metadata-sized
     round-robin shuffle to unlock every core. At production scale the
     input has ≫ cores splits and this is a no-op (no Exchange added —
     the narrow-plan guarantee holds exactly when it matters).
+
+    Probe discipline (round 6): ``df.rdd.getNumPartitions()`` is only
+    safe on a scan/narrow subtree — under AQE, constructing the RDD of
+    a frame with an upstream shuffle EXECUTES that shuffle's map
+    stages at query-CONSTRUCTION time (measured: one full job per
+    probe; at corpus scale that is a double execution of the whole
+    upstream aggregation). For derived inputs the decision therefore
+    comes from the plan alone:
+
+    * the only wide node is an explicit ``Repartition(n >= slots)``
+      (an upstream caller already spread this subtree, only narrow
+      ops above it) → no-op;
+    * otherwise use Catalyst's free ``sizeInBytes`` estimate — AQE's
+      byte-based coalescing can pin a frame below ``slots`` partitions
+      ONLY when it is byte-small, so a frame estimated ≫
+      slots × advisory-partition-size keeps its natural width and
+      needs no spread, while a small estimate gets the explicit
+      repartition (user counts are AQE-exempt; the shuffle is
+      metadata-sized by the same estimate).
 
     Streaming frames pass through untouched: ``df.rdd`` is illegal on
     a streaming DataFrame, and the spread is a batch-scan concern
@@ -600,9 +641,38 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
         return df
     spark = df.sparkSession
     slots = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < slots:
-        return df.repartition(slots)
-    return df
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        plan_str = plan.toString()
+    except Exception:  # noqa: BLE001 — introspection only
+        plan_str = None
+    if plan_str is None or not any(
+        m in plan_str for m in _WIDE_PLAN_MARKERS
+    ):
+        # scan/narrow subtree: RDD construction schedules nothing
+        if df.rdd.getNumPartitions() < slots:
+            return df.repartition(slots)
+        return df
+    import re
+
+    counts = [int(n) for n in re.findall(r"Repartition (\d+)", plan_str)]
+    only_repartition = not any(
+        m in plan_str for m in _WIDE_PLAN_MARKERS if m != "Repartition"
+    )
+    if only_repartition and counts and max(counts) >= slots:
+        return df
+    try:
+        raw = plan.stats().sizeInBytes()
+        # py4j converts scala.math.BigInt to a Python int when it
+        # fits; larger values come back as a JavaObject
+        size = raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:  # noqa: BLE001 — stats estimate only
+        return df  # can't see: leave the frame alone (perf-neutral)
+    # 64 MB is AQE's default advisory partition size; anything
+    # estimated past slots× that keeps >= slots partitions on its own
+    if size > slots * (64 << 20):
+        return df
+    return df.repartition(slots)
 
 
 # ------------------------------------------------------- vision-path OCR

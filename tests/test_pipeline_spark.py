@@ -274,3 +274,44 @@ def test_run_job_raises_on_incompatible_output_not_reprocess(spark, tmp_path):
     spark.createDataFrame([(1, "x")], "a int, b string").write.parquet(out)
     with _pytest.raises(AnalysisException):
         run_job(spark, inp, out, lexicon_words(), metrics_path=None)
+
+
+def test_spread_small_input_probe_discipline(spark):
+    """_spread_small_input must (a) spread a compact scan, (b) be a
+    no-op on a subtree an upstream caller already spread, and (c)
+    decide for derived (wide-topped) frames WITHOUT scheduling a job —
+    under AQE, df.rdd on a frame with an upstream shuffle executes the
+    shuffle's map stages at construction time (one full job per probe,
+    corpus-sized at scale)."""
+    from pyspark.sql import functions as F
+
+    from jochre3_ocr_spark.plans.pipeline import _spread_small_input
+
+    slots = spark.sparkContext.defaultParallelism
+    small = spark.range(0, 100, 1, 1).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("text"),
+    )
+
+    # (a) narrow/compact: explicit repartition(slots) added
+    spread = _spread_small_input(small)
+    assert f"Repartition {slots}" in (
+        spread._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+    # (b) already spread upstream, only narrow ops above: unchanged
+    again = _spread_small_input(spread.filter("doc_id != '-1'"))
+    plan = again._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Repartition") == 1
+
+    # (c) aggregate-topped: no job may run during the decision, and a
+    # byte-small aggregate still gets the explicit spread
+    agg = small.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = _spread_small_input(agg)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "spread probe scheduled a Spark job"
+    assert f"Repartition {slots}" in (
+        out._jdf.queryExecution().optimizedPlan().toString()
+    )
