@@ -386,6 +386,30 @@ def _assign_cells_pandas(
     return base.mapInPandas(run, schema=f"vid {vid_type}, cell int")
 
 
+def _cent_lit(centroids: list):
+    """The centroid matrix as a plan-literal array<array<double>>."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def _cells_sorted_expr(vcol: str):
+    """array<struct(d, cell)> of squared distances against the
+    ``_cents`` literal column, sorted lexicographically (d asc, cell
+    asc) — THE cell-ranking expression. ONE shared definition: the
+    fused pq_encode passthrough and assign_cells must rank cells with
+    the bit-identical expression or the IVF-PQ fused path could drift
+    from the joined construction on a one-sided edit."""
+    return F.array_sort(
+        F.expr(
+            f"transform(_cents, (c, i) -> struct("
+            f"aggregate(zip_with({vcol}, c,"
+            f" (a, b) -> (a - b) * (a - b)), 0.0D,"
+            f" (acc, x) -> acc + x) AS d, i AS cell))"
+        )
+    )
+
+
 def assign_cells(
     df: DataFrame,
     centroids: list,
@@ -402,9 +426,6 @@ def assign_cells(
     literals (codegen stays bounded)."""
     if centroids and len(centroids) * len(centroids[0]) > LITERAL_CENTROID_LIMIT:
         return _assign_cells_pandas(df, centroids, id_col, vec_col, n_probe)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
     # nearest-n_probe as a pure array expression: struct(d, cell) sorts
     # lexicographically, so array_sort + slice IS the window's
     # orderBy(d asc, cell asc) rank filter — same rows, ZERO Exchange
@@ -416,22 +437,11 @@ def assign_cells(
             F.col(id_col).alias("vid"),
             _unit_vec(vec_col).alias("v"),
         )
-        .withColumn("_cents", cent_lit)
+        .withColumn("_cents", _cent_lit(centroids))
         .select(
             "vid",
             F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.expr(
-                            "transform(_cents, (c, i) -> struct("
-                            "aggregate(zip_with(v, c,"
-                            " (a, b) -> (a - b) * (a - b)), 0.0D,"
-                            " (acc, x) -> acc + x) AS d, i AS cell))"
-                        )
-                    ),
-                    1,
-                    max(1, n_probe),
-                )
+                F.slice(_cells_sorted_expr("v"), 1, max(1, n_probe))
             ).alias("s"),
         )
         .select("vid", F.col("s.cell").alias("cell"))
@@ -715,13 +725,24 @@ def pq_encode(
     codebooks: list,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_centroids: list | None = None,
 ) -> DataFrame:
     """Encode every vector to its ``m`` nearest-codeword ids — the 100 TB
     representation: ``m`` small ints (+ one reconstruction norm) per
     vector instead of ``dim`` floats (32× at dim=64/m=8/float32).  One
     mapInPandas pass; codebooks travel as a Spark broadcast, never as
     plan literals.  Returns (vid, codes array<int>, cnorm double) where
-    ``cnorm`` = ‖reconstruction‖ (the ADC cosine denominator)."""
+    ``cnorm`` = ‖reconstruction‖ (the ADC cosine denominator).
+
+    ``cell_centroids`` (IVF-PQ fusion): the coarse-quantizer cell is
+    computed as the SAME JVM array expression assign_cells uses
+    (:func:`_cells_sorted_expr` — no numpy distance ties) in the source
+    projection and rides THROUGH the Python stage as a passthrough
+    column — the output gains ``cell int`` and the corpus-sized
+    codes ⋈ assignment join (two Exchanges + sorts of the whole code
+    table at scale) disappears.  Centroids must fit the expression
+    literal limit (callers above ``LITERAL_CENTROID_LIMIT`` keep the
+    join form)."""
     import numpy as np
     import pandas as pd
 
@@ -729,6 +750,7 @@ def pq_encode(
     books = np.array(codebooks, dtype=np.float64)  # (m, ksub, dsub)
     bc = spark.sparkContext.broadcast(books)
     m, _, dsub = books.shape
+    with_cell = cell_centroids is not None
 
     def run(batches):
         b = bc.value
@@ -748,13 +770,14 @@ def pq_encode(
                 d = norms2[s][None, :] - 2.0 * (xs @ b[s].T)
                 codes[:, s] = d.argmin(axis=1)
                 rec2 += norms2[s][codes[:, s]]
-            yield pd.DataFrame(
-                {
-                    "vid": vids,
-                    "codes": list(codes),
-                    "cnorm": np.sqrt(rec2),
-                }
-            )
+            out = {
+                "vid": vids,
+                "codes": list(codes),
+                "cnorm": np.sqrt(rec2),
+            }
+            if with_cell:
+                out["cell"] = pdf["cell"].to_numpy()
+            yield pd.DataFrame(out)
 
     # raw vectors cross to Python; the numpy side normalizes (a JVM
     # _unit_vec here would be a second full normalization pass per row)
@@ -762,13 +785,27 @@ def pq_encode(
 
     # the encode argmin is m·ksub distances per vector — row-cost-bound,
     # so a compact scan (few splits) serializes it; spread first (no-op
-    # when the input already has ≥ slots partitions)
+    # when the input already has ≥ slots partitions). The cell
+    # projection is added ABOVE the spread (it is itself row-cost-bound
+    # — k·dim distance lambdas per row; projected below the exchange it
+    # would run on the scan's splits, the eval_text_metrics placement
+    # lesson)
     src = _spread_small_input(
         df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     )
-    return src.mapInPandas(
-        run, schema="vid long, codes array<int>, cnorm double"
-    )
+    schema = "vid long, codes array<int>, cnorm double"
+    if with_cell:
+        src = (
+            src.withColumn("_uv", _unit_vec("v"))
+            .withColumn("_cents", _cent_lit(cell_centroids))
+            .withColumn(
+                "cell",
+                F.element_at(_cells_sorted_expr("_uv"), 1)["cell"],
+            )
+            .drop("_uv", "_cents")
+        )
+        schema += ", cell int"
+    return src.mapInPandas(run, schema=schema)
 
 
 def pq_adc_topk(
@@ -810,7 +847,6 @@ def pq_adc_topk(
     books = pq_codebooks(
         df, m, ksub, iters, sample_size, id_col, vec_col, sample=sample
     )
-    codes = pq_encode(df, books, id_col, vec_col)
 
     import numpy as np
     import pandas as pd
@@ -854,9 +890,17 @@ def pq_adc_topk(
         coarse = [
             list(map(float, row)) for row in _lloyd(sample, n_cells, iters)
         ]
-        cand = codes.join(
-            assign_cells(df, coarse, id_col, vec_col), "vid"
-        )
+        if len(coarse) * len(coarse[0]) <= LITERAL_CENTROID_LIMIT:
+            # fused encode+assign: the cell rides through the encode
+            # stage as a JVM-computed passthrough column — no
+            # corpus-sized vid join (see pq_encode)
+            cand = pq_encode(
+                df, books, id_col, vec_col, cell_centroids=coarse
+            )
+        else:
+            cand = pq_encode(df, books, id_col, vec_col).join(
+                assign_cells(df, coarse, id_col, vec_col), "vid"
+            )
         q_cells = assign_cells(
             df.filter(query_filter), coarse, id_col, vec_col,
             n_probe=n_probe,
@@ -869,7 +913,8 @@ def pq_adc_topk(
         )
     else:
         scored = (
-            codes.crossJoin(F.broadcast(q_luts))
+            pq_encode(df, books, id_col, vec_col)
+            .crossJoin(F.broadcast(q_luts))
             .filter("qid <> vid")
             .select("qid", F.col("vid").alias("cid"), adc)
         )
