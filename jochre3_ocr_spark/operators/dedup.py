@@ -351,17 +351,81 @@ def _capped_bucket_pairs(
     if max_bucket is None:
         return _pairs(bframe.alias("a"), bframe.alias("b"), lt).distinct()
 
+    # Capped form, single-pass (round 6): the old heads-self-join +
+    # anchors⋈tails shape evaluated the WHOLE band subtree four times
+    # (both self-join sides, anchors, tails — four scan→shingle→agg
+    # chains in the physical plan). Because the cap bounds the head
+    # set, the per-bucket head list is a ≤ max_bucket array — small
+    # enough to attach to every bucket row via a full-frame window
+    # aggregate (same partitioning as the rank window: ONE Exchange,
+    # one Window sort) and fan the pairs out as a pure array
+    # expression. One evaluation of the bands, zero joins; pair set
+    # identical:
+    #   head row rk=i → (self, heads[i+1:]) — the old i<j self-join;
+    #   tail row → all heads (verified pipelines) or heads[1] (the
+    #   star-link anchor). Heads sort ascending by doc_id (unique per
+    #   bucket), so doc1 < doc2 exactly as the lt-join produced.
     w = Window.partitionBy(*bucket_cols).orderBy("doc_id")
-    ranked = bframe.withColumn("rk", F.row_number().over(w))
-    heads = ranked.filter(F.col("rk") <= max_bucket).drop("rk")
-    head_pairs = _pairs(heads.alias("a"), heads.alias("b"), lt)
+    wf = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    entry = (
+        F.struct(
+            F.col("doc_id").alias("d"), F.col(carry_src).alias("c")
+        )
+        if carry_src
+        else F.struct(F.col("doc_id").alias("d"))
+    )
+    ranked = bframe.withColumn("rk", F.row_number().over(w)).withColumn(
+        "_e", entry
+    )
+    staged = ranked.withColumn(
+        "heads",
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("rk") <= max_bucket, F.col("_e"))
+            ).over(wf)
+        ),
+    )
+
+    def _pair(a_entry, b_entry):
+        cols = [
+            a_entry["d"].alias("doc1"),
+            b_entry["d"].alias("doc2"),
+        ]
+        if carry_src:
+            cols += [
+                a_entry["c"].alias(a_out),
+                b_entry["c"].alias(b_out),
+            ]
+        return F.struct(*cols)
+
+    head_arr = F.transform(
+        F.slice(F.col("heads"), F.col("rk") + 1, F.lit(max_bucket)),
+        lambda h: _pair(F.col("_e"), h),
+    )
     if tail_link_all_heads:
-        anchors = heads
+        tail_arr = F.transform(
+            F.col("heads"), lambda h: _pair(h, F.col("_e"))
+        )
     else:
-        anchors = ranked.filter(F.col("rk") == 1).drop("rk")
-    tails = ranked.filter(F.col("rk") > max_bucket).drop("rk")
-    tail_pairs = _pairs(anchors.alias("a"), tails.alias("b"), F.lit(True))
-    return head_pairs.unionByName(tail_pairs).distinct()
+        tail_arr = F.array(
+            _pair(F.element_at(F.col("heads"), 1), F.col("_e"))
+        )
+    out_cols = ["p.doc1", "p.doc2"] + (
+        [f"p.{a_out}", f"p.{b_out}"] if carry_src else []
+    )
+    return (
+        staged.select(
+            F.explode(
+                F.when(F.col("rk") <= max_bucket, head_arr).otherwise(
+                    tail_arr
+                )
+            ).alias("p")
+        )
+        .select(*out_cols)
+        .distinct()
+    )
 
 
 def _minhash_bands(
