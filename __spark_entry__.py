@@ -616,21 +616,33 @@ ranked AS (
                             ORDER BY doc_id) AS rk
   FROM bands
 ),
+-- single-pass capped pairs (the dedup._capped_bucket_pairs round-6
+-- rewrite, SQL form): the cap bounds the head set, so the per-bucket
+-- head list is a <=3 array attached to every row by a full-frame
+-- window over the SAME partitioning (no new Exchange), and the pairs
+-- fan out as an array expression — the old heads self-join +
+-- heads x tails join evaluated the whole votes subtree four times.
+-- Heads sort ascending by doc_id (unique per bucket), reproducing the
+-- a.doc_id < b.doc_id join's orientation exactly; tail rows pair with
+-- every head (the Hamming-verified tail_link_all_heads form).
+staged AS (
+  SELECT doc_id, simhash, rk,
+         sort_array(collect_list(CASE WHEN rk <= 3 THEN
+             named_struct('d', doc_id, 's', simhash) END)
+           OVER (PARTITION BY band, band_val)) AS heads
+  FROM ranked
+),
 cand AS (
-  SELECT DISTINCT doc1, doc2, s1, s2 FROM (
-    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-           a.simhash AS s1, b.simhash AS s2
-    FROM ranked a JOIN ranked b
-      ON a.band = b.band AND a.band_val = b.band_val
-     AND a.doc_id < b.doc_id
-    WHERE a.rk <= 3 AND b.rk <= 3
-    UNION ALL
-    SELECT a.doc_id AS doc1, t.doc_id AS doc2,
-           a.simhash AS s1, t.simhash AS s2
-    FROM ranked a JOIN ranked t
-      ON a.band = t.band AND a.band_val = t.band_val
-    WHERE a.rk <= 3 AND t.rk > 3
-  )
+  SELECT DISTINCT p.doc1 AS doc1, p.doc2 AS doc2, p.s1 AS s1, p.s2 AS s2
+  FROM staged
+  LATERAL VIEW explode(
+    CASE WHEN rk <= 3 THEN
+      transform(slice(heads, rk + 1, 3), h -> named_struct(
+        'doc1', doc_id, 'doc2', h.d, 's1', simhash, 's2', h.s))
+    ELSE
+      transform(heads, h -> named_struct(
+        'doc1', h.d, 'doc2', doc_id, 's1', h.s, 's2', simhash))
+    END) x AS p
 )
 SELECT doc1, doc2, CAST(bit_count(s1 ^ s2) AS INT) AS hamming
 FROM cand WHERE bit_count(s1 ^ s2) <= 1
@@ -745,19 +757,28 @@ ranked AS (
          row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id)
            AS rk
   FROM bands
+),
+-- single-pass capped pairs (the dedup._capped_bucket_pairs round-6
+-- rewrite, SQL form; see _Q_SIMHASH_ND_SPARK): head list bounded by
+-- the cap rides a full-frame window over the same partitioning, pairs
+-- fan out as an array expression — no self-joins, the bands subtree
+-- is evaluated once instead of four times. Tail rows star-link to
+-- heads[0] (= rk 1, the bucket minimum), as the old rk = 1 join did.
+staged AS (
+  SELECT doc_id, rk,
+         sort_array(collect_list(CASE WHEN rk <= 3 THEN doc_id END)
+           OVER (PARTITION BY band, band_hash)) AS heads
+  FROM ranked
 )
-SELECT DISTINCT doc1, doc2 FROM (
-  SELECT a.doc_id AS doc1, b.doc_id AS doc2
-  FROM ranked a JOIN ranked b
-    ON a.band = b.band AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id
-  WHERE a.rk <= 3 AND b.rk <= 3
-  UNION ALL
-  SELECT a.doc_id AS doc1, t.doc_id AS doc2
-  FROM ranked a JOIN ranked t
-    ON a.band = t.band AND a.band_hash = t.band_hash
-  WHERE a.rk = 1 AND t.rk > 3
-)
+SELECT DISTINCT p.doc1 AS doc1, p.doc2 AS doc2
+FROM staged
+LATERAL VIEW explode(
+  CASE WHEN rk <= 3 THEN
+    transform(slice(heads, rk + 1, 3),
+              h -> named_struct('doc1', doc_id, 'doc2', h))
+  ELSE
+    array(named_struct('doc1', heads[0], 'doc2', doc_id))
+  END) x AS p
 """
 _Q_LSH_DUCK = """
 WITH toks AS (
