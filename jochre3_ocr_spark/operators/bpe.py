@@ -79,6 +79,47 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+#: vocabulary size (distinct segmented words) up to which BPE training
+#: runs on the driver — one take(cap+1) job instead of 2-3 Spark jobs
+#: per merge round. The same bounded-collect class as the CC/PageRank
+#: fast paths: ≤100k short strings ≈ a few MB. Tests set this to 0 to
+#: force the distributed rounds.
+_BPE_DRIVER_VOCAB_CAP = 100_000
+
+
+def _train_bpe_driver(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The per-round count → argmax → replace loop on the driver —
+    bit-identical to the distributed rounds: pair counts are exact
+    integer sums; the argmax tie-break (cnt desc, left asc, right asc)
+    compares Python strings, whose code-point order IS Spark's UTF8
+    binary order; and Python ``str.replace`` has the identical
+    left-to-right non-overlapping literal semantics as Spark/DuckDB
+    ``replace`` (the round-5 BPE-oracle bridge identity)."""
+    from collections import defaultdict
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    rows = list(vocab)
+    for rnk in range(1, n_merges + 1):
+        cnt: dict = defaultdict(int)
+        for w, n in rows:
+            t = w.strip(" ").split(" ")
+            if len(t) < 2:
+                continue
+            for i in range(len(t) - 1):
+                cnt[(t[i], t[i + 1])] += n
+        if not cnt:
+            break
+        (left, right), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rnk, left, right, left + right, int(c)))
+        pat, repl = f" {left} {right} ", f" {left}{right} "
+        rows = [(w.replace(pat, repl), n) for w, n in rows]
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -105,6 +146,18 @@ def train_bpe(
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
+    # size-gated driver fast path: ONE take(cap+1) both answers "is the
+    # vocab small?" and delivers it; the per-round count/argmax/replace
+    # runs in Python, merge-for-merge identical (_train_bpe_driver).
+    # Above the cap the distributed rounds below run exactly as before.
+    head = vocab.take(_BPE_DRIVER_VOCAB_CAP + 1)
+    if len(head) <= _BPE_DRIVER_VOCAB_CAP:
+        return spark.createDataFrame(
+            _train_bpe_driver(
+                [(r["__w"], int(r["__n"])) for r in head], n_merges
+            ),
+            "rnk int, left string, right string, merged string, cnt bigint",
+        )
     merges: list[tuple[int, str, str, str, int]] = []
     for rnk in range(1, n_merges + 1):
         # lazy checkpoint: the argmax job below materializes it, so each

@@ -62,3 +62,28 @@ def test_apply_matches_training_segmentation(spark):
     assert out[0].bpe_tokens == ["low", "low", "e", "r"]
     assert out[1].bpe_tokens == ["low", "low"]
     assert out[0].n_bpe_tokens == 4
+
+
+def test_driver_fast_path_matches_distributed(spark, monkeypatch):
+    """The size-gated driver trainer must be merge-for-merge identical
+    to the distributed rounds — including tie-breaks (cnt desc, left
+    asc, right asc) and the early stop."""
+    from jochre3_ocr_spark.operators import bpe as B
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # tie-heavy micro corpus: 'ab' and 'cd' pairs tie on count, the
+    # lexicographic tie-break must pick ('a','b'); plus a word that
+    # fully merges (early-stop coverage at large n_merges)
+    tiny = spark.createDataFrame(
+        [("1", "ab cd"), ("2", "cd ab"), ("3", "xy")],
+        "doc_id string, text string",
+    )
+    for frame, n in ((docs, 3), (tiny, 4), (tiny, 16)):
+        fast = [tuple(r) for r in B.train_bpe(frame, n_merges=n)
+                .orderBy("rnk").collect()]
+        monkeypatch.setattr(B, "_BPE_DRIVER_VOCAB_CAP", 0)
+        slow = [tuple(r) for r in B.train_bpe(frame, n_merges=n)
+                .orderBy("rnk").collect()]
+        monkeypatch.setattr(B, "_BPE_DRIVER_VOCAB_CAP", 100_000)
+        assert fast == slow
+        assert len(fast) > 0
