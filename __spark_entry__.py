@@ -202,6 +202,13 @@ def _extract_yiddish_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter("n_est <= 600").select("doc_id", "text"),
         lexicon_words(),
     )
+    # NOT spread: the giant subset's builder runs on the scan's few
+    # splits, but at compact (toy) scale that work is trivial and an
+    # explicit spread measured a 2.09 -> 2.39 s regression on the full
+    # query (construction-time shuffle materialization under the
+    # branch checkpoint), while at production split counts
+    # _spread_small_input is a no-op anyway — the pinning regime and
+    # the firing regime never overlap (round-6 review adjudication).
     giant = (
         docs.filter("n_est > 600")
         .mapInPandas(to_spans, schema=builder_schema)

@@ -594,13 +594,13 @@ _WIDE_PLAN_MARKERS = (
     "Join",
     "Window",
     "Sort",
-    "MapInPandas",
-    "FlatMapGroupsInPandas",
-    "MapInArrow",
+    "InPandas",  # MapInPandas, FlatMap(Co)GroupsInPandas, …
+    "InArrow",
     "EvalPython",
     "Generate",
     "Union",
     "GlobalLimit",
+    "Offset",
 )
 
 
@@ -655,7 +655,12 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
         return df
     import re
 
-    counts = [int(n) for n in re.findall(r"Repartition (\d+)", plan_str)]
+    # `, true` = shuffle-repartition; coalesce prints `Repartition n,
+    # false` and only REDUCES partitions, so it must never satisfy the
+    # already-spread check (review finding, round 6)
+    counts = [
+        int(n) for n in re.findall(r"Repartition (\d+), true", plan_str)
+    ]
     only_repartition = not any(
         m in plan_str for m in _WIDE_PLAN_MARKERS if m != "Repartition"
     )
