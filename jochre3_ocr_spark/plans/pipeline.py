@@ -590,6 +590,7 @@ def _rescans_cheaply(df: DataFrame) -> bool:
 #: touch it.
 _WIDE_PLAN_MARKERS = (
     "Repartition",
+    "Rebalance",  # RebalancePartitions — AQE-coalescible, probe-unsafe
     "Aggregate",
     "Join",
     "Window",
@@ -655,16 +656,34 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
         return df
     import re
 
-    # `, true` = shuffle-repartition; coalesce prints `Repartition n,
-    # false` and only REDUCES partitions, so it must never satisfy the
-    # already-spread check (review finding, round 6)
+    # Already-spread check (two review rounds hardened it): a shuffle
+    # repartition prints `Repartition n, true`, a keyed one
+    # `RepartitionByExpression [cols], n` — both spread to n
+    # partitions (and a keyed one must NOT get a round-robin stacked
+    # on top, which would destroy the caller's co-partitioning). A
+    # coalesce prints `Repartition n, false`, only REDUCES partitions,
+    # and pins the frame regardless of what sits below it — its
+    # presence anywhere disqualifies the skip (the size path below
+    # then decides: byte-small frames get the explicit spread, undoing
+    # the pin).
     counts = [
         int(n) for n in re.findall(r"Repartition (\d+), true", plan_str)
+    ] + [
+        int(n)
+        for n in re.findall(
+            r"RepartitionByExpression \[[^\]]*\], (\d+)", plan_str
+        )
     ]
+    has_coalesce = re.search(r"Repartition \d+, false", plan_str)
     only_repartition = not any(
         m in plan_str for m in _WIDE_PLAN_MARKERS if m != "Repartition"
     )
-    if only_repartition and counts and max(counts) >= slots:
+    if (
+        only_repartition
+        and counts
+        and max(counts) >= slots
+        and not has_coalesce
+    ):
         return df
     try:
         raw = plan.stats().sizeInBytes()

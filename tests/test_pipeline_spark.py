@@ -315,3 +315,32 @@ def test_spread_small_input_probe_discipline(spark):
     assert f"Repartition {slots}" in (
         out._jdf.queryExecution().optimizedPlan().toString()
     )
+
+    # (d) a coalesce ABOVE a qualifying repartition pins the frame —
+    # the already-spread skip must not fire; the size path re-spreads
+    pinned = spread.filter("doc_id != '-1'").coalesce(1)
+    replan = _spread_small_input(pinned)._jdf.queryExecution()
+    assert f"Repartition {slots}" in (
+        replan.optimizedPlan().toString().splitlines()[0]
+    ), "coalesce-pinned frame was not re-spread"
+
+    # (e) rebalance-topped frames must not reach the rdd probe (it
+    # would execute the rebalance's map stages as a job)
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    _spread_small_input(small.hint("rebalance"))
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "rebalance probe scheduled a Spark job"
+
+    # (f) a keyed repartition(n >= slots) is already spread — no
+    # round-robin may be stacked on top (it would destroy the caller's
+    # co-partitioning)
+    keyed = small.repartition(slots, F.col("doc_id")).filter(
+        "doc_id != '-1'"
+    )
+    plan = (
+        _spread_small_input(keyed)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Repartition") == 1
